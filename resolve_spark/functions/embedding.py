@@ -1,0 +1,109 @@
+"""Embedding operators (SURVEY.md §2.5, E1-E5).
+
+The reference embeds via an HTTP sidecar (internal/embed/embed.go); its
+deterministic test embedder (MockEmbeddingService, embed.go:220-257) is
+what its own benchmarks use, so that formula is our reproducible default:
+
+    emb[i] = byte(text[i % len(text)]) / 255.0   for i < min(dim, len(text))
+    emb[i] = 0.0                                 otherwise
+
+(for i < len(text) the modulo is the identity — kept for parity).
+
+Scale design: embedding is the most expensive per-row transform in a real
+deployment, so ``embed_dedup`` embeds ``distinct(combined_text)`` and
+joins back — the dataflow replacement for the reference's in-process
+cache (embed.go:33-35,72-78).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, FloatType
+
+from resolve_spark.config import MOCK_EMBEDDING_DIM
+
+
+def combine_fields(cols: list[Column]) -> Column:
+    """E1 — join non-empty field values with a single space.
+
+    match.go:656-664 iterates a Go map (nondeterministic order per
+    process); we use the caller's fixed column order — strictly more
+    deterministic than the reference (SURVEY.md §7 decision #2).
+    """
+    arr = F.array(*cols)
+    return F.array_join(F.filter(arr, lambda v: v.isNotNull() & (v != "")), " ")
+
+
+def mock_embedding_udf(dim: int = MOCK_EMBEDDING_DIM):
+    """E4 — deterministic mock embedding (embed.go:233-242), vectorized.
+
+    Returns a text -> array<float> pandas UDF.
+    """
+
+    @pandas_udf(ArrayType(FloatType()))
+    def embed(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            t = "" if t is None else t
+            raw = t.encode("utf-8")  # Go indexes bytes
+            n = min(dim, len(raw))
+            vec = np.zeros(dim, dtype=np.float32)
+            if n:
+                vec[:n] = np.frombuffer(raw[:n], dtype=np.uint8).astype(np.float32) / 255.0
+            out.append(vec)
+        return pd.Series(out)
+
+    return embed
+
+
+@pandas_udf(DoubleType())
+def cosine_similarity_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """E5 — cosine similarity (= 1 - cosine distance, match.go:229-235).
+
+    Fixed-dim vectors stack into a (batch, dim) matrix -> one numpy pass.
+    """
+    a = np.stack(va.to_numpy()).astype(np.float64)
+    b = np.stack(vb.to_numpy()).astype(np.float64)
+    dot = np.einsum("ij,ij->i", a, b)
+    na = np.linalg.norm(a, axis=1)
+    nb = np.linalg.norm(b, axis=1)
+    denom = na * nb
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = np.where(denom == 0, 0.0, dot / denom)
+    return pd.Series(sim)
+
+
+def cosine_similarity_native(va: Column, vb: Column) -> Column:
+    """E5 (native variant) — zip_with/aggregate arithmetic, no Python.
+
+    Prefer this in plans that are otherwise UDF-free; the pandas variant
+    wins for very high dims (one numpy pass vs per-element codegen).
+    """
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+    denom = norm(va) * norm(vb)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot / denom)
+
+
+def embed_dedup(
+    df: DataFrame, text_col: str, out_col: str = "vector", dim: int = MOCK_EMBEDDING_DIM
+) -> DataFrame:
+    """E2/E3 — embed distinct texts once, join back (cache-as-dataflow).
+
+    At 100 TB the distinct() is a shuffle but the UDF then runs on the
+    (much smaller) unique-text set; the join back is a plain hash join
+    that AQE will broadcast when the unique side is small.
+    """
+    uniq = df.select(text_col).distinct()
+    embedded = uniq.withColumn(out_col, mock_embedding_udf(dim)(F.col(text_col)))
+    return df.join(embedded, on=text_col, how="left")

@@ -1,0 +1,485 @@
+"""Pure-Python parity kernels for the reference similarity algorithms.
+
+These are the *semantics oracles* of the engine: exact reimplementations
+of /root/reference/internal/similarity/{similarity.go,fields.go}. They are
+used (a) inside Arrow-batched pandas UDFs (resolve_spark.functions.fields)
+for the algorithms Spark has no builtin for, and (b) as test oracles for
+the native Column implementations.
+
+Indexing note: the Go Jaro-Winkler is byte-indexed (similarity.go:76-152);
+we index str code units, which is identical on ASCII. Inputs in this
+engine are ASCII-normalized (source-code paths/repos), matching SURVEY.md
+§7 "hard parts" decision #1.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+# ---------------------------------------------------------------------------
+# tokenizer — similarity.go:362-388 (letter/number runs, lowercased)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)  # \w minus underscore = [L N]
+
+
+def tokenize(s: str) -> list[str]:
+    return [t.lower() for t in _TOKEN_RE.findall(s)]
+
+
+# ---------------------------------------------------------------------------
+# K1/K2 — exact / case-insensitive match (similarity.go:19-44)
+# ---------------------------------------------------------------------------
+
+def exact_match(a: str, b: str) -> float:
+    return 1.0 if a == b else 0.0
+
+
+def case_insensitive_match(a: str, b: str) -> float:
+    return 1.0 if a.lower() == b.lower() else 0.0
+
+
+# ---------------------------------------------------------------------------
+# K3 — Jaro-Winkler (similarity.go:48-157): prefix scale 0.1, max prefix 4,
+# boost applied unconditionally (no 0.7 gate, unlike many libraries).
+# ---------------------------------------------------------------------------
+
+def jaro(a: str, b: str) -> float:
+    if a == b:
+        return 1.0
+    if len(a) > len(b):
+        a, b = b, a
+    if len(a) == 0:
+        return 0.0
+    match_distance = max(len(b) // 2 - 1, 0)  # max(len(a),len(b))//2 - 1
+    matches_a = [False] * len(a)
+    matches_b = [False] * len(b)
+    matches = 0
+    for i, ca in enumerate(a):
+        start = max(0, i - match_distance)
+        end = min(i + match_distance + 1, len(b))
+        for j in range(start, end):
+            if not matches_b[j] and ca == b[j]:
+                matches_a[i] = True
+                matches_b[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    k = 0
+    for i, ca in enumerate(a):
+        if matches_a[i]:
+            while not matches_b[k]:
+                k += 1
+            if ca != b[k]:
+                transpositions += 1
+            k += 1
+    m = float(matches)
+    return (m / len(a) + m / len(b) + (m - transpositions / 2.0) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, prefix_scale: float = 0.1, prefix_length: int = 4) -> float:
+    if a == "" and b == "":
+        return 1.0
+    if a == "" or b == "":
+        return 0.0
+    jscore = jaro(a, b)
+    prefix_len = 0
+    for i in range(min(prefix_length, len(a), len(b))):
+        if a[i] == b[i]:
+            prefix_len += 1
+        else:
+            break
+    return jscore + prefix_len * prefix_scale * (1.0 - jscore)
+
+
+# ---------------------------------------------------------------------------
+# K4 — Levenshtein similarity (similarity.go:161-218)
+# ---------------------------------------------------------------------------
+
+def levenshtein_distance(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def levenshtein_similarity(a: str, b: str) -> float:
+    if a == "" and b == "":
+        return 1.0
+    if a == "" or b == "":
+        return 0.0
+    return 1.0 - levenshtein_distance(a, b) / max(len(a), len(b))
+
+
+# ---------------------------------------------------------------------------
+# K5/K6 — token Jaccard & TF-cosine (similarity.go:222-327)
+# ---------------------------------------------------------------------------
+
+def jaccard(a: str, b: str) -> float:
+    if a == "" and b == "":
+        return 1.0
+    if a == "" or b == "":
+        return 0.0
+    sa, sb = set(tokenize(a)), set(tokenize(b))
+    union = len(sa | sb)
+    if union == 0:
+        # both tokenized to nothing (e.g. pure punctuation): Go divides by
+        # zero -> NaN; we define 0.0 and never feed such inputs in parity tests
+        return 0.0
+    return len(sa & sb) / union
+
+
+def cosine_tf(a: str, b: str) -> float:
+    if a == "" and b == "":
+        return 1.0
+    if a == "" or b == "":
+        return 0.0
+    va: dict[str, int] = {}
+    vb: dict[str, int] = {}
+    for t in tokenize(a):
+        va[t] = va.get(t, 0) + 1
+    for t in tokenize(b):
+        vb[t] = vb.get(t, 0) + 1
+    dot = sum(c * vb[t] for t, c in va.items() if t in vb)
+    mag_a = sum(c * c for c in va.values()) ** 0.5
+    mag_b = sum(c * c for c in vb.values()) ** 0.5
+    if mag_a == 0 or mag_b == 0:
+        return 0.0
+    return dot / (mag_a * mag_b)
+
+
+# ---------------------------------------------------------------------------
+# K7 — containment (similarity.go:330-359)
+# ---------------------------------------------------------------------------
+
+def contained_in(a: str, b: str, ignore_case: bool = True) -> float:
+    if a == "" and b == "":
+        return 1.0
+    if a == "" or b == "":
+        return 0.0
+    if ignore_case:
+        a, b = a.lower(), b.lower()
+    if a in b or b in a:
+        return min(len(a), len(b)) / max(len(a), len(b))
+    return 0.0
+
+
+# ---------------------------------------------------------------------------
+# F1 — NameSimilarity (fields.go:8-87): 0.6*JW + 0.3*Jaccard + 0.1*ContainedIn
+# ---------------------------------------------------------------------------
+
+_LEGAL_SUFFIX_RE = re.compile(
+    r"\s+(inc\.?|incorporated|corp\.?|corporation|llc|ltd\.?|limited"
+    r"|llp|l\.l\.p\.?|pllc|p\.l\.l\.c\.?|pc|p\.c\.?)$",
+    re.IGNORECASE,
+)
+_SPACE_RE = re.compile(r"\s+")
+
+
+def _name_preprocess(name: str) -> str:
+    name = name.lower()
+    name = _LEGAL_SUFFIX_RE.sub("", name)
+    return _SPACE_RE.sub(" ", name.strip())
+
+
+def name_similarity(a: str, b: str) -> float:
+    if a == "" and b == "":
+        return 1.0
+    if a == "" or b == "":
+        return 0.0
+    if a == b:
+        return 1.0
+    a, b = _name_preprocess(a), _name_preprocess(b)
+    if a.lower() == b.lower():
+        return 1.0
+    return 0.6 * jaro_winkler(a, b) + 0.3 * jaccard(a, b) + 0.1 * contained_in(a, b)
+
+
+# ---------------------------------------------------------------------------
+# F2 — AddressSimilarity (fields.go:89-256):
+# (0.5*Jaccard + 0.2*JW + 0.3*ContainedIn) * house-number penalty (x0.3)
+# ---------------------------------------------------------------------------
+
+_NUMERIC_RE = re.compile(r"\d+")
+_UNIT_RE = re.compile(r"(\s+)(apt|apartment|ste|suite|unit|#)\.?\s+[a-z0-9-]+", re.I)
+_STREET_TYPE_RE = re.compile(
+    r"\b(street|st\.?|avenue|ave\.?|boulevard|blvd\.?|road|rd\.?|drive|dr\.?"
+    r"|lane|ln\.?|court|ct\.?|circle|cir\.?|place|pl\.?|way|parkway|pkwy\.?"
+    r"|highway|hwy\.?|expressway|expy\.?)\b",
+    re.I,
+)
+_DIRECTIONAL_RE = re.compile(
+    r"\b(north|south|east|west|n\.?|s\.?|e\.?|w\.?|ne|nw|se|sw)\b", re.I
+)
+
+# fields.go:121-145 / 146-159. NOTE the Go lookups iterate a map and return
+# the abbreviation whose *full key* is contained in the match; for the
+# street map, every abbreviation is its own key, so lookup is effectively
+# longest-sensible-match. We normalize with explicit deterministic maps.
+_STREET_TYPES = {
+    "street": "st", "st": "st", "avenue": "ave", "ave": "ave",
+    "boulevard": "blvd", "blvd": "blvd", "road": "rd", "rd": "rd",
+    "drive": "dr", "dr": "dr", "lane": "ln", "ln": "ln",
+    "court": "ct", "ct": "ct", "circle": "cir", "cir": "cir",
+    "place": "pl", "pl": "pl", "way": "way", "parkway": "pkwy",
+    "pkwy": "pkwy", "highway": "hwy", "hwy": "hwy",
+}
+_DIRECTIONS = {
+    "north": "n", "n": "n", "south": "s", "s": "s", "east": "e", "e": "e",
+    "west": "w", "w": "w", "ne": "ne", "nw": "nw", "se": "se", "sw": "sw",
+}
+
+
+def _address_preprocess(address: str) -> str:
+    address = address.lower()
+    address = _UNIT_RE.sub("", address)
+    address = _STREET_TYPE_RE.sub(
+        lambda m: _STREET_TYPES.get(m.group(0).rstrip("."), m.group(0)), address
+    )
+    address = _DIRECTIONAL_RE.sub(
+        lambda m: _DIRECTIONS.get(m.group(0).rstrip("."), m.group(0)), address
+    )
+    return _SPACE_RE.sub(" ", address.strip())
+
+
+def address_similarity(a: str, b: str) -> float:
+    if a == "" and b == "":
+        return 1.0
+    if a == "" or b == "":
+        return 0.0
+    if a == b:
+        return 1.0
+    a, b = _address_preprocess(a), _address_preprocess(b)
+    if a.lower() == b.lower():
+        return 1.0
+    a_nums = _NUMERIC_RE.findall(a)
+    b_nums = _NUMERIC_RE.findall(b)
+    number_match = 1.0
+    if a_nums and b_nums and a_nums[0] != b_nums[0]:
+        number_match = 0.3  # fields.go:195 house-number penalty
+    combined = 0.5 * jaccard(a, b) + 0.2 * jaro_winkler(a, b) + 0.3 * contained_in(a, b)
+    return combined * number_match
+
+
+# ---------------------------------------------------------------------------
+# F3 — PhoneSimilarity (fields.go:258-333): trailing-digit ladder
+# ---------------------------------------------------------------------------
+
+_DIGITS_RE = re.compile(r"\d")
+
+
+def phone_similarity(a: str, b: str) -> float:
+    if a == "" and b == "":
+        return 1.0
+    if a == "" or b == "":
+        return 0.0
+    da = "".join(_DIGITS_RE.findall(a))
+    db = "".join(_DIGITS_RE.findall(b))
+    if da == "" and db == "":
+        return 1.0
+    if da == "" or db == "":
+        return 0.0
+    if da == db:
+        return 1.0
+    la, lb = da[-10:], db[-10:]
+    matching = 0
+    for i in range(1, min(len(la), len(lb)) + 1):
+        if la[-i] == lb[-i]:
+            matching += 1
+        else:
+            break
+    if matching >= 10:
+        return 1.0
+    if matching >= 7:
+        return 0.9
+    if matching >= 4:
+        return 0.7
+    return matching / 10.0
+
+
+# ---------------------------------------------------------------------------
+# F4 — EmailSimilarity (fields.go:335-406)
+# ---------------------------------------------------------------------------
+
+_EMAIL_PARTS_RE = re.compile(r"^([^@]+)@(.+)$")
+
+
+def email_similarity(a: str, b: str) -> float:
+    if a == "" and b == "":
+        return 1.0
+    if a == "" or b == "":
+        return 0.0
+    if a == b:
+        return 1.0
+    if a.lower() == b.lower():
+        return 0.99  # fields.go:373
+    ma, mb = _EMAIL_PARTS_RE.match(a), _EMAIL_PARTS_RE.match(b)
+    if ma is None or mb is None:
+        return jaro_winkler(a, b)
+    a_user, a_domain = ma.group(1), ma.group(2)
+    b_user, b_domain = mb.group(1), mb.group(2)
+    domain_score = case_insensitive_match(a_domain, b_domain)
+    if domain_score < 1.0:
+        return domain_score * 0.3  # fields.go:394 — always 0.0 here
+    return 0.4 * jaro_winkler(a_user, b_user) + 0.6 * domain_score
+
+
+# ---------------------------------------------------------------------------
+# F5 — ZipCodeSimilarity (fields.go:408-485): leading-digit ladder
+# ---------------------------------------------------------------------------
+
+def zip_similarity(a: str, b: str) -> float:
+    if a == "" and b == "":
+        return 1.0
+    if a == "" or b == "":
+        return 0.0
+    da = "".join(_DIGITS_RE.findall(a))
+    db = "".join(_DIGITS_RE.findall(b))
+    if da == "" and db == "":
+        return 1.0
+    if da == "" or db == "":
+        return 0.0
+    if da == db:
+        return 1.0
+    prefix_len = min(5, len(da), len(db))
+    matching = 0
+    for i in range(prefix_len):
+        if da[i] == db[i]:
+            matching += 1
+        else:
+            break
+    if matching >= 5:
+        return 0.95
+    if matching >= 3:
+        return 0.8
+    if matching >= 1:
+        return 0.5
+    return 0.0
+
+
+# ---------------------------------------------------------------------------
+# Registry aliases — registry.go:50-83 (GetByName) and :86-103 (GetByFieldType)
+# ---------------------------------------------------------------------------
+
+KERNELS_BY_NAME = {
+    "name": name_similarity, "namesimilarity": name_similarity,
+    "address": address_similarity, "addresssimilarity": address_similarity,
+    "phone": phone_similarity, "phonesimilarity": phone_similarity,
+    "phonenumber": phone_similarity,
+    "email": email_similarity, "emailsimilarity": email_similarity,
+    "zipcode": zip_similarity, "postalcode": zip_similarity, "zip": zip_similarity,
+    "text": jaro_winkler, "default": jaro_winkler,
+    "exact": exact_match, "exactmatch": exact_match,
+    "case": case_insensitive_match, "caseinsensitive": case_insensitive_match,
+    "caseinsensitivematch": case_insensitive_match,
+    "jaro": jaro_winkler, "jarowinkler": jaro_winkler,
+    "levenshtein": levenshtein_similarity, "editdistance": levenshtein_similarity,
+    "jaccard": jaccard, "token": jaccard,
+    "cosine": cosine_tf, "cosinesimilarity": cosine_tf,
+    "contains": contained_in, "containedin": contained_in,
+}
+
+KERNELS_BY_FIELD_TYPE = {
+    "name": name_similarity, "business_name": name_similarity,
+    "person_name": name_similarity, "company": name_similarity,
+    "organization": name_similarity,
+    "address": address_similarity, "street": address_similarity,
+    "street_address": address_similarity, "mailing_address": address_similarity,
+    "phone": phone_similarity, "phone_number": phone_similarity,
+    "telephone": phone_similarity, "mobile": phone_similarity,
+    "cell": phone_similarity, "fax": phone_similarity,
+    "email": email_similarity, "email_address": email_similarity,
+    "zip": zip_similarity, "zipcode": zip_similarity,
+    "postal_code": zip_similarity, "postal": zip_similarity,
+}
+
+
+def get_kernel_by_name(name: str):
+    """registry.go:50-83 — unknown aliases fall back to text (Jaro-Winkler)."""
+    return KERNELS_BY_NAME.get(name.lower(), jaro_winkler)
+
+
+def get_kernel_by_field_type(field_type: str):
+    """registry.go:86-103 — unknown types fall back to text (Jaro-Winkler)."""
+    return KERNELS_BY_FIELD_TYPE.get(field_type.lower(), jaro_winkler)
+
+
+@lru_cache(maxsize=None)
+def infer_kernel_name(field_name: str) -> str:
+    """F8 — substring heuristics from match.go:388-423."""
+    f = field_name.lower()
+    if any(s in f for s in ("name", "company", "business", "organization")):
+        return "name"
+    if "address" in f or "street" in f:
+        return "address"
+    if any(s in f for s in ("phone", "tel", "mobile", "cell", "fax")):
+        return "phone"
+    if "email" in f:
+        return "email"
+    if "zip" in f or "postal" in f:
+        return "zipcode"
+    return "text"
+
+
+# ---------------------------------------------------------------------------
+# M4 — weighted combine (match.go:471-492); M9 — explanation (match.go:643-653)
+# ---------------------------------------------------------------------------
+
+def weighted_score(field_scores: dict[str, float], weights: dict[str, float]) -> float:
+    total_score = 0.0
+    total_weight = 0.0
+    for field_name, score in field_scores.items():
+        w = weights.get(field_name, 1.0)
+        total_score += score * w
+        total_weight += w
+    if total_weight == 0:
+        return 0.0
+    return total_score / total_weight
+
+
+def explanation(score: float, matched_fields: list[str]) -> str:
+    confidence = "medium"
+    if score >= 0.9:
+        confidence = "high"
+    elif score < 0.7:
+        confidence = "low"
+    return "Matched with %s confidence (%0.2f) on fields: %s" % (
+        confidence, score, ", ".join(matched_fields),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M6 — parseQueryFields (match.go:427-468)
+# ---------------------------------------------------------------------------
+
+def parse_query_fields(text: str) -> dict[str, str]:
+    fields: dict[str, str] = {}
+    if "=" not in text:
+        return fields
+    if ";" in text:
+        pairs = text.split(";")
+    elif "," in text:
+        pairs = text.split(",")
+    else:
+        pairs = [text]
+    for pair in pairs:
+        pair = pair.strip()
+        if not pair:
+            continue
+        parts = pair.split("=", 1)
+        if len(parts) != 2:
+            continue
+        k, v = parts[0].strip(), parts[1].strip()
+        if k and v:
+            fields[k] = v
+    return fields

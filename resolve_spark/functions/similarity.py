@@ -1,0 +1,139 @@
+"""Native-Column similarity kernels (SURVEY.md §2.3, K1-K8).
+
+Every function here compiles to whole-stage-codegen'd JVM expressions —
+the fast path. Kernels with no Spark builtin (Jaro-Winkler, TF-cosine and
+the composite scorers that embed them) live in
+``resolve_spark.functions.fields`` as Arrow-batched pandas UDFs.
+
+Parity target: /root/reference/internal/similarity/similarity.go and the
+phone/zip ladders of fields.go (fully expressible as when-ladders).
+Empty-string conventions follow the reference exactly: ``("","") -> 1.0``,
+one-empty ``-> 0.0``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Go tokenizer: unicode letter/digit runs, lowercased (similarity.go:362-388)
+TOKEN_SPLIT_RE = r"[^\p{L}\p{N}]+"
+
+
+def _empty_guard(a: Column, b: Column, body: Column) -> Column:
+    """(""/"")->1.0, one-empty->0.0 — the shared preamble of every kernel."""
+    return (
+        F.when((a == "") & (b == ""), F.lit(1.0))
+        .when((a == "") | (b == ""), F.lit(0.0))
+        .otherwise(body)
+    )
+
+
+def exact_match(a: Column, b: Column) -> Column:
+    """K1 — similarity.go:19-30."""
+    return (a == b).cast("double")
+
+
+def case_insensitive_match(a: Column, b: Column) -> Column:
+    """K2 — similarity.go:33-44."""
+    return (F.lower(a) == F.lower(b)).cast("double")
+
+
+def levenshtein_similarity(a: Column, b: Column) -> Column:
+    """K4 — 1 - dist/max(len) (similarity.go:161-218).
+
+    Spark's builtin levenshtein is character-based like the Go rune DP.
+    """
+    body = F.lit(1.0) - F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b))
+    return _empty_guard(a, b, body)
+
+
+def tokens(s: Column) -> Column:
+    """K8 — distinct lowercase letter/digit-run tokens (similarity.go:362-388)."""
+    return F.array_distinct(
+        F.filter(F.split(F.lower(s), TOKEN_SPLIT_RE), lambda x: x != "")
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """K5 — |A∩B| / |A∪B| over token sets (similarity.go:222-266)."""
+    ta, tb = tokens(a), tokens(b)
+    union = F.size(F.array_union(ta, tb))
+    body = F.when(union == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_intersect(ta, tb)) / union
+    )
+    return _empty_guard(a, b, body)
+
+
+def contained_in(a: Column, b: Column, ignore_case: bool = True) -> Column:
+    """K7 — substring either way -> min(len)/max(len) (similarity.go:330-359)."""
+    la, lb = (F.lower(a), F.lower(b)) if ignore_case else (a, b)
+    body = F.when(
+        la.contains(lb) | lb.contains(la),
+        F.least(F.length(a), F.length(b))
+        / F.greatest(F.length(a), F.length(b)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return _empty_guard(a, b, body)
+
+
+def _digits(c: Column) -> Column:
+    return F.regexp_replace(c, r"[^0-9]", "")
+
+
+def _common_prefix_len(a: Column, b: Column, upto: int) -> Column:
+    """Length of common prefix of a,b capped at ``upto`` (break at first
+    mismatch == largest i with equal i-prefixes)."""
+    out = F.lit(0)
+    for i in range(1, upto + 1):
+        out = F.when(
+            (F.length(a) >= i)
+            & (F.length(b) >= i)
+            & (F.substring(a, 1, i) == F.substring(b, 1, i)),
+            F.lit(i),
+        ).otherwise(out)
+    return out
+
+
+def phone_similarity(a: Column, b: Column) -> Column:
+    """F3 — trailing-digit ladder of the last 10 digits (fields.go:258-333).
+
+    >=10 matching -> 1.0, >=7 -> 0.9, >=4 -> 0.7, else n/10. Fully native.
+    """
+    da, db = _digits(a), _digits(b)
+    ra, rb = F.reverse(F.right(da, F.lit(10))), F.reverse(F.right(db, F.lit(10)))
+    m = _common_prefix_len(ra, rb, 10)
+    ladder = (
+        F.when(da == db, F.lit(1.0))
+        .when(m >= 10, F.lit(1.0))
+        .when(m >= 7, F.lit(0.9))
+        .when(m >= 4, F.lit(0.7))
+        .otherwise(m.cast("double") / 10.0)
+    )
+    digit_guard = (
+        F.when((da == "") & (db == ""), F.lit(1.0))
+        .when((da == "") | (db == ""), F.lit(0.0))
+        .otherwise(ladder)
+    )
+    return _empty_guard(a, b, digit_guard)
+
+
+def zip_similarity(a: Column, b: Column) -> Column:
+    """F5 — leading-digit ladder (fields.go:408-485).
+
+    equal digits -> 1.0; prefix >=5 -> 0.95, >=3 -> 0.8, >=1 -> 0.5, else 0.
+    """
+    da, db = _digits(a), _digits(b)
+    m = _common_prefix_len(da, db, 5)
+    ladder = (
+        F.when(da == db, F.lit(1.0))
+        .when(m >= 5, F.lit(0.95))
+        .when(m >= 3, F.lit(0.8))
+        .when(m >= 1, F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    digit_guard = (
+        F.when((da == "") & (db == ""), F.lit(1.0))
+        .when((da == "") | (db == ""), F.lit(0.0))
+        .otherwise(ladder)
+    )
+    return _empty_guard(a, b, digit_guard)
