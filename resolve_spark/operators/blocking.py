@@ -1,0 +1,218 @@
+"""Multi-pass blocking (SURVEY.md §2.6, B1-B6 + the north-rule extension).
+
+Pass 1 — **canopy**: the reference's composite blocking key, exact
+semantics (cluster.go:57-156): per configured field take a type-specific
+component (name -> first 3 chars, zip -> first 5, phone -> last 4 digits,
+email -> domain, default -> first 3), prefer the ``*_normalized`` value,
+join components with '|' (trailing '|' included, as in the Go
+strings.Builder loop), md5 -> first 16 hex chars; empty key -> "default".
+
+Pass 2 — **q-gram**: the k lexically-hash-smallest character q-grams of a
+designated column; robust to single-character edits that break the canopy
+prefix. Fully native (sequence/transform/array_sort), no Python.
+
+Pass 3 — **MinHash-LSH**: banded minhash signatures over token shingles
+of a long-text column; vectorized numpy inside one pandas UDF. Standard
+(a*x+b) mod p universal hashing with fixed seeds — deterministic across
+runs and executors.
+
+Records whose canopy key is "default" (no blocking fields) produce NO
+canopy candidates: at 10^12 rows the reference's behavior (unfiltered ANN
+search) has no dataflow analog that isn't a cross join. The q-gram /
+minhash passes still cover such records. Documented divergence.
+
+All passes emit into one ``block_keys array<string>`` column with a
+per-pass prefix (``c:``, ``q:``, ``m<band>:``) so keys never collide
+across passes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from resolve_spark.config import DEFAULT_CLUSTER_ID, BlockingConfig
+
+# ---------------------------------------------------------------------------
+# B1 — canopy key (cluster.go:57-156)
+# ---------------------------------------------------------------------------
+
+
+def _field_value(df_cols: set[str], field: str) -> Column:
+    """Prefer non-empty ``{field}_normalized``, else raw (cluster.go:88-92)."""
+    norm = f"{field}_normalized"
+    raw = F.coalesce(F.col(field), F.lit("")) if field in df_cols else F.lit("")
+    if norm in df_cols:
+        nval = F.coalesce(F.col(norm), F.lit(""))
+        return F.when(nval != "", nval).otherwise(raw)
+    return raw
+
+
+def _key_component(field: str, value: Column) -> Column:
+    """Per-field blocking component (cluster.go:94-133)."""
+    if field == "name":
+        return F.substring(value, 1, 3)
+    if field == "zip":
+        return F.substring(value, 1, 5)
+    if field == "phone":
+        digits = F.regexp_replace(value, r"[^0-9]", "")
+        return F.right(digits, F.lit(4))  # last 4 when >=4, else all digits
+    if field == "email":
+        # domain iff exactly one '@' (Go: split len==2), else whole value
+        n_at = F.length(value) - F.length(F.regexp_replace(value, "@", ""))
+        return F.when(n_at == 1, F.substring_index(value, "@", -1)).otherwise(value)
+    return F.substring(value, 1, 3)
+
+
+def canopy_key(df_cols: list[str], fields: tuple[str, ...]) -> Column:
+    """The reference's blocking key as one native Column expression.
+
+    ``fields`` are filtered to those present (as raw or normalized
+    column) and sorted, matching cluster.go:63-69.
+    """
+    cols = set(df_cols)
+    present = sorted(
+        f for f in fields if f in cols or f"{f}_normalized" in cols
+    )
+    if not present:
+        return F.lit(DEFAULT_CLUSTER_ID)
+    parts = []
+    for f in present:
+        comp = _key_component(f, _field_value(cols, f))
+        parts.append(F.when(comp != "", F.concat(comp, F.lit("|"))).otherwise(F.lit("")))
+    key = F.concat(*parts) if len(parts) > 1 else parts[0]
+    return (
+        F.when((key == "") | (key == "|"), F.lit(DEFAULT_CLUSTER_ID))
+        .otherwise(F.substring(F.md5(key), 1, 16))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pass 2 — q-gram keys (native)
+# ---------------------------------------------------------------------------
+
+
+def qgram_keys(col: Column, q: int = 3, k: int = 4) -> Column:
+    """k smallest-by-hash distinct q-grams of ``col`` -> array<string>.
+
+    Hash-min selection keeps key cardinality bounded per record while
+    remaining deterministic; two strings sharing any selected q-gram
+    land in a shared block. Native expressions only.
+    """
+    s = F.lower(F.coalesce(col, F.lit("")))
+    n = F.length(s)
+    grams = F.when(n >= q, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - q + 1),
+            lambda i: F.substring(s, i, q),
+        )
+    )).otherwise(F.when(n > 0, F.array(s)).otherwise(F.array()))
+    ranked = F.array_sort(
+        F.transform(grams, lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("g")))
+    )
+    top = F.slice(ranked, 1, k)
+    return F.transform(top, lambda st: F.concat(F.lit("q:"), st["g"]))
+
+
+# ---------------------------------------------------------------------------
+# Pass 3 — MinHash-LSH band keys (vectorized pandas UDF)
+# ---------------------------------------------------------------------------
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE_P, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE_P, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _token_hashes(text: str, shingle: int) -> np.ndarray:
+    toks = text.lower().split()
+    if len(toks) >= shingle:
+        shingles = [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
+    else:
+        shingles = [" ".join(toks)] if toks else []
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+            for s in set(shingles)
+        ),
+        dtype=np.uint64,
+    )
+
+
+def minhash_band_keys_udf(num_hashes: int = 64, bands: int = 16, shingle: int = 3, seed: int = 42):
+    """text -> array<string> of LSH band keys.
+
+    Signature h_i = min((a_i * x + b_i) mod p) over shingle hashes x;
+    band key = md5(band_idx || sig slice)[:12]. Rows per band
+    r = num_hashes // bands sets the similarity knee (~(1/bands)^(1/r)).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    a, b = _minhash_params(num_hashes, seed)
+
+    @pandas_udf(ArrayType(StringType()))
+    def keys(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            x = _token_hashes("" if t is None else t, shingle)
+            if x.size == 0:
+                out.append([])
+                continue
+            # (num_hashes, n_shingles) modular universal hash, vectorized
+            hv = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE_P
+            sig = hv.min(axis=1)
+            row_keys = []
+            for band in range(bands):
+                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                digest = hashlib.md5(bytes([band]) + chunk.tobytes()).hexdigest()[:12]
+                row_keys.append(f"m{band}:{digest}")
+            out.append(row_keys)
+        return pd.Series(out)
+
+    return keys
+
+
+# ---------------------------------------------------------------------------
+# Multi-pass assembly
+# ---------------------------------------------------------------------------
+
+
+def add_blocking_keys(df: DataFrame, cfg: BlockingConfig) -> DataFrame:
+    """Add ``block_key`` (canopy, reference semantics) and ``block_keys``
+    (all passes, exploded downstream into candidate generation)."""
+    passes: list[Column] = []
+    out = df
+    if cfg.enable_canopy:
+        ck = canopy_key(df.columns, cfg.fields)
+        out = out.withColumn("block_key", ck)
+        passes.append(
+            F.when(
+                F.col("block_key") != DEFAULT_CLUSTER_ID,
+                F.array(F.concat(F.lit("c:"), F.col("block_key"))),
+            ).otherwise(F.array())
+        )
+    if cfg.qgram_column is not None:
+        passes.append(
+            qgram_keys(F.col(cfg.qgram_column), cfg.qgram_q, cfg.qgram_keys_per_record)
+        )
+    if cfg.minhash_column is not None:
+        mh = minhash_band_keys_udf(cfg.minhash_num_hashes, cfg.minhash_bands)
+        passes.append(mh(F.col(cfg.minhash_column)))
+    if not passes:
+        raise ValueError("BlockingConfig enables no blocking pass")
+    keys = passes[0]
+    for p in passes[1:]:
+        keys = F.concat(keys, p)
+    return out.withColumn("block_keys", keys)

@@ -1,0 +1,134 @@
+"""Candidate-pair generation under a pair budget (north rule §4.1).
+
+The quadratic hazard: a hot blocking key with c rows makes c(c-1)/2
+pairs — AQE can split a skewed *shuffle*, but nothing built-in caps pair
+*generation*. We make the cap explicit dataflow:
+
+- blocks with ``count <= max_block_size``: full in-block self-join
+  (id_a < id_b). Bounded at C(max_block_size, 2) pairs per block.
+- oversized blocks: **sorted-neighborhood pairing** — rows are ordered
+  (by id) within the key, chunked into windows, and each row pairs only
+  with the next ``window`` rows. Cost O(c * window) instead of O(c^2).
+  The (key, chunk) composite IS the salt: a hot key's work spreads
+  uniformly over chunks/partitions.
+
+Dropped-pair accounting (``pairs_dropped_estimate``) is reported per run
+so recall loss on hot keys is observable, satisfying the "cap/record
+dropped pairs" requirement.
+
+Every pair carries the blocking key it was generated under (min key when
+several passes agree), which is the evaluation scope for labeled-pair F1
+("at the same blocking key").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from resolve_spark.config import BlockingConfig
+
+
+@dataclass
+class PairGenStats:
+    n_records: int
+    n_block_keys: int
+    n_oversized_keys: int
+    max_block_size: int
+    pairs_generated: int
+    pairs_dropped_estimate: int
+
+
+def _full_pairs(keyed: DataFrame) -> DataFrame:
+    a = keyed.select(
+        F.col("key"), F.col("rid").alias("id_a")
+    )
+    b = keyed.select(F.col("key"), F.col("rid").alias("id_b"))
+    return a.join(b, "key").where(F.col("id_a") < F.col("id_b"))
+
+
+def _windowed_pairs(keyed: DataFrame, window: int) -> DataFrame:
+    """Sorted-neighborhood within oversized keys: pair pos i with
+    i+1..i+window via chunked equi-joins (chunk and chunk+1)."""
+    w = Window.partitionBy("key").orderBy("rid")
+    pos = keyed.withColumn("pos", F.row_number().over(w))
+    pos = pos.withColumn("chunk", ((F.col("pos") - 1) / window).cast("long"))
+    a = pos.select("key", F.col("rid").alias("id_a"), F.col("pos").alias("pa"), "chunk")
+    b_same = pos.select("key", F.col("rid").alias("id_b"), F.col("pos").alias("pb"), "chunk")
+    b_next = pos.select(
+        "key", F.col("rid").alias("id_b"), F.col("pos").alias("pb"),
+        (F.col("chunk") - 1).alias("chunk"),
+    )
+    joined = a.join(b_same.unionByName(b_next), ["key", "chunk"])
+    return (
+        joined.where(
+            (F.col("pb") > F.col("pa")) & (F.col("pb") - F.col("pa") <= window)
+        )
+        # canonical orientation: ids, not positions, define (a,b)
+        .select(
+            "key",
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+
+
+def candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    cfg: BlockingConfig,
+    keys_col: str = "block_keys",
+    with_stats: bool = True,
+) -> tuple[DataFrame, PairGenStats | None]:
+    """(record, array-of-keys) -> deduplicated candidate pairs.
+
+    Returns (pairs, stats): pairs has columns (id_a, id_b, block_key)
+    with id_a < id_b; block_key is the smallest key that produced the
+    pair. Stats trigger two small aggregate jobs when requested.
+    """
+    keyed = (
+        df.select(F.col(id_col).alias("rid"), F.explode(keys_col).alias("key"))
+        .dropDuplicates(["rid", "key"])
+    )
+    counts = keyed.groupBy("key").agg(F.count("*").alias("c"))
+    # cache: used by the small/big split and by the stats aggregates
+    counts.persist()
+
+    small_keys = counts.where(F.col("c") <= cfg.max_block_size).select("key")
+    big_keys = counts.where(F.col("c") > cfg.max_block_size).select("key")
+
+    # broadcast of the big-key list is tiny (hot keys are few by nature)
+    keyed_small = keyed.join(F.broadcast(big_keys), "key", "left_anti")
+    keyed_big = keyed.join(F.broadcast(big_keys), "key", "left_semi")
+
+    pairs = _full_pairs(keyed_small).unionByName(
+        _windowed_pairs(keyed_big, cfg.neighborhood_window)
+    )
+    deduped = pairs.groupBy("id_a", "id_b").agg(F.min("key").alias("block_key"))
+
+    stats = None
+    if with_stats:
+        agg = counts.agg(
+            F.count("*").alias("n_keys"),
+            F.sum(F.when(F.col("c") > cfg.max_block_size, 1).otherwise(0)).alias("n_big"),
+            F.sum(
+                F.when(
+                    F.col("c") > cfg.max_block_size,
+                    (F.col("c") * (F.col("c") - 1) / 2)
+                    - (F.col("c") * cfg.neighborhood_window),
+                ).otherwise(0)
+            ).alias("dropped_est"),
+        ).collect()[0]
+        n_pairs = deduped.count()
+        stats = PairGenStats(
+            n_records=df.count(),
+            n_block_keys=agg["n_keys"] or 0,
+            n_oversized_keys=agg["n_big"] or 0,
+            max_block_size=cfg.max_block_size,
+            pairs_generated=n_pairs,
+            pairs_dropped_estimate=max(0, int(agg["dropped_est"] or 0)),
+        )
+    counts.unpersist()
+    return deduped, stats

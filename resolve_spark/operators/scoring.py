@@ -1,0 +1,140 @@
+"""Pairwise scoring (SURVEY.md §2.7, M1-M5) over candidate pairs.
+
+The reference scores one query against ANN hits (match.go:170-264); the
+batch equivalent scores every candidate pair:
+
+    pairs (id_a,id_b,block_key)
+      JOIN entities twice (a-side, b-side)
+      -> per-field scores: native Column kernels where possible, ONE
+         fused Arrow crossing for the pandas-UDF kernels
+      -> weighted_score = Σ(w_i s_i)/Σw_i              (match.go:471-492)
+      -> score = (vec_score + weighted_score)/2 when vectors participate
+                 (match.go:378-384), else weighted_score
+      -> threshold filter                               (match.go:237-240)
+
+Plan-order note: the threshold is applied AFTER the pUDF (scores depend
+on it), but blocking has already bounded the pair count; cheap native
+exact-match short-circuits are folded into each kernel, not separate
+passes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from resolve_spark.functions import fields as FD
+from resolve_spark.functions.embedding import cosine_similarity_udf
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """One scored field: entity column + kernel alias + weight."""
+
+    name: str            # logical field name (weights / field_scores key)
+    column: str          # column in the entity table
+    kernel: str          # registry alias (registry.go:50-83)
+    weight: float = 1.0
+
+    @staticmethod
+    def infer(name: str, column: str | None = None, weight: float = 1.0) -> "FieldSpec":
+        """F8 — kernel inferred from the field name (match.go:388-423)."""
+        return FieldSpec(name, column or name, FD.infer_kernel_name(name), weight)
+
+
+def attach_pair_sides(
+    pairs: DataFrame, entities: DataFrame, id_col: str, side_cols: list[str]
+) -> DataFrame:
+    """pairs(id_a,id_b,...) x entities -> wide pair rows with _a/_b columns."""
+    a = entities.select(
+        F.col(id_col).alias("id_a"),
+        *[F.coalesce(F.col(c), F.lit("")).alias(f"{c}_a") for c in side_cols],
+    )
+    b = entities.select(
+        F.col(id_col).alias("id_b"),
+        *[F.coalesce(F.col(c), F.lit("")).alias(f"{c}_b") for c in side_cols],
+    )
+    return pairs.join(a, "id_a").join(b, "id_b")
+
+
+def score_pairs(
+    wide_pairs: DataFrame,
+    specs: list[FieldSpec],
+    threshold: float | None = None,
+    vector_col: str | None = None,
+    blend_with_vector: bool | None = None,
+) -> DataFrame:
+    """Score _a/_b wide pair rows. Adds per-field ``score_<name>``,
+    ``field_scores`` map, ``matched_on``, ``weighted_score``,
+    optional ``vec_score``, and final ``score``; filters by threshold."""
+    native = [s for s in specs if s.kernel.lower() in FD.NATIVE_BUILDERS]
+    fused = [s for s in specs if s.kernel.lower() not in FD.NATIVE_BUILDERS]
+
+    df = wide_pairs
+    if fused:
+        udf = FD.fused_scores_udf([s.kernel for s in fused])
+        args = []
+        for s in fused:
+            args.extend([F.col(f"{s.column}_a"), F.col(f"{s.column}_b")])
+        df = df.withColumn("_fused", udf(*args))
+        for i, s in enumerate(fused):
+            df = df.withColumn(f"score_{s.name}", F.col("_fused")[i])
+        df = df.drop("_fused")
+    for s in native:
+        df = df.withColumn(
+            f"score_{s.name}",
+            FD.NATIVE_BUILDERS[s.kernel.lower()](
+                F.col(f"{s.column}_a"), F.col(f"{s.column}_b")
+            ),
+        )
+
+    score_cols = {s.name: F.col(f"score_{s.name}") for s in specs}
+    weights = {s.name: s.weight for s in specs}
+    df = df.withColumn(
+        "field_scores",
+        F.create_map(*[x for s in specs for x in (F.lit(s.name), F.col(f"score_{s.name}"))]),
+    )
+    # matched_on: fields non-empty on both sides (match.go:632-640 analog)
+    df = df.withColumn(
+        "matched_on",
+        F.filter(
+            F.array(*[
+                F.when(
+                    (F.col(f"{s.column}_a") != "") & (F.col(f"{s.column}_b") != ""),
+                    F.lit(s.name),
+                )
+                for s in specs
+            ]),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    df = df.withColumn("weighted_score", FD.weighted_score_column(score_cols, weights))
+
+    if vector_col is not None:
+        df = df.withColumn(
+            "vec_score",
+            cosine_similarity_udf(F.col(f"{vector_col}_a"), F.col(f"{vector_col}_b")),
+        )
+        blend = True if blend_with_vector is None else blend_with_vector
+        final = (
+            (F.col("vec_score") + F.col("weighted_score")) / 2
+            if blend
+            else F.col("vec_score")
+        )
+    else:
+        final = F.col("weighted_score")
+    df = df.withColumn("score", final)
+    if threshold is not None:
+        df = df.where(F.col("score") >= threshold)
+    return df
+
+
+def scored_edges_projection(df: DataFrame, extra: list[str] | None = None) -> DataFrame:
+    """Checkpoint-table shape (FIXTURES.md §4 scored_edges)."""
+    cols = ["id_a", "id_b", "block_key", "field_scores", "weighted_score",
+            "score", "matched_on"]
+    if "vec_score" in df.columns:
+        cols.insert(3, "vec_score")
+    return df.select(*cols, *(extra or []))

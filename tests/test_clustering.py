@@ -1,0 +1,87 @@
+"""Connected-components + group-statistics tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from resolve_spark.operators import clustering as C
+
+
+def _cc_dict(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = C.connected_components(df)
+    return {r["rid"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_cc_simple_chain(spark):
+    got = _cc_dict(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == "x"
+
+
+def test_cc_long_path_and_star(spark):
+    # path of 20 nodes (worst case for naive propagation) + a star
+    path = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(19)]
+    star = [("s00", f"s{i:02d}") for i in range(1, 8)]
+    got = _cc_dict(spark, path + star)
+    assert all(got[f"n{i:02d}"] == "n00" for i in range(20))
+    assert all(got[f"s{i:02d}"] == "s00" for i in range(8))
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    got = _cc_dict(spark, [("b", "a"), ("a", "b"), ("c", "b"), ("c", "c")])
+    assert got["a"] == got["b"] == got["c"] == "a"
+
+
+def test_assign_clusters_singletons(spark):
+    entities = spark.createDataFrame([("a",), ("b",), ("c",), ("z",)], ["rid"])
+    edges = spark.createDataFrame([("a", "b")], ["id_a", "id_b"])
+    out = C.assign_clusters(entities, edges, "rid")
+    rows = {r["rid"]: (r["cluster_id"], r["cluster_size"]) for r in out.collect()}
+    assert rows["a"] == ("a", 2) and rows["b"] == ("a", 2)
+    assert rows["c"] == ("c", 1) and rows["z"] == ("z", 1)
+
+
+def test_hybrid_edges_two_thresholds(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 0.95), ("b", "c", 0.86), ("x", "y", 0.86)],
+        ["id_a", "id_b", "score"],
+    )
+    out = C.hybrid_edges(edges, threshold=0.85)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # (b,c) touches the hi-core through b; (x,y) doesn't touch any core
+    assert got == {("a", "b"), ("b", "c")}
+
+
+def test_direct_group(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 0.9), ("c", "a", 0.95), ("x", "y", 0.99)],
+        ["id_a", "id_b", "score"],
+    )
+    rows = C.direct_group(edges, "a").collect()
+    assert [r["rid"] for r in rows] == ["c", "b"]
+
+
+def test_group_statistics(spark):
+    entities = spark.createDataFrame(
+        [("a", "Acme", "NY"), ("b", "Acme", "NY"), ("c", "Acme Inc", ""), ("z", "Zed", "CA")],
+        ["rid", "name", "state"],
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.8)], ["id_a", "id_b", "score"]
+    )
+    clusters = C.assign_clusters(entities, edges, "rid")
+    stats = C.group_statistics(clusters, entities, edges, "rid", ["name", "state"])
+    rows = {(r["cluster_id"], r["field"]): r for r in stats.collect()}
+    r = rows[("a", "name")]
+    assert r["size"] == 3
+    assert r["mode_value"] == "Acme"
+    assert r["agreement"] == pytest.approx(2 / 3)
+    assert r["avg_score"] == pytest.approx(0.85)
+    assert r["confidence"] == pytest.approx(2 / 3 * 0.85)
+    # empty state on c is skipped: mode NY with agreement 2/3
+    assert rows[("a", "state")]["mode_value"] == "NY"
+    assert rows[("a", "state")]["agreement"] == pytest.approx(2 / 3)
+    # singleton cluster: avg_score defaults 1.0
+    assert rows[("z", "name")]["avg_score"] == 1.0
