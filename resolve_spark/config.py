@@ -62,6 +62,9 @@ class BlockingConfig:
 
     fields: tuple[str, ...] = DEFAULT_CLUSTER_FIELDS
     enable_canopy: bool = True
+    # normalized-token-signature pass: one key per record, the md5 of the
+    # sorted distinct token sets of these columns (case/separator-proof)
+    token_columns: tuple[str, ...] = ()
     # q-gram pass: character q-grams of one designated text column
     qgram_column: str | None = None
     qgram_q: int = 3

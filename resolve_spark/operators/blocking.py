@@ -94,6 +94,32 @@ def canopy_key(df_cols: list[str], fields: tuple[str, ...]) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Pass 1b — normalized-token-signature key (native)
+# ---------------------------------------------------------------------------
+
+
+def token_signature_key(cols: list[Column]) -> Column:
+    """md5 of the sorted distinct token sets of ``cols`` — records that
+    differ only in case, separators, or token order share this key.
+    (north-rule "normalized-token" pass; native expressions only)."""
+    sigs = [
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.coalesce(c, F.lit(""))), r"[^\p{L}\p{N}]+"),
+                        lambda x: x != "",
+                    )
+                )
+            ),
+            " ",
+        )
+        for c in cols
+    ]
+    return F.concat(F.lit("t:"), F.substring(F.md5(F.concat_ws("\x1f", *sigs)), 1, 16))
+
+
+# ---------------------------------------------------------------------------
 # Pass 2 — q-gram keys (native)
 # ---------------------------------------------------------------------------
 
@@ -202,6 +228,10 @@ def add_blocking_keys(df: DataFrame, cfg: BlockingConfig) -> DataFrame:
                 F.col("block_key") != DEFAULT_CLUSTER_ID,
                 F.array(F.concat(F.lit("c:"), F.col("block_key"))),
             ).otherwise(F.array())
+        )
+    if cfg.token_columns:
+        passes.append(
+            F.array(token_signature_key([F.col(c) for c in cfg.token_columns]))
         )
     if cfg.qgram_column is not None:
         passes.append(

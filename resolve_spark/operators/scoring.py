@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from resolve_spark.functions import fields as FD
@@ -48,13 +48,19 @@ def attach_pair_sides(
     pairs: DataFrame, entities: DataFrame, id_col: str, side_cols: list[str]
 ) -> DataFrame:
     """pairs(id_a,id_b,...) x entities -> wide pair rows with _a/_b columns."""
+    str_cols = {f.name for f in entities.schema.fields if f.dataType.simpleString() == "string"}
+
+    def side(c: str) -> Column:
+        # strings: null -> '' (kernel empty-string conventions); others as-is
+        return F.coalesce(F.col(c), F.lit("")) if c in str_cols else F.col(c)
+
     a = entities.select(
         F.col(id_col).alias("id_a"),
-        *[F.coalesce(F.col(c), F.lit("")).alias(f"{c}_a") for c in side_cols],
+        *[side(c).alias(f"{c}_a") for c in side_cols],
     )
     b = entities.select(
         F.col(id_col).alias("id_b"),
-        *[F.coalesce(F.col(c), F.lit("")).alias(f"{c}_b") for c in side_cols],
+        *[side(c).alias(f"{c}_b") for c in side_cols],
     )
     return pairs.join(a, "id_a").join(b, "id_b")
 

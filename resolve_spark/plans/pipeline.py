@@ -1,0 +1,264 @@
+"""The end-to-end entity-resolution pipeline (SURVEY.md §3, Spark plans).
+
+    files/entities
+      -> normalize (§2.2)                         [stage: normalized]
+      -> multi-pass blocking keys (§2.6)          [stage: blocked]
+      -> budgeted candidate pairs                  [stage: pairs]
+      -> fused pairwise scoring + threshold (§2.7) [stage: edges]
+      -> connected components (§2.8)               [stage: clusters]
+      -> group statistics (G5)                     [stage: stats]
+
+Each stage checkpoints to an Iceberg-layout table with lineage; a rerun
+resumes from the first stage whose fingerprint changed. The per-row
+invariant sha256(content) is stamped at ingest and carried through to
+the cluster output so it can be asserted end-to-end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resolve_spark.config import BlockingConfig, MatchConfig
+from resolve_spark.functions import normalize as N
+from resolve_spark.functions.embedding import combine_fields, embed_dedup
+from resolve_spark.operators import blocking as B
+from resolve_spark.operators import clustering as C
+from resolve_spark.operators.pairs import candidate_pairs
+from resolve_spark.operators.scoring import FieldSpec, attach_pair_sides, score_pairs, scored_edges_projection
+from resolve_spark.sources.checkpoint import CheckpointManager, fingerprint
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Field mapping + match semantics for one input-table shape."""
+
+    id_col: str
+    specs: tuple[FieldSpec, ...]
+    blocking: BlockingConfig
+    threshold: float = 0.85
+    normalize_types: dict[str, str] = dc_field(default_factory=dict)
+    use_vectors: bool = False
+    embedding_dim: int = 16
+    content_col: str | None = None  # sha256-invariant column
+    cluster_strategy: str = "transitive"  # transitive | hybrid
+    stat_fields: tuple[str, ...] = ()
+
+
+def files_pipeline_config(threshold: float = 0.85) -> PipelineConfig:
+    """Default config for the graft input shape (BASELINE.json):
+    (repo, path, commit, lang, content)."""
+    return PipelineConfig(
+        id_col="record_id",
+        specs=(
+            FieldSpec("repo", "repo", "name", weight=0.4),
+            FieldSpec("path", "path", "address", weight=0.2),
+            FieldSpec("lang", "lang", "exact", weight=0.05),
+            FieldSpec("content", "content", "jaccard", weight=0.3),
+        ),
+        blocking=BlockingConfig(
+            enable_canopy=False,  # 3-char prefixes are non-discriminative on repo paths
+            token_columns=("repo", "path"),
+            qgram_column="repo",
+            minhash_column="content",
+            max_block_size=200,
+            neighborhood_window=10,
+        ),
+        threshold=threshold,
+        content_col="content",
+        stat_fields=("repo", "lang"),
+    )
+
+
+def entities_pipeline_config(threshold: float = 0.85) -> PipelineConfig:
+    """Reference-shaped entity tables (name/address/city/.../email),
+    reference defaults: canopy on (name, zip) (config.go:164), default
+    field weights (config.go:132-140)."""
+    return PipelineConfig(
+        id_col="id",
+        specs=(
+            FieldSpec("name", "name", "name", weight=0.4),
+            FieldSpec("address", "address", "address", weight=0.2),
+            # city/state have no family match in F8 inference -> text (JW)
+            FieldSpec("city", "city", "jaro", weight=0.1),
+            FieldSpec("state", "state_normalized", "jaro", weight=0.05),
+            FieldSpec("zip", "zip", "zipcode", weight=0.05),
+            FieldSpec("phone", "phone", "phone", weight=0.1),
+            FieldSpec("email", "email", "email", weight=0.1),
+        ),
+        blocking=BlockingConfig(fields=("name", "zip"), enable_canopy=True),
+        threshold=threshold,
+        normalize_types={c: c for c in ("name", "address", "phone", "email", "state", "zip", "city")},
+        use_vectors=True,
+        stat_fields=("name", "city", "state"),
+    )
+
+
+@dataclass
+class PipelineRun:
+    normalized: DataFrame
+    pairs: DataFrame
+    edges: DataFrame
+    clusters: DataFrame
+    stats: DataFrame
+    counters: dict
+
+
+class ResolvePipeline:
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig,
+                 checkpoint_dir: str | None = None):
+        self.spark = spark
+        self.cfg = cfg
+        self.ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
+
+    # -- stages ------------------------------------------------------------
+
+    def normalized(self, df: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        if cfg.normalize_types:
+            df = N.normalize_entity(df, cfg.normalize_types)
+        if cfg.content_col:
+            df = df.withColumn("content_sha256", F.sha2(F.col(cfg.content_col), 256))
+        if cfg.use_vectors:
+            combined = combine_fields(
+                [F.col(f"{s.column}") for s in cfg.specs]
+            )
+            df = df.withColumn("combined_text", combined)
+            df = embed_dedup(df, "combined_text", "vector", cfg.embedding_dim)
+        return df
+
+    def blocked(self, df: DataFrame) -> DataFrame:
+        return B.add_blocking_keys(df, self.cfg.blocking)
+
+    def score(self, pairs: DataFrame, entities: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        side_cols = [s.column for s in cfg.specs]
+        if cfg.use_vectors:
+            side_cols = side_cols + ["vector"]
+        wide = attach_pair_sides(pairs, entities, cfg.id_col, side_cols)
+        scored = score_pairs(
+            wide,
+            list(cfg.specs),
+            threshold=cfg.threshold,
+            vector_col="vector" if cfg.use_vectors else None,
+        )
+        return scored_edges_projection(scored)
+
+    def cluster_edges(self, edges: DataFrame) -> DataFrame:
+        if self.cfg.cluster_strategy == "hybrid":
+            return C.hybrid_edges(edges, self.cfg.threshold)
+        return edges
+
+    # -- driver ------------------------------------------------------------
+
+    def run(self, raw: DataFrame, input_fp: str = "input") -> PipelineRun:
+        cfg = self.cfg
+        counters: dict = {}
+        cfg_fp = fingerprint(cfg.specs, cfg.blocking, cfg.threshold,
+                             cfg.use_vectors, cfg.cluster_strategy)
+
+        def stage(name, fp, compute, stage_counters=None, partition_by=None):
+            if self.ckpt is None:
+                df = compute()
+                if stage_counters:
+                    counters.update(stage_counters() if callable(stage_counters) else stage_counters)
+                return df, fp
+            res = self.ckpt.run_stage(name, fp, compute, counters=stage_counters,
+                                      partition_by=partition_by)
+            counters.update(res.counters)
+            return res.df, fp
+
+        fp0 = fingerprint(input_fp, cfg_fp)
+        normalized, fp1 = stage("normalized", fp0, lambda: self.normalized(raw))
+        blocked, fp2 = stage("blocked", fingerprint(fp1, "blocked"),
+                             lambda: self.blocked(normalized))
+
+        pair_stats: dict = {}
+
+        def compute_pairs():
+            pairs, stats = candidate_pairs(blocked, cfg.id_col, cfg.blocking)
+            if stats:
+                pair_stats.update(
+                    n_block_keys=stats.n_block_keys,
+                    n_oversized_keys=stats.n_oversized_keys,
+                    pairs_generated=stats.pairs_generated,
+                    pairs_dropped_estimate=stats.pairs_dropped_estimate,
+                )
+            return pairs
+
+        pairs, fp3 = stage("pairs", fingerprint(fp2, "pairs"), compute_pairs,
+                           stage_counters=lambda: pair_stats)
+        edges, fp4 = stage("edges", fingerprint(fp3, "edges"),
+                           lambda: self.score(pairs, normalized))
+        cluster_input = self.cluster_edges(edges)
+        clusters, fp5 = stage(
+            "clusters", fingerprint(fp4, cfg.cluster_strategy),
+            lambda: C.assign_clusters(normalized, cluster_input, cfg.id_col),
+        )
+        stats_df = None
+        if cfg.stat_fields:
+            stats_df, _ = stage(
+                "stats", fingerprint(fp5, cfg.stat_fields),
+                lambda: C.group_statistics(
+                    clusters, normalized, edges, cfg.id_col, list(cfg.stat_fields)
+                ),
+            )
+        return PipelineRun(normalized, pairs, edges, clusters, stats_df, counters)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation — pairwise F1 at the shared blocking key (BASELINE.json metric)
+# ---------------------------------------------------------------------------
+
+
+def pairwise_f1(
+    clusters: DataFrame, labeled: DataFrame, scope_pairs: DataFrame
+) -> dict:
+    """F1 of same-cluster decisions over the in-scope pair universe.
+
+    scope = candidate pairs (pairs sharing >=1 blocking key, the
+    BASELINE.json evaluation scope). ``labeled`` carries the true pairs
+    (id_a < id_b, is_match). Returns precision/recall/f1 plus blocking
+    recall (share of true pairs that made it into scope at all).
+    """
+    truth = labeled.where("is_match").select("id_a", "id_b")
+    scope = scope_pairs.select("id_a", "id_b")
+    ca = clusters.select(F.col("rid").alias("id_a"), F.col("cluster_id").alias("cl_a"))
+    cb = clusters.select(F.col("rid").alias("id_b"), F.col("cluster_id").alias("cl_b"))
+    decided = (
+        scope.join(ca, "id_a").join(cb, "id_b")
+        .withColumn("pred", F.col("cl_a") == F.col("cl_b"))
+    )
+    truth_in_scope = decided.join(truth, ["id_a", "id_b"], "left_semi")
+    tp = truth_in_scope.where("pred").count()
+    fn = truth_in_scope.where(~F.col("pred")).count()
+    pred_pos = decided.where("pred")
+    fp = pred_pos.join(truth, ["id_a", "id_b"], "left_anti").count()
+    n_truth = truth.count()
+    n_truth_in_scope = truth_in_scope.count()
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "tp": tp, "fp": fp, "fn": fn,
+        "precision": precision, "recall": recall, "f1": f1,
+        "blocking_recall": n_truth_in_scope / n_truth if n_truth else 1.0,
+    }
+
+
+def assert_sha256_invariant(run: PipelineRun, raw: DataFrame, id_col: str,
+                            content_col: str = "content") -> int:
+    """Per-row invariant: sha256(content) at ingest == sha256 carried to
+    the cluster output, for every record. Returns rows checked."""
+    src = raw.select(
+        F.col(id_col).alias("rid"), F.sha2(F.col(content_col), 256).alias("sha_src")
+    )
+    out = run.normalized.select(
+        F.col(id_col).alias("rid"), F.col("content_sha256").alias("sha_out")
+    ).join(run.clusters, "rid")
+    joined = src.join(out, "rid")
+    bad = joined.where(F.col("sha_src") != F.col("sha_out")).count()
+    assert bad == 0, f"{bad} rows violate the sha256(content) invariant"
+    return joined.count()

@@ -1,0 +1,100 @@
+"""End-to-end pipeline tests: the BASELINE.json correctness gate.
+
+- pairwise F1 >= 0.99 on labeled pairs at the shared blocking key
+- sha256(content) invariant preserved end-to-end
+- checkpoint resume: stage outputs identical, upstream stages skipped
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from resolve_spark import datagen
+from resolve_spark.plans import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def files_df(spark):
+    df = datagen.with_record_id(datagen.synth_files(spark, n_base=800, dup_rate=0.25))
+    df.persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def run(spark, files_df):
+    pipe = P.ResolvePipeline(spark, P.files_pipeline_config())
+    return pipe.run(files_df)
+
+
+def test_duplicates_planted(files_df):
+    n_total = files_df.count()
+    n_var = files_df.where("is_variant").count()
+    assert n_total > 800 and n_var > 100
+
+
+def test_pairwise_f1_gate(spark, files_df, run):
+    labeled = datagen.labeled_pairs(files_df)
+    metrics = P.pairwise_f1(run.clusters, labeled, run.pairs)
+    # the authoritative BASELINE.json target
+    assert metrics["blocking_recall"] >= 0.99, metrics
+    assert metrics["f1"] >= 0.99, metrics
+
+
+def test_sha256_invariant(files_df, run):
+    checked = P.assert_sha256_invariant(run, files_df, "record_id")
+    assert checked == files_df.count()
+
+
+def test_cluster_output_shape(run):
+    row = run.clusters.limit(1).collect()[0]
+    assert set(run.clusters.columns) == {"rid", "cluster_id", "cluster_size"}
+    assert row["cluster_size"] >= 1
+    assert run.stats is not None
+    assert {"cluster_id", "size", "avg_score", "field", "mode_value",
+            "agreement", "confidence"} <= set(run.stats.columns)
+
+
+def test_edges_schema_and_threshold(run):
+    assert run.edges.where(F.col("score") < 0.85).count() == 0
+    cols = set(run.edges.columns)
+    assert {"id_a", "id_b", "block_key", "field_scores", "weighted_score",
+            "score", "matched_on"} <= cols
+
+
+def test_checkpoint_resume(spark, files_df, tmp_path):
+    ckdir = str(tmp_path / "ck")
+    pipe = P.ResolvePipeline(spark, P.files_pipeline_config(), checkpoint_dir=ckdir)
+    run1 = pipe.run(files_df, input_fp="fp-A")
+    c1 = sorted((r["rid"], r["cluster_id"]) for r in run1.clusters.collect())
+    assert run1.counters.get("pairs_generated", 0) > 0
+
+    # rerun with same input fingerprint: every stage resumes from disk
+    pipe2 = P.ResolvePipeline(spark, P.files_pipeline_config(), checkpoint_dir=ckdir)
+    run2 = pipe2.run(files_df, input_fp="fp-A")
+    c2 = sorted((r["rid"], r["cluster_id"]) for r in run2.clusters.collect())
+    assert c1 == c2
+    for stage in ("normalized", "blocked", "pairs", "edges", "clusters"):
+        lin = pipe2.ckpt.lineage(stage)
+        assert lin is not None and lin["rows_out"] > 0
+        assert lin["partitions"], "per-partition lineage must be recorded"
+
+    # changed input fingerprint invalidates and recomputes
+    lin_before = pipe2.ckpt.lineage("normalized")["completed_at"]
+    run3 = pipe2.run(files_df, input_fp="fp-B")
+    lin_after = pipe2.ckpt.lineage("normalized")["completed_at"]
+    assert lin_after > lin_before
+    assert sorted((r["rid"], r["cluster_id"]) for r in run3.clusters.collect()) == c1
+
+
+def test_entities_pipeline_reference_shape(spark):
+    ents = datagen.entity_rows(spark)
+    pipe = P.ResolvePipeline(spark, P.entities_pipeline_config())
+    run = pipe.run(ents)
+    clusters = {r["rid"]: r["cluster_id"] for r in run.clusters.collect()}
+    # planted duplicate pair e-001/e-002 must co-cluster; others are singletons
+    assert clusters["e-001"] == clusters["e-002"]
+    others = [clusters[f"e-{i:03d}"] for i in range(3, 11)]
+    assert len(set(others)) == 8
+    assert clusters["e-003"] not in (clusters["e-001"],)
