@@ -1,38 +1,491 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the resolve_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship: end-to-end document dedup (blocking -> pair
+               scoring -> connected components) on sf0.001.
+``queries``  — one entry per implemented operator family from
+               SURVEY.md §2 (IDs noted per query).
+``oracle_sql`` — DuckDB-equivalent SQL for every SQL-expressible query;
+               JW-bearing composites, MinHash and mock-embedding ops are
+               deliberately rows-only (DuckDB's jaro_winkler applies the
+               0.7 boost gate; the reference's does not — no faithful
+               SQL oracle exists).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from resolve_spark.config import BlockingConfig
+from resolve_spark.functions import normalize as N
+from resolve_spark.functions import similarity as S
+from resolve_spark.functions import fields as FD
+from resolve_spark.functions.embedding import cosine_similarity_native
+from resolve_spark.operators import blocking as B
+from resolve_spark.operators import clustering as C
+from resolve_spark.operators.pairs import candidate_pairs
+from resolve_spark.sources import tables as T
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_STOP_SQL = "(" + ",".join(f"'{w}'" for w in N.STOPWORDS) + ")"
+
+# DuckDB replica of normalize_text (N1)
+_NORM_TEXT_SQL = (
+    "array_to_string(list_filter(string_split("
+    "regexp_replace(trim(lower({c})), '\\s+', ' ', 'g'), ' '), "
+    f"x -> x <> '' AND x NOT IN {_STOP_SQL}), ' ')"
+)
+
+_LEGAL_SUFFIX_SQL = (
+    r"\s+(inc\.?|incorporated|corp\.?|corporation|llc|ltd\.?|limited"
+    r"|llp|l\.l\.p\.?|pllc|p\.l\.l\.c\.?|pc|p\.c\.?)$"
+)
+
+# DuckDB replica of normalize_name (N2) applied to an already-built norm-text expr
+def _norm_name_sql(c: str) -> str:
+    t = _NORM_TEXT_SQL.format(c=c)
+    return (
+        "trim(regexp_replace(regexp_replace(" + t +
+        f", '{_LEGAL_SUFFIX_SQL}', '', 'g'), '\\b([a-z])\\.', '\\1', 'g'))"
+    )
+
+# DuckDB replica of the Go tokenizer (K8) on ASCII text
+_TOKENS_SQL = (
+    "list_distinct(list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), "
+    "x -> x <> ''))"
+)
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: document dedup pipeline at sf0.001
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Blocking (token-signature + q-gram) -> budgeted pairs -> native
+    Jaccard scoring -> connected components over /root/testdata/sf0.001
+    documents. Returns (rid, cluster_id, cluster_size)."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents").select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("rid"),
+        "text", "lang",
+    )
+    cfg = BlockingConfig(
+        enable_canopy=False, token_columns=("text",), qgram_column="text",
+        minhash_column="text", max_block_size=100, neighborhood_window=10,
+    )
+    blocked = B.add_blocking_keys(docs, cfg)
+    pairs, _ = candidate_pairs(blocked, "rid", cfg, with_stats=False)
+    a = docs.select(F.col("rid").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("rid").alias("id_b"), F.col("text").alias("text_b"))
+    edges = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("score", S.jaccard(F.col("text_a"), F.col("text_b")))
+        .where(F.col("score") >= 0.6)
+        .select("id_a", "id_b", "score")
+    )
+    return C.assign_clusters(docs, edges, "rid")
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def _q01_normalize_text(spark, sf_dir):  # N1
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", N.normalize_text(F.col("text")).alias("text_norm"))
+
+
+def _q02_normalize_name(spark, sf_dir):  # N2
+    p = _t(spark, sf_dir, "part")
+    return p.select("p_partkey", N.normalize_name(F.col("p_name")).alias("name_norm"))
+
+
+def _q03_canopy_key(spark, sf_dir):  # B1/B2 (canopy blocking key)
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_name").alias("name")
+    )
+    p = p.withColumn("name_normalized", N.normalize_name(F.col("name")))
+    return p.select(
+        "p_partkey", B.canopy_key(p.columns, ("name",)).alias("block_key")
+    )
+
+
+def _q04_levenshtein_pairs(spark, sf_dir):  # K4 over blocked self-join
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 5 == 0)
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("na"),
+                 F.col("p_brand").alias("brand"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("nb"),
+                 F.col("p_brand").alias("brand"))
+    return (
+        a.join(b, "brand").where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(S.levenshtein_similarity(F.col("na"), F.col("nb")), 6).alias("lev_sim"))
+        .where(F.col("lev_sim") >= 0.5)
+    )
+
+
+def _q05_jaccard_pairs(spark, sf_dir):  # K5 over blocked self-join
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    # tokenize ONCE per document, intersect arrays per pair
+    d = d.select("doc_id", "lang", S.tokens(F.col("text")).alias("toks"))
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"), "lang")
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"), "lang")
+    return (
+        a.join(b, "lang").where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(S.jaccard_token_arrays(F.col("ta"), F.col("tb")), 6).alias("jac"))
+        .where(F.col("jac") >= 0.5)
+    )
+
+
+def _q06_contained_in(spark, sf_dir):  # K7
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(
+            S.contained_in(F.substring(F.col("p_name"), 1, 12), F.col("p_name")), 6
+        ).alias("containment"),
+    )
+
+
+def _phone_cols(tbl):
+    pa = F.concat(F.lpad((F.col("c_custkey") * 7 % 1000).cast("string"), 3, "0"),
+                  F.lit("-555-"),
+                  F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"))
+    return pa
+
+
+def _q07_phone_ladder(spark, sf_dir):  # F3 (trailing-digit ladder)
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(F.col("c_custkey").alias("id_a"), _phone_cols(c).alias("pa"),
+                 F.col("c_nationkey").alias("nk"))
+    c2 = _t(spark, sf_dir, "customer")
+    b = c2.select((F.col("c_custkey")).alias("id_b"), _phone_cols(c2).alias("pb"),
+                  F.col("c_nationkey").alias("nk"))
+    return (
+        a.join(b, "nk").where((F.col("id_b") > F.col("id_a")) & (F.col("id_b") - F.col("id_a") <= 3))
+        .select("id_a", "id_b",
+                F.round(S.phone_similarity(F.col("pa"), F.col("pb")), 6).alias("phone_sim"))
+    )
+
+
+def _q08_zip_ladder(spark, sf_dir):  # F5 (leading-digit ladder)
+    c = _t(spark, sf_dir, "customer")
+    za = F.lpad((F.col("c_custkey") % 100000).cast("string"), 5, "0")
+    zb = F.lpad(((F.col("c_custkey") + F.col("c_nationkey")) % 100000).cast("string"), 5, "0")
+    return c.select(
+        "c_custkey", F.round(S.zip_similarity(za, zb), 6).alias("zip_sim")
+    )
+
+
+def _q09_exact_dedup(spark, sf_dir):  # dedup: exact (hash-groupBy)
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.count("*").alias("dup_count"))
+    )
+
+
+def _q10_topk_per_group(spark, sf_dir):  # M1 per-query top-k window
+    from pyspark.sql import Window
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rk")
+    )
+
+
+def _q11_group_stats(spark, sf_dir):  # G5 mode/agreement/confidence
+    from pyspark.sql.types import StructType, StructField, StringType, DoubleType
+    c = _t(spark, sf_dir, "customer")
+    ents = c.select(F.col("c_custkey").cast("string").alias("rid"),
+                    F.col("c_mktsegment").alias("segment"),
+                    F.col("c_nationkey").cast("string").alias("nation"))
+    sizes = c.groupBy("c_nationkey").agg(F.count("*").alias("cluster_size"))
+    clusters = c.join(sizes, "c_nationkey").select(
+        F.col("c_custkey").cast("string").alias("rid"),
+        F.col("c_nationkey").cast("string").alias("cluster_id"),
+        "cluster_size",
+    )
+    empty_edges = spark.createDataFrame([], StructType([
+        StructField("id_a", StringType()), StructField("id_b", StringType()),
+        StructField("score", DoubleType()),
+    ]))
+    stats = C.group_statistics(clusters, ents, empty_edges, "rid", ["segment"])
+    return stats.select(
+        "cluster_id", "size", "field", "mode_value",
+        F.round("agreement", 6).alias("agreement"),
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
+def _q12_connected_components(spark, sf_dir):  # G3 transitive closure
+    c = _t(spark, sf_dir, "customer")
+    rid = F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+    a = c.select(F.col("c_custkey").alias("k"), rid.alias("id_a"),
+                 "c_mktsegment", "c_nationkey")
+    b = c.select((F.col("c_custkey") - 1).alias("k"), rid.alias("id_b"),
+                 F.col("c_mktsegment").alias("seg_b"), F.col("c_nationkey").alias("nk_b"))
+    edges = a.join(b, "k").where(
+        (F.col("c_mktsegment") == F.col("seg_b")) & (F.col("c_nationkey") == F.col("nk_b"))
+    ).select("id_a", "id_b")
+    return C.connected_components(edges).select("rid", "cluster_id")
+
+
+def _q13_embedding_topk(spark, sf_dir):  # similarity search: brute-force cosine top-k
+    from pyspark.sql import Window
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        q.crossJoin(cand)
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cos", F.round(cosine_similarity_native(F.col("qv"), F.col("cv")), 4))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("query_id", "cand_id", "cos", "rk")
+    )
+
+
+def _q14_entity_count(spark, sf_dir):  # S9
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(F.count("*").alias("n")).orderBy("lang")
+
+
+def _q15_point_lookup(spark, sf_dir):  # S4
+    d = _t(spark, sf_dir, "documents")
+    return T.get_entity(d, "doc_id", 42).select("doc_id", "lang", "source", "n_chars")
+
+
+def _q16_paginated_list(spark, sf_dir):  # S5
+    d = _t(spark, sf_dir, "documents")
+    return T.list_entities(d, "doc_id", offset=100, limit=25).select("doc_id", "n_chars")
+
+
+def _q17_email_domain_key(spark, sf_dir):  # B1 email component
+    c = _t(spark, sf_dir, "customer")
+    email = F.concat(F.lit("user"), F.col("c_custkey").cast("string"), F.lit("@"),
+                     F.lower(F.col("c_mktsegment")), F.lit(".example.com"))
+    ents = c.select("c_custkey", email.alias("email"))
+    return ents.groupBy(
+        B._key_component("email", F.col("email")).alias("domain")
+    ).agg(F.count("*").alias("n"))
+
+
+def _q18_token_signature(spark, sf_dir):  # north-rule token blocking pass
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", B.token_signature_key([F.col("text")]).alias("token_key")
+    )
+
+
+def _q19_minhash_bands(spark, sf_dir):  # MinHash-LSH pass (rows-only check)
+    d = _t(spark, sf_dir, "documents")
+    mh = B.minhash_band_keys_udf(num_hashes=64, bands=16)
+    return (
+        d.select("doc_id", F.explode(mh(F.col("text"))).alias("band_key"))
+        .groupBy("band_key").agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def _q20_name_similarity(spark, sf_dir):  # F1 composite (rows-only: JW-bearing)
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 20 == 0)
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("na"),
+                 F.col("p_brand").alias("brand"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("nb"),
+                 F.col("p_brand").alias("brand"))
+    return (
+        a.join(b, "brand").where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(FD.similarity_column("name", F.col("na"), F.col("nb")), 6).alias("name_sim"))
+        .where(F.col("name_sim") >= 0.5)
+    )
+
+
+def _q21_merge_upsert(spark, sf_dir):  # S6/S8 merge
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey",
+                                             "c_acctbal", "c_mktsegment")
+    updates = c.where(F.col("c_custkey") % 100 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    merged = T.merge_entities(c, updates, "c_custkey")
+    return merged.select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+
+
+def _q22_delete(spark, sf_dir):  # S7 delete
+    c = _t(spark, sf_dir, "customer")
+    ids = c.where(F.col("c_custkey") % 10 == 0)
+    remaining = T.delete_entities(c, ids, "c_custkey")
+    return remaining.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_normalize_text": _q01_normalize_text,
+        "q02_normalize_name": _q02_normalize_name,
+        "q03_canopy_key": _q03_canopy_key,
+        "q04_levenshtein_pairs": _q04_levenshtein_pairs,
+        "q05_jaccard_pairs": _q05_jaccard_pairs,
+        "q06_contained_in": _q06_contained_in,
+        "q07_phone_ladder": _q07_phone_ladder,
+        "q08_zip_ladder": _q08_zip_ladder,
+        "q09_exact_dedup": _q09_exact_dedup,
+        "q10_topk_per_group": _q10_topk_per_group,
+        "q11_group_stats": _q11_group_stats,
+        "q12_connected_components": _q12_connected_components,
+        "q13_embedding_topk": _q13_embedding_topk,
+        "q14_entity_count": _q14_entity_count,
+        "q15_point_lookup": _q15_point_lookup,
+        "q16_paginated_list": _q16_paginated_list,
+        "q17_email_domain_key": _q17_email_domain_key,
+        "q18_token_signature": _q18_token_signature,
+        "q19_minhash_bands": _q19_minhash_bands,
+        "q20_name_similarity": _q20_name_similarity,
+        "q21_merge_upsert": _q21_merge_upsert,
+        "q22_delete": _q22_delete,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm_text = _NORM_TEXT_SQL.format(c="text")
+    tokens_a = _TOKENS_SQL.format(c="a.text")
+    tokens_b = _TOKENS_SQL.format(c="b.text")
+    phone = ("lpad(cast(({k} * 7) % 1000 as varchar), 3, '0') || '-555-' || "
+             "lpad(cast({k} % 10000 as varchar), 4, '0')")
+    pa, pb = phone.format(k="a.c_custkey"), phone.format(k="b.c_custkey")
+    # digits of the synthesized phone (strip the dashes)
+    da, db = f"replace({pa}, '-', '')", f"replace({pb}, '-', '')"
+    za = "lpad(cast(c_custkey % 100000 as varchar), 5, '0')"
+    zb = "lpad(cast((c_custkey + c_nationkey) % 100000 as varchar), 5, '0')"
+    return {
+        "q01_normalize_text": f"SELECT doc_id, {norm_text} AS text_norm FROM documents",
+        "q02_normalize_name": f"SELECT p_partkey, {_norm_name_sql('p_name')} AS name_norm FROM part",
+        "q03_canopy_key": (
+            "SELECT p_partkey, CASE WHEN comp = '' THEN 'default' "
+            "ELSE substring(md5(comp || '|'), 1, 16) END AS block_key FROM ("
+            f"SELECT p_partkey, substring({_norm_name_sql('p_name')}, 1, 3) AS comp FROM part)"
+        ),
+        "q04_levenshtein_pairs": (
+            "SELECT * FROM (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, "
+            "round(1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE / "
+            "greatest(length(a.p_name), length(b.p_name)), 6) AS lev_sim "
+            "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey "
+            "WHERE a.p_partkey % 5 = 0 AND b.p_partkey % 5 = 0) WHERE lev_sim >= 0.5"
+        ),
+        "q05_jaccard_pairs": (
+            "SELECT * FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            f"round(len(list_intersect({tokens_a}, {tokens_b}))::DOUBLE / "
+            f"len(list_distinct(list_concat({tokens_a}, {tokens_b}))), 6) AS jac "
+            "FROM documents a JOIN documents b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+            "WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0) WHERE jac >= 0.5"
+        ),
+        "q06_contained_in": (
+            "SELECT p_partkey, round(CASE "
+            "WHEN position(lower(substring(p_name,1,12)) IN lower(p_name)) > 0 "
+            " OR position(lower(p_name) IN lower(substring(p_name,1,12))) > 0 "
+            "THEN least(length(substring(p_name,1,12)), length(p_name))::DOUBLE / "
+            "greatest(length(substring(p_name,1,12)), length(p_name)) ELSE 0.0 END, 6) "
+            "AS containment FROM part"
+        ),
+        "q07_phone_ladder": (
+            f"SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, round(CASE "
+            f"WHEN {da} = {db} THEN 1.0 "
+            f"WHEN right({da},10) = right({db},10) THEN 1.0 "
+            f"WHEN right({da},7) = right({db},7) THEN 0.9 "
+            f"WHEN right({da},4) = right({db},4) THEN 0.7 "
+            f"WHEN right({da},3) = right({db},3) THEN 0.3 "
+            f"WHEN right({da},2) = right({db},2) THEN 0.2 "
+            f"WHEN right({da},1) = right({db},1) THEN 0.1 "
+            "ELSE 0.0 END::DOUBLE, 6) AS phone_sim "
+            "FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey "
+            "AND b.c_custkey > a.c_custkey AND b.c_custkey - a.c_custkey <= 3"
+        ),
+        "q08_zip_ladder": (
+            f"SELECT c_custkey, round(CASE WHEN {za} = {zb} THEN 1.0 "
+            f"WHEN left({za},5) = left({zb},5) THEN 0.95 "
+            f"WHEN left({za},3) = left({zb},3) THEN 0.8 "
+            f"WHEN left({za},1) = left({zb},1) THEN 0.5 "
+            "ELSE 0.0 END::DOUBLE, 6) AS zip_sim FROM customer"
+        ),
+        "q09_exact_dedup": (
+            "SELECT md5(text) AS content_hash, count(*) AS dup_count "
+            "FROM documents GROUP BY 1"
+        ),
+        "q10_topk_per_group": (
+            "SELECT c_nationkey, c_custkey, acctbal, rk FROM ("
+            "SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal, "
+            "row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rk "
+            "FROM customer) WHERE rk <= 3"
+        ),
+        "q11_group_stats": (
+            "WITH sizes AS (SELECT c_nationkey, count(*) AS sz FROM customer GROUP BY 1), "
+            "counted AS (SELECT c_nationkey, c_mktsegment, count(*) AS cnt "
+            "FROM customer GROUP BY 1, 2), "
+            "ranked AS (SELECT c_nationkey, c_mktsegment, cnt, "
+            "row_number() OVER (PARTITION BY c_nationkey ORDER BY cnt DESC, c_mktsegment ASC) AS rk "
+            "FROM counted) "
+            "SELECT cast(r.c_nationkey as varchar) AS cluster_id, s.sz AS size, "
+            "'segment' AS field, r.c_mktsegment AS mode_value, "
+            "round(r.cnt::DOUBLE / s.sz, 6) AS agreement, "
+            "round(r.cnt::DOUBLE / s.sz * 1.0, 6) AS confidence "
+            "FROM ranked r JOIN sizes s ON r.c_nationkey = s.c_nationkey WHERE r.rk = 1"
+        ),
+        "q12_connected_components": (
+            "WITH RECURSIVE e AS (SELECT lpad(cast(a.c_custkey as varchar), 6, '0') AS id_a, "
+            "lpad(cast(b.c_custkey as varchar), 6, '0') AS id_b "
+            "FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 "
+            "AND a.c_mktsegment = b.c_mktsegment AND a.c_nationkey = b.c_nationkey), "
+            "sym AS (SELECT id_a AS s, id_b AS d FROM e UNION SELECT id_b, id_a FROM e), "
+            "reach AS (SELECT s, d FROM sym "
+            "UNION SELECT r.s, sym.d FROM reach r JOIN sym ON r.d = sym.s) "
+            "SELECT s AS rid, least(s, min(d)) AS cluster_id FROM reach GROUP BY s"
+        ),
+        "q13_embedding_topk": (
+            "SELECT query_id, cand_id, cos, rk FROM ("
+            "SELECT q.vec_id AS query_id, c.vec_id AS cand_id, "
+            "round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC, "
+            "c.vec_id ASC) AS rk "
+            "FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id "
+            "WHERE q.vec_id % 25 = 0) WHERE rk <= 3"
+        ),
+        "q14_entity_count": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+        "q15_point_lookup": "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+        "q16_paginated_list": (
+            "SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 25 OFFSET 100"
+        ),
+        "q17_email_domain_key": (
+            "SELECT split_part('user' || cast(c_custkey as varchar) || '@' || "
+            "lower(c_mktsegment) || '.example.com', '@', 2) AS domain, count(*) AS n "
+            "FROM customer GROUP BY 1"
+        ),
+        "q18_token_signature": (
+            "SELECT doc_id, 't:' || substring(md5(array_to_string(list_sort("
+            + _TOKENS_SQL.format(c="text") + "), ' ')), 1, 16) AS token_key FROM documents"
+        ),
+        "q21_merge_upsert": (
+            "SELECT c_custkey, round(CASE WHEN c_custkey % 100 = 0 "
+            "THEN c_acctbal + 1000.0 ELSE c_acctbal END, 2) AS acctbal FROM customer"
+        ),
+        "q22_delete": (
+            "SELECT c_mktsegment, count(*) AS n FROM customer "
+            "WHERE c_custkey % 10 <> 0 GROUP BY 1"
+        ),
+        # q19 (MinHash) and q20 (Jaro-Winkler composite) are rows-only by design.
+    }

@@ -74,9 +74,25 @@ class BlockingConfig:
     minhash_num_hashes: int = 64
     minhash_bands: int = 16  # rows per band = num_hashes // bands
     # skew control: blocks larger than max_block_size switch from full
-    # O(n^2) pairing to sorted-neighborhood pairing with this window
+    # O(n^2) pairing to sorted-neighborhood pairing with this window;
+    # blocks larger than prune_block_size are PURGED entirely (a key
+    # shared by that many records is non-discriminative — standard
+    # block-purging; redundant passes cover the recall)
     max_block_size: int = 200
     neighborhood_window: int = 10
+    prune_block_size: int = 4000
+    # passes (key prefix before ':') whose oversized blocks are PURGED at
+    # max_block_size instead of windowed. An oversized q-gram block is a
+    # non-discriminative character fragment — windowing it by id-adjacency
+    # yields noise pairs, not recall. Minhash bands stay windowed: an
+    # oversized band block is usually a genuine mega-duplicate cluster
+    # (boilerplate), and windowed pairs + transitive closure chain it
+    # back together at O(c * window) cost.
+    purge_passes: tuple[str, ...] = ("q",)
+    # block-size cap for purgeable (redundant) passes: a rescue pass only
+    # earns its keep through RARE keys — mid-sized gram blocks are shared
+    # word fragments that the primary passes already cover
+    redundant_block_size: int = 32
 
 
 @dataclass(frozen=True)

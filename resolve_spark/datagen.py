@@ -80,7 +80,12 @@ def _base_record(uid: int, n_repos: int, hot_repo_share: float) -> dict:
     repo = f"{org}/{proj}" if repo_idx else "acme/mega-monorepo"
     ext, lang = _LANGS[rng.randrange(len(_LANGS))]
     module = rng.choice(_MODULES)
-    fname = f"{rng.choice(_VOCAB).capitalize()}{rng.choice(_VOCAB).capitalize()}"
+    # uid-derived filename suffix: a filesystem holds ONE file per
+    # (repo, path), so distinct entities must not collide on full path
+    fname = (
+        f"{rng.choice(_VOCAB).capitalize()}{rng.choice(_VOCAB).capitalize()}"
+        f"{uid % 4096:03x}"
+    )
     path = f"src/{module}/{fname}.{ext}"
     content = _gen_content(rng, lang)
     commit = _sha_hex(f"commit:{uid}")[:40]

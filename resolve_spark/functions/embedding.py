@@ -84,7 +84,9 @@ def cosine_similarity_native(va: Column, vb: Column) -> Column:
     wins for very high dims (one numpy pass vs per-element codegen).
     """
     dot = F.aggregate(
-        F.zip_with(va, vb, lambda x, y: x * y),
+        # cast BEFORE the multiply: float32 products would lose the bits
+        # that a double-computing oracle (DuckDB) keeps
+        F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )

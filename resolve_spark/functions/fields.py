@@ -37,6 +37,7 @@ NATIVE_BUILDERS: dict[str, Callable[[Column, Column], Column]] = {
     "editdistance": similarity.levenshtein_similarity,
     "jaccard": similarity.jaccard,
     "token": similarity.jaccard,
+    "jaccard_tokens": similarity.jaccard_token_arrays,  # pre-tokenized arrays
     "contains": similarity.contained_in,
     "containedin": similarity.contained_in,
     "phone": similarity.phone_similarity,

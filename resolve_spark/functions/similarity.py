@@ -55,6 +55,22 @@ def tokens(s: Column) -> Column:
     )
 
 
+def jaccard_token_arrays(ta: Column, tb: Column) -> Column:
+    """K5 over PRE-TOKENIZED distinct-token arrays.
+
+    At scale, tokenizing long text per pair side is O(pairs * doc_len);
+    tokenize once per record (see tokens()) and intersect arrays here.
+    Empty-array conventions mirror the kernel's empty-string ones
+    (both empty -> 1.0, one empty -> 0.0; Go's 0/0 NaN case -> 1.0).
+    """
+    union = F.size(F.array_union(ta, tb))
+    return (
+        F.when((F.size(ta) == 0) & (F.size(tb) == 0), F.lit(1.0))
+        .when((F.size(ta) == 0) | (F.size(tb) == 0), F.lit(0.0))
+        .otherwise(F.size(F.array_intersect(ta, tb)) / union)
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """K5 — |A∩B| / |A∪B| over token sets (similarity.go:222-266)."""
     ta, tb = tokens(a), tokens(b)
@@ -81,17 +97,21 @@ def _digits(c: Column) -> Column:
 
 
 def _common_prefix_len(a: Column, b: Column, upto: int) -> Column:
-    """Length of common prefix of a,b capped at ``upto`` (break at first
-    mismatch == largest i with equal i-prefixes)."""
-    out = F.lit(0)
-    for i in range(1, upto + 1):
-        out = F.when(
-            (F.length(a) >= i)
+    """Length of common prefix of a,b capped at ``upto``.
+
+    Prefix equality is monotone, so break-at-first-mismatch == the count
+    of i with equal i-prefixes. One lambda over a sequence keeps the
+    expression tree small (an unrolled when-ladder duplicates the digit
+    expressions ~20x and blows the 64KB whole-stage-codegen method
+    limit, forcing interpreted eval)."""
+    return F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(upto)),
+            lambda i: (F.length(a) >= i)
             & (F.length(b) >= i)
-            & (F.substring(a, 1, i) == F.substring(b, 1, i)),
-            F.lit(i),
-        ).otherwise(out)
-    return out
+            & (F.substring(a, F.lit(1), i) == F.substring(b, F.lit(1), i)),
+        )
+    )
 
 
 def phone_similarity(a: Column, b: Column) -> Column:

@@ -36,6 +36,7 @@ class PairGenStats:
     n_records: int
     n_block_keys: int
     n_oversized_keys: int
+    n_pruned_keys: int
     max_block_size: int
     pairs_generated: int
     pairs_dropped_estimate: int
@@ -96,29 +97,48 @@ def candidate_pairs(
     # cache: used by the small/big split and by the stats aggregates
     counts.persist()
 
-    small_keys = counts.where(F.col("c") <= cfg.max_block_size).select("key")
-    big_keys = counts.where(F.col("c") > cfg.max_block_size).select("key")
-
-    # broadcast of the big-key list is tiny (hot keys are few by nature)
-    keyed_small = keyed.join(F.broadcast(big_keys), "key", "left_anti")
-    keyed_big = keyed.join(F.broadcast(big_keys), "key", "left_semi")
-
-    pairs = _full_pairs(keyed_small).unionByName(
-        _windowed_pairs(keyed_big, cfg.neighborhood_window)
+    # pass prefix (before ':') decides oversized-key fate: window or purge
+    pass_of = F.split(F.col("key"), ":").getItem(0)
+    purgeable = pass_of.rlike("^(" + "|".join(cfg.purge_passes) + ")") if cfg.purge_passes else F.lit(False)
+    oversized = F.when(purgeable, F.col("c") > cfg.redundant_block_size).otherwise(
+        F.col("c") > cfg.max_block_size
     )
+    big_keys = counts.where(
+        oversized & ~purgeable & (F.col("c") <= cfg.prune_block_size)
+    ).select("key")
+    dead_keys = counts.where(
+        (oversized & purgeable) | (F.col("c") > cfg.prune_block_size)
+    ).select("key")
+
+    # broadcast of the big/dead key lists is tiny (hot keys are few by nature)
+    keyed = keyed.join(F.broadcast(dead_keys), "key", "left_anti")
+    if big_keys.isEmpty():
+        # common case: no windowed branch to schedule at all
+        pairs = _full_pairs(keyed)
+    else:
+        keyed_small = keyed.join(F.broadcast(big_keys), "key", "left_anti")
+        keyed_big = keyed.join(F.broadcast(big_keys), "key", "left_semi")
+        pairs = _full_pairs(keyed_small).unionByName(
+            _windowed_pairs(keyed_big, cfg.neighborhood_window)
+        )
     deduped = pairs.groupBy("id_a", "id_b").agg(F.min("key").alias("block_key"))
 
     stats = None
     if with_stats:
+        windowed = oversized & ~purgeable & (F.col("c") <= cfg.prune_block_size)
+        pruned = (oversized & purgeable) | (F.col("c") > cfg.prune_block_size)
         agg = counts.agg(
             F.count("*").alias("n_keys"),
-            F.sum(F.when(F.col("c") > cfg.max_block_size, 1).otherwise(0)).alias("n_big"),
+            F.sum(windowed.cast("long")).alias("n_big"),
+            F.sum(pruned.cast("long")).alias("n_dead"),
             F.sum(
                 F.when(
-                    F.col("c") > cfg.max_block_size,
+                    windowed,
                     (F.col("c") * (F.col("c") - 1) / 2)
                     - (F.col("c") * cfg.neighborhood_window),
-                ).otherwise(0)
+                )
+                .when(pruned, F.col("c") * (F.col("c") - 1) / 2)
+                .otherwise(0)
             ).alias("dropped_est"),
         ).collect()[0]
         n_pairs = deduped.count()
@@ -126,6 +146,7 @@ def candidate_pairs(
             n_records=df.count(),
             n_block_keys=agg["n_keys"] or 0,
             n_oversized_keys=agg["n_big"] or 0,
+            n_pruned_keys=agg["n_dead"] or 0,
             max_block_size=cfg.max_block_size,
             pairs_generated=n_pairs,
             pairs_dropped_estimate=max(0, int(agg["dropped_est"] or 0)),

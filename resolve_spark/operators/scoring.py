@@ -71,14 +71,44 @@ def score_pairs(
     threshold: float | None = None,
     vector_col: str | None = None,
     blend_with_vector: bool | None = None,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Score _a/_b wide pair rows. Adds per-field ``score_<name>``,
     ``field_scores`` map, ``matched_on``, ``weighted_score``,
-    optional ``vec_score``, and final ``score``; filters by threshold."""
+    optional ``vec_score``, and final ``score``; filters by threshold.
+
+    ``prefilter``: before invoking any pandas UDF, evaluate the NATIVE
+    kernels and drop pairs whose score upper bound (native scores +
+    1.0 for every not-yet-computed kernel, vec_score <= 1.0) cannot
+    reach the threshold. Catalyst cannot reorder predicates through a
+    Python UDF, so this cheap-before-expensive ordering must be encoded
+    in the plan (SURVEY.md §4, "early threshold filter" device).
+    """
     native = [s for s in specs if s.kernel.lower() in FD.NATIVE_BUILDERS]
     fused = [s for s in specs if s.kernel.lower() not in FD.NATIVE_BUILDERS]
 
     df = wide_pairs
+    for s in native:
+        df = df.withColumn(
+            f"score_{s.name}",
+            FD.NATIVE_BUILDERS[s.kernel.lower()](
+                F.col(f"{s.column}_a"), F.col(f"{s.column}_b")
+            ),
+        )
+    if prefilter and threshold is not None and native:
+        total_w = sum(s.weight for s in specs) or 1.0
+        ub_num = None
+        for s in specs:
+            term = (
+                F.col(f"score_{s.name}") * F.lit(s.weight)
+                if s in native or s.kernel.lower() in FD.NATIVE_BUILDERS
+                else F.lit(float(s.weight))
+            )
+            ub_num = term if ub_num is None else ub_num + term
+        ub = ub_num / F.lit(total_w)
+        if vector_col is not None and (blend_with_vector is None or blend_with_vector):
+            ub = (F.lit(1.0) + ub) / 2
+        df = df.where(ub >= threshold)
     if fused:
         udf = FD.fused_scores_udf([s.kernel for s in fused])
         args = []
@@ -88,13 +118,6 @@ def score_pairs(
         for i, s in enumerate(fused):
             df = df.withColumn(f"score_{s.name}", F.col("_fused")[i])
         df = df.drop("_fused")
-    for s in native:
-        df = df.withColumn(
-            f"score_{s.name}",
-            FD.NATIVE_BUILDERS[s.kernel.lower()](
-                F.col(f"{s.column}_a"), F.col(f"{s.column}_b")
-            ),
-        )
 
     score_cols = {s.name: F.col(f"score_{s.name}") for s in specs}
     weights = {s.name: s.weight for s in specs}
@@ -103,16 +126,19 @@ def score_pairs(
         F.create_map(*[x for s in specs for x in (F.lit(s.name), F.col(f"score_{s.name}"))]),
     )
     # matched_on: fields non-empty on both sides (match.go:632-640 analog)
+    array_sides = {
+        f.name for f in df.schema.fields if f.dataType.simpleString().startswith("array")
+    }
+
+    def _present(col: str) -> Column:
+        if f"{col}_a" in array_sides:
+            return (F.size(F.col(f"{col}_a")) > 0) & (F.size(F.col(f"{col}_b")) > 0)
+        return (F.col(f"{col}_a") != "") & (F.col(f"{col}_b") != "")
+
     df = df.withColumn(
         "matched_on",
         F.filter(
-            F.array(*[
-                F.when(
-                    (F.col(f"{s.column}_a") != "") & (F.col(f"{s.column}_b") != ""),
-                    F.lit(s.name),
-                )
-                for s in specs
-            ]),
+            F.array(*[F.when(_present(s.column), F.lit(s.name)) for s in specs]),
             lambda x: x.isNotNull(),
         ),
     )

@@ -40,6 +40,7 @@ class PipelineConfig:
     blocking: BlockingConfig
     threshold: float = 0.85
     normalize_types: dict[str, str] = dc_field(default_factory=dict)
+    derived_columns: dict[str, str] = dc_field(default_factory=dict)  # name -> SQL expr
     use_vectors: bool = False
     embedding_dim: int = 16
     content_col: str | None = None  # sha256-invariant column
@@ -56,17 +57,24 @@ def files_pipeline_config(threshold: float = 0.85) -> PipelineConfig:
             FieldSpec("repo", "repo", "name", weight=0.4),
             FieldSpec("path", "path", "address", weight=0.2),
             FieldSpec("lang", "lang", "exact", weight=0.05),
-            FieldSpec("content", "content", "jaccard", weight=0.3),
+            # content is tokenized ONCE per record in the normalized
+            # stage; pairs intersect the arrays (O(pairs*tokens), not
+            # O(pairs*doc_len) re-tokenization)
+            FieldSpec("content", "content_tokens", "jaccard_tokens", weight=0.3),
         ),
         blocking=BlockingConfig(
             enable_canopy=False,  # 3-char prefixes are non-discriminative on repo paths
             token_columns=("repo", "path"),
-            qgram_column="repo",
+            # q-grams over repo|path: path entropy keeps gram blocks
+            # discriminative; oversized gram blocks are purged (see
+            # BlockingConfig.purge_passes)
+            qgram_column="repo_path",
             minhash_column="content",
             max_block_size=200,
             neighborhood_window=10,
         ),
         threshold=threshold,
+        derived_columns={"repo_path": "concat(repo, '|', path)"},
         content_col="content",
         stat_fields=("repo", "lang"),
     )
@@ -117,10 +125,18 @@ class ResolvePipeline:
 
     def normalized(self, df: DataFrame) -> DataFrame:
         cfg = self.cfg
+        for name, expr in cfg.derived_columns.items():
+            df = df.withColumn(name, F.expr(expr))
         if cfg.normalize_types:
             df = N.normalize_entity(df, cfg.normalize_types)
         if cfg.content_col:
             df = df.withColumn("content_sha256", F.sha2(F.col(cfg.content_col), 256))
+        # pre-tokenize for jaccard_tokens specs (tokenize once per record)
+        from resolve_spark.functions import similarity as SIM
+        for s in cfg.specs:
+            if s.kernel == "jaccard_tokens" and s.column not in df.columns:
+                src = s.column.removesuffix("_tokens")
+                df = df.withColumn(s.column, SIM.tokens(F.col(src)))
         if cfg.use_vectors:
             combined = combine_fields(
                 [F.col(f"{s.column}") for s in cfg.specs]
@@ -161,7 +177,10 @@ class ResolvePipeline:
 
         def stage(name, fp, compute, stage_counters=None, partition_by=None):
             if self.ckpt is None:
-                df = compute()
+                # persist: downstream stages must not re-execute upstream
+                # lineage (pairs/edges/clusters each consume prior stages
+                # more than once)
+                df = compute().persist()
                 if stage_counters:
                     counters.update(stage_counters() if callable(stage_counters) else stage_counters)
                 return df, fp
@@ -183,6 +202,7 @@ class ResolvePipeline:
                 pair_stats.update(
                     n_block_keys=stats.n_block_keys,
                     n_oversized_keys=stats.n_oversized_keys,
+                    n_pruned_keys=stats.n_pruned_keys,
                     pairs_generated=stats.pairs_generated,
                     pairs_dropped_estimate=stats.pairs_dropped_estimate,
                 )
