@@ -24,8 +24,11 @@ from resolve_spark.functions import normalize as N
 from resolve_spark.functions import similarity as S
 from resolve_spark.functions import fields as FD
 from resolve_spark.functions.embedding import cosine_similarity_native
+from resolve_spark.functions import text as TX
+from resolve_spark.operators import ann as ANN
 from resolve_spark.operators import blocking as B
 from resolve_spark.operators import clustering as C
+from resolve_spark.operators import dedup as DD
 from resolve_spark.operators.pairs import candidate_pairs
 from resolve_spark.sources import tables as T
 
@@ -64,6 +67,55 @@ _TOKENS_SQL = (
     "list_distinct(list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), "
     "x -> x <> ''))"
 )
+_TOKENS_RAW_SQL = (
+    "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+def _wordset_sql(words: tuple[str, ...]) -> str:
+    return "(" + ",".join(f"'{w}'" for w in words) + ")"
+
+
+def _build_lang_quality_sql() -> tuple[str, str]:
+    from resolve_spark.functions.text import LANG_PROFILES
+
+    toks = _TOKENS_RAW_SQL.format(c="text")
+    hit = (
+        "len(list_filter(toks, x -> x IN {ws}))::DOUBLE / greatest(len(toks), 1)"
+    )
+    s_en = hit.format(ws=_wordset_sql(LANG_PROFILES["en"]))
+    s_de = hit.format(ws=_wordset_sql(LANG_PROFILES["de"]))
+    s_fr = hit.format(ws=_wordset_sql(LANG_PROFILES["fr"]))
+    s_es = hit.format(ws=_wordset_sql(LANG_PROFILES["es"]))
+    lang_sql = (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
+        f"s AS (SELECT doc_id, {s_en} AS s_en, {s_de} AS s_de, "
+        f"{s_fr} AS s_fr, {s_es} AS s_es FROM t) "
+        "SELECT doc_id, CASE WHEN greatest(s_en, s_de, s_fr, s_es) > 0.02 THEN "
+        "CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+        "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+        "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END "
+        "ELSE 'und' END AS lang_guess FROM s"
+    )
+    stop = hit.format(ws=_wordset_sql(LANG_PROFILES["en"]))
+    quality_sql = (
+        f"WITH t AS (SELECT doc_id, length(text) AS n_chars, {toks} AS toks, "
+        "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct "
+        "FROM documents), "
+        "f AS (SELECT doc_id, n_chars, greatest(len(toks), 1) AS n_toks, "
+        "punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio, "
+        f"{stop} AS stop_ratio FROM t) "
+        "SELECT doc_id, round("
+        "0.3 * least(n_chars / 200.0, 1.0) + "
+        "0.25 * (CASE WHEN n_chars::DOUBLE / n_toks >= 3 "
+        "AND n_chars::DOUBLE / n_toks <= 12 THEN 1.0 ELSE 0.3 END) + "
+        "0.25 * (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 1.0 - punct_ratio END) + "
+        "0.2 * least(stop_ratio * 5, 1.0), 6) AS quality FROM f"
+    )
+    return lang_sql, quality_sql
+
+
+_LANG_ID_SQL, _QUALITY_SQL = _build_lang_quality_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -334,6 +386,116 @@ def _q22_delete(spark, sf_dir):  # S7 delete
     return remaining.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
 
 
+def _q23_lang_id(spark, sf_dir):  # text analysis: language ID heuristic
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _q24_quality_score(spark, sf_dir):  # text analysis: quality scoring
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("quality"))
+
+
+def _q25_token_stats(spark, sf_dir):  # text analysis: token counting
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.subword_count_estimate(F.col("text")).alias("n_subwords"),
+    )
+
+
+def _q26_dup_histogram(spark, sf_dir):  # fingerprint dedup histogram
+    d = _t(spark, sf_dir, "documents")
+    groups = d.groupBy(TX.content_fingerprint(F.col("text")).alias("fp")).agg(
+        F.count("*").alias("dup_count")
+    )
+    return groups.groupBy("dup_count").agg(F.count("*").alias("n_groups"))
+
+
+def _q27_simhash_pairs(spark, sf_dir):  # SimHash near-dup (rows-only: xxhash64)
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash_duplicates(d, "doc_id", "text", max_hamming=7).where(
+        F.col("cluster_size") > 1
+    )
+
+
+def _q28_minhash_clusters(spark, sf_dir):  # MinHash dedup clusters (rows-only)
+    d = _t(spark, sf_dir, "documents")
+    out = DD.minhash_duplicates(d, "doc_id", "text", jaccard_threshold=0.8)
+    return out.groupBy("cluster_size").agg(F.count("*").alias("n_records"))
+
+
+def _q29_exact_dedup_clusters(spark, sf_dir):  # dedup: exact assignment
+    d = _t(spark, sf_dir, "documents")
+    return DD.exact_duplicates(d, "doc_id", "text")
+
+
+def _q30_lsh_topk(spark, sf_dir):  # ANN: LSH-bucketed cosine (rows-only)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), "embedding")
+    out = ANN.lsh_topk(q, c, k=3, planes=10, tables=4)
+    return out.select("query_id", "cand_id", F.round("cos", 4).alias("cos"), "rk")
+
+
+def _q31_brute_force_topk(spark, sf_dir):  # ANN: exact baseline (oracled)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), "embedding")
+    out = ANN.brute_force_topk(q, c, k=3)
+    return out.select("query_id", "cand_id", F.round("cos", 4).alias("cos"), "rk")
+
+
+def _q32_ivf_topk(spark, sf_dir):  # ANN: IVF coarse search (rows-only)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), "embedding")
+    out = ANN.ivf_topk(q, c, k=3, ncells=8, nprobe=3)
+    return out.select("query_id", "cand_id", F.round("cos", 4).alias("cos"), "rk")
+
+
+def _q33_rolling_windows(spark, sf_dir):  # fingerprinting: window counts
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(TX.rolling_window_fingerprints(F.col("text"))).alias("n_windows"),
+    )
+
+
+def _q34_media_stats(spark, sf_dir):  # multimodal plumbing (rows-only)
+    from resolve_spark.operators import multimodal as MM
+    media = MM.synth_media(spark, n=120)
+    feats = MM.extract_features(media, dim=8)
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("n"), F.round(F.avg("n_bytes"), 2).alias("avg_bytes")
+    )
+
+
+def _q35_find_matches(spark, sf_dir):  # M1/M2 batch matching (oracled)
+    from resolve_spark.operators.matching import find_matches
+    from resolve_spark.operators.scoring import FieldSpec
+    c = _t(spark, sf_dir, "customer")
+    ents = c.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("string").alias("block_key"),
+    )
+    qs = ents.where(F.col("id") % 200 == 0).withColumnRenamed("id", "query_id")
+    specs = [FieldSpec("name", "name", "levenshtein", 1.0),
+             FieldSpec("segment", "segment", "exact", 1.0)]
+    out = find_matches(qs, ents, specs, limit=5, threshold=0.6)
+    return out.select(
+        "query_id", "match_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -358,6 +520,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_name_similarity": _q20_name_similarity,
         "q21_merge_upsert": _q21_merge_upsert,
         "q22_delete": _q22_delete,
+        "q23_lang_id": _q23_lang_id,
+        "q24_quality_score": _q24_quality_score,
+        "q25_token_stats": _q25_token_stats,
+        "q26_dup_histogram": _q26_dup_histogram,
+        "q27_simhash_pairs": _q27_simhash_pairs,
+        "q28_minhash_clusters": _q28_minhash_clusters,
+        "q29_exact_dedup_clusters": _q29_exact_dedup_clusters,
+        "q30_lsh_topk": _q30_lsh_topk,
+        "q31_brute_force_topk": _q31_brute_force_topk,
+        "q32_ivf_topk": _q32_ivf_topk,
+        "q33_rolling_windows": _q33_rolling_windows,
+        "q34_media_stats": _q34_media_stats,
+        "q35_find_matches": _q35_find_matches,
     }
 
 
@@ -487,5 +662,57 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment, count(*) AS n FROM customer "
             "WHERE c_custkey % 10 <> 0 GROUP BY 1"
         ),
-        # q19 (MinHash) and q20 (Jaro-Winkler composite) are rows-only by design.
+        "q23_lang_id": _LANG_ID_SQL,
+        "q24_quality_score": _QUALITY_SQL,
+        "q25_token_stats": (
+            "SELECT doc_id, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens, "
+            "(coalesce(list_sum(list_transform(" + _TOKENS_RAW_SQL.format(c="text") +
+            ", x -> cast(ceil(length(x) / 4.0) as int))), 0) "
+            "+ len(list_filter(string_split_regex(text, '[a-zA-Z0-9\\s]+'), x -> x <> '')))"
+            " AS n_subwords FROM documents"
+        ),
+        "q26_dup_histogram": (
+            "WITH g AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS k, "
+            "count(*) AS dup_count FROM documents GROUP BY 1) "
+            "SELECT dup_count, count(*) AS n_groups FROM g GROUP BY 1"
+        ),
+        "q29_exact_dedup_clusters": (
+            "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS k "
+            "FROM documents), "
+            "g AS (SELECT k, min(doc_id) AS cluster_id, count(*) AS cluster_size "
+            "FROM n GROUP BY k) "
+            "SELECT n.doc_id AS rid, g.cluster_id, g.cluster_size FROM n JOIN g USING (k)"
+        ),
+        "q31_brute_force_topk": (
+            "SELECT query_id, cand_id, round(cos, 4) AS cos, rk FROM ("
+            "SELECT q.vec_id AS query_id, c.vec_id AS cand_id, "
+            "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, "
+            "c.vec_id ASC) AS rk "
+            "FROM embeddings q JOIN embeddings c ON true "
+            "WHERE q.vec_id % 20 = 0) WHERE rk <= 3"
+        ),
+        "q33_rolling_windows": (
+            "SELECT doc_id, cast(floor((greatest(length(trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g'))) - 63, 1) - 1) / 32.0) as int) + 1 AS n_windows FROM documents"
+        ),
+        "q35_find_matches": (
+            "WITH q AS (SELECT c_custkey AS qid, c_name AS qn, c_mktsegment AS qs, "
+            "c_nationkey AS nk FROM customer WHERE c_custkey % 200 = 0), "
+            "p AS (SELECT q.qid, c.c_custkey AS mid, "
+            "((1.0 - levenshtein(q.qn, c.c_name)::DOUBLE / "
+            "greatest(length(q.qn), length(c.c_name))) + "
+            "CASE WHEN q.qs = c.c_mktsegment THEN 1.0 ELSE 0.0 END) / 2 AS sc "
+            "FROM q JOIN customer c ON q.nk = c.c_nationkey), "
+            "s AS (SELECT qid AS query_id, mid AS match_id, round(sc, 6) AS score, "
+            "row_number() OVER (PARTITION BY qid ORDER BY sc DESC, mid ASC) AS rank "
+            "FROM p WHERE sc >= 0.6) "
+            "SELECT query_id, match_id, score, rank FROM s WHERE rank <= 5"
+        ),
+        # rows-only by design: q19/q28 (MinHash: seeded numpy hashing),
+        # q20 (Jaro-Winkler composite: DuckDB's JW gates the prefix boost),
+        # q27 (SimHash over Spark xxhash64), q30/q32 (LSH/IVF buckets),
+        # q34 (generator-backed multimodal stubs).
     }

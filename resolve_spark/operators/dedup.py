@@ -1,0 +1,164 @@
+"""Deduplication operators for training-data pipelines.
+
+Every variant returns a (rid, cluster_id)-style assignment or a pair
+set, built from the same primitives as the ER pipeline:
+
+- exact_duplicates: hash-groupBy on a content fingerprint (1 shuffle,
+  map-side combinable; the only O(n) dedup)
+- ngram_jaccard_duplicates: character-n-gram Jaccard over blocked pairs
+- minhash_duplicates: MinHash-LSH banding -> budgeted pairs -> verify
+  with true Jaccard -> connected components
+- simhash_duplicates: 64-bit SimHash, banded by 16-bit chunks (pigeonhole:
+  hamming <= 3 over 4 bands guarantees one identical band) -> verify
+  hamming distance -> connected components
+- embedding_duplicates: cosine near-dup over LSH-bucketed vectors
+  (see ann.py for the bucketing)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from resolve_spark.config import BlockingConfig
+from resolve_spark.functions import text as TX
+from resolve_spark.functions import similarity as S
+from resolve_spark.operators import blocking as B
+from resolve_spark.operators.clustering import assign_clusters
+from resolve_spark.operators.pairs import candidate_pairs
+
+
+def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """(rid, cluster_id, cluster_size): rows sharing the normalized
+    content fingerprint cluster together; cluster_id = min rid."""
+    keyed = df.select(
+        F.col(id_col).alias("rid"),
+        TX.content_fingerprint(F.col(content_col)).alias("fp"),
+    )
+    groups = keyed.groupBy("fp").agg(
+        F.min("rid").alias("cluster_id"), F.count("*").alias("cluster_size")
+    )
+    return keyed.join(groups, "fp").select("rid", "cluster_id", "cluster_size")
+
+
+def _verify_and_cluster(
+    df: DataFrame, id_col: str, pairs: DataFrame, verify_col, threshold: float
+) -> DataFrame:
+    edges = pairs.where(verify_col >= threshold).select("id_a", "id_b")
+    return assign_clusters(df, edges, id_col)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, content_col: str, n: int = 5, threshold: float = 0.7,
+    cfg: BlockingConfig | None = None,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs over MinHash-blocked
+    candidates: (id_a, id_b, ngram_jaccard)."""
+    cfg = cfg or BlockingConfig(enable_canopy=False, minhash_column=content_col)
+    grams = lambda c: F.array_distinct(  # noqa: E731
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1))
+            ),
+            lambda i: F.substring(c, i, n),
+        )
+    )
+    base = df.select(F.col(id_col).alias("rid"), F.col(content_col).alias("c"))
+    blocked = B.add_blocking_keys(
+        base.withColumnRenamed("c", content_col), cfg
+    )
+    pairs, _ = candidate_pairs(blocked, "rid", cfg, with_stats=False)
+    sides = base.select("rid", grams(F.col("c")).alias("g"))
+    a = sides.selectExpr("rid as id_a", "g as ga")
+    b = sides.selectExpr("rid as id_b", "g as gb")
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            S.jaccard_token_arrays(F.col("ga"), F.col("gb")).alias("ngram_jaccard"),
+        )
+        .where(F.col("ngram_jaccard") >= threshold)
+    )
+
+
+def minhash_duplicates(
+    df: DataFrame, id_col: str, content_col: str, jaccard_threshold: float = 0.7,
+    num_hashes: int = 64, bands: int = 16,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by true token Jaccard -> CC."""
+    cfg = BlockingConfig(
+        enable_canopy=False, minhash_column=content_col,
+        minhash_num_hashes=num_hashes, minhash_bands=bands,
+    )
+    blocked = B.add_blocking_keys(df, cfg)
+    pairs, _ = candidate_pairs(blocked, id_col, cfg, with_stats=False)
+    toks = df.select(F.col(id_col).alias("rid"), S.tokens(F.col(content_col)).alias("t"))
+    a = toks.selectExpr("rid as id_a", "t as ta")
+    b = toks.selectExpr("rid as id_b", "t as tb")
+    scored = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("jac", S.jaccard_token_arrays(F.col("ta"), F.col("tb")))
+    )
+    return _verify_and_cluster(df, id_col, scored, F.col("jac"), jaccard_threshold)
+
+
+def simhash_duplicates(
+    df: DataFrame, id_col: str, content_col: str, max_hamming: int = 7
+) -> DataFrame:
+    """SimHash near-dup clustering.
+
+    Banding is exact by pigeonhole: the 64-bit fingerprint splits into
+    ``max_hamming + 1`` bands — a pair within the hamming budget must
+    share at least one identical band, so banded equi-join + hamming
+    verify loses nothing. All native expressions, 1 shuffle.
+    """
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    fp = df.select(
+        F.col(id_col).alias("rid"), TX.simhash64(F.col(content_col)).alias("sim"),
+    )
+    bands = fp.select(
+        "rid", "sim",
+        F.explode(
+            F.array(*[
+                F.concat(
+                    F.lit(f"b{i}:"),
+                    F.call_function("shiftright", F.col("sim"), F.lit(i * band_bits))
+                    .bitwiseAND(F.lit(mask)).cast("string"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("band"),
+    )
+    a = bands.selectExpr("band", "rid as id_a", "sim as sim_a")
+    b = bands.selectExpr("band", "rid as id_b", "sim as sim_b")
+    pairs = (
+        a.join(b, "band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", TX.hamming64(F.col("sim_a"), F.col("sim_b")))
+    )
+    return _verify_and_cluster(df, id_col, pairs, -F.col("hamming"), -max_hamming)
+
+
+def embedding_duplicates(
+    df: DataFrame, id_col: str, vec_col: str, cosine_threshold: float = 0.95,
+    planes: int = 16, seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup: random-hyperplane LSH buckets ->
+    in-bucket pairs -> exact cosine verify -> CC."""
+    from resolve_spark.operators.ann import add_hyperplane_bucket
+    from resolve_spark.functions.embedding import cosine_similarity_native
+
+    bucketed = add_hyperplane_bucket(df, vec_col, planes=planes, seed=seed)
+    base = bucketed.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("v"), "bucket")
+    a = base.selectExpr("bucket", "rid as id_a", "v as va")
+    b = base.selectExpr("bucket", "rid as id_b", "v as vb")
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", cosine_similarity_native(F.col("va"), F.col("vb")))
+    )
+    return _verify_and_cluster(df, id_col, pairs, F.col("cos"), cosine_threshold)

@@ -1,0 +1,80 @@
+"""Query-time matching (SURVEY.md §2.7) — queries as a DataFrame.
+
+The reference answers one query at a time: embed -> (cluster-filtered)
+ANN -> threshold -> field scores -> sort -> limit (match.go:170-264).
+The batch equivalent treats the query set as a DataFrame and replaces
+the ANN index with the blocked join, scoring ALL in-block candidates:
+
+    queries  -> normalize -> block_key
+    entities -> (already normalized/blocked)
+    join on block_key -> fused field scores (+ vector blend)
+    -> threshold -> per-query top-k window -> MatchResult projection
+
+Parity notes:
+- the x3 search-limit inflation (match.go:209-214) compensated the
+  reference's filtered ANN recall; the block join scores every in-block
+  candidate, so no inflation is needed (SURVEY.md §2.6 B5).
+- output shape mirrors MatchResult (match.go:35-45): id, score,
+  field_scores, matched_on, explanation.
+- a small query set is broadcast by AQE automatically; block_key=None
+  degrades to the full cross product (only for broadcast-small sets),
+  matching the reference's unclustered whole-index search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from resolve_spark.functions.fields import explanation_column
+from resolve_spark.operators.scoring import FieldSpec, score_pairs
+
+
+def find_matches(
+    queries: DataFrame,
+    entities: DataFrame,
+    specs: list[FieldSpec],
+    query_id: str = "query_id",
+    entity_id: str = "id",
+    block_key: str | None = "block_key",
+    limit: int = 10,
+    threshold: float = 0.85,
+    vector_col: str | None = None,
+) -> DataFrame:
+    """(query_id, match_id, score, field_scores, matched_on,
+    explanation, rank) — top-``limit`` matches >= threshold per query.
+
+    ``queries`` and ``entities`` must already carry the spec columns
+    (and ``block_key`` unless block_key=None).
+    """
+    side_cols = [s.column for s in specs] + ([vector_col] if vector_col else [])
+    bk = (lambda df: F.col(block_key)) if block_key else (lambda df: F.lit("all"))
+    q = queries.select(F.col(query_id).alias("id_a"), bk(queries).alias("_bk"))
+    e = entities.select(F.col(entity_id).alias("id_b"), bk(entities).alias("_bk"))
+    pairs = q.join(e, "_bk").select("id_a", "id_b")
+    qa = queries.select(
+        F.col(query_id).alias("id_a"),
+        *[F.coalesce(F.col(c), F.lit("")).alias(f"{c}_a") if c != vector_col
+          else F.col(c).alias(f"{c}_a") for c in side_cols],
+    )
+    eb = entities.select(
+        F.col(entity_id).alias("id_b"),
+        *[F.coalesce(F.col(c), F.lit("")).alias(f"{c}_b") if c != vector_col
+          else F.col(c).alias(f"{c}_b") for c in side_cols],
+    )
+    wide = pairs.join(qa, "id_a").join(eb, "id_b")
+    scored = score_pairs(wide, specs, threshold=threshold, vector_col=vector_col)
+    w = Window.partitionBy("id_a").orderBy(F.desc("score"), F.asc("id_b"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= limit)
+    )
+    return out.select(
+        F.col("id_a").alias(query_id),
+        F.col("id_b").alias("match_id"),
+        "score",
+        "field_scores",
+        "matched_on",
+        explanation_column(F.col("score"), F.col("matched_on")).alias("explanation"),
+        "rank",
+    )

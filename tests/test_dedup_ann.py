@@ -1,0 +1,135 @@
+"""Dedup-family + similarity-search operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from resolve_spark.operators import ann, dedup, multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        ("d1", base),
+        ("d2", base + "  "),              # whitespace-only variant of d1
+        ("d3", base.replace("w30", "x30")),  # near-dup of d1
+        ("d4", " ".join(f"q{i}" for i in range(60))),  # distinct
+        ("d5", "short text"),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "content"])
+    df.persist()
+    return df
+
+
+def _clusters(df):
+    return {r["rid"]: r["cluster_id"] for r in df.collect()}
+
+
+def test_exact_duplicates(spark, docs):
+    got = _clusters(dedup.exact_duplicates(docs, "rid", "content"))
+    assert got["d1"] == got["d2"]
+    assert got["d3"] != got["d1"]
+    assert got["d4"] != got["d1"]
+
+
+def test_minhash_duplicates(spark, docs):
+    got = _clusters(dedup.minhash_duplicates(docs, "rid", "content"))
+    assert got["d1"] == got["d2"] == got["d3"]
+    assert got["d4"] != got["d1"]
+    assert got["d5"] != got["d1"]
+
+
+def test_simhash_duplicates(spark, docs):
+    got = _clusters(dedup.simhash_duplicates(docs, "rid", "content"))
+    assert got["d1"] == got["d2"] == got["d3"]
+    assert got["d4"] != got["d1"]
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "rid", "content", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["ngram_jaccard"] for r in pairs.collect()}
+    assert ("d1", "d2") in got and got[("d1", "d2")] > 0.9
+    assert ("d1", "d3") in got
+    assert ("d1", "d4") not in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(10, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # id 100+i: tiny perturbation of i (near-dup)
+        rows.append((100 + i, [float(x + 0.01 * j) for j, x in enumerate(v * 1.001)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    df.persist()
+    return df
+
+
+def test_brute_force_topk(spark, vectors):
+    queries = vectors.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = vectors.select(F.col("vec_id").alias("cand_id"), "embedding")
+    top = ann.brute_force_topk(queries, cands, k=2)
+    rows = {(r["query_id"], r["rk"]): r["cand_id"] for r in top.collect()}
+    for q in range(3):
+        assert rows[(q, 1)] == q  # self is nearest
+        assert rows[(q, 2)] == 100 + q  # perturbation is second
+
+
+def test_lsh_topk_recall(spark, vectors):
+    queries = vectors.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = vectors.select(F.col("vec_id").alias("cand_id"), "embedding")
+    exact = ann.brute_force_topk(queries, cands, k=2)
+    approx = ann.lsh_topk(queries, cands, k=2, planes=8, tables=6)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, (recall, e - a)
+
+
+def test_ivf_topk_smoke(spark, vectors):
+    queries = vectors.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = vectors.select(F.col("vec_id").alias("cand_id"), "embedding")
+    top = ann.ivf_topk(queries, cands, k=2, ncells=4, nprobe=2)
+    rows = {(r["query_id"], r["rk"]): r["cand_id"] for r in top.collect()}
+    assert len(rows) == 6
+
+
+def test_embedding_duplicates(spark, vectors):
+    got = {r["rid"]: r["cluster_id"]
+           for r in dedup.embedding_duplicates(vectors, "vec_id", "embedding",
+                                               cosine_threshold=0.99).collect()}
+    # each perturbed vector clusters with its base
+    assert got[100] == got[0]
+    assert got[101] == got[1]
+    assert got[0] != got[1]
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, n=30)
+    feats = multimodal.extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 8 for r in rows)
+    thumbs = multimodal.resize_images(media).collect()
+    assert thumbs and all(r["thumb_width"] == 32 for r in thumbs)
+    frames = multimodal.sample_frames(media).collect()
+    assert frames and max(r["frame_index"] for r in frames) >= 1
+    stats = {r["media_type"]: r["n"] for r in multimodal.media_stats(media).collect()}
+    assert stats == {"image": 10, "audio": 10, "video": 10}
+
+
+def test_multimodal_stub_gate(spark):
+    media = multimodal.synth_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|decode_stub"):
+        multimodal.extract_features(media, decode_stub=False).collect()

@@ -1,0 +1,69 @@
+"""find_matches (M1/M2/M7/M9) batch query tests against the
+reference-shaped entity fixture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from resolve_spark import datagen
+from resolve_spark.functions import normalize as N
+from resolve_spark.operators import blocking as B
+from resolve_spark.operators.matching import find_matches
+from resolve_spark.operators.scoring import FieldSpec
+from resolve_spark.plans.pipeline import entities_pipeline_config
+
+
+@pytest.fixture(scope="module")
+def prepared(spark):
+    cfg = entities_pipeline_config()
+    ents = datagen.entity_rows(spark)
+    ents = N.normalize_entity(ents, cfg.normalize_types)
+    ents = ents.withColumn("block_key", B.canopy_key(ents.columns, ("name", "zip")))
+    # the reference's sample query shape: name + address + city/state/zip
+    queries = spark.createDataFrame(
+        [("q-1", "Vertex Analytics", "742 Birch Street", "Springfield", "IL", "62704",
+          "", "")],
+        ["query_id", "name", "address", "city", "state", "zip", "phone", "email"],
+    )
+    queries = N.normalize_entity(queries, cfg.normalize_types)
+    queries = queries.withColumn(
+        "block_key", B.canopy_key(queries.columns, ("name", "zip"))
+    )
+    return cfg, queries, ents
+
+
+def test_find_matches_blocked(spark, prepared):
+    cfg, queries, ents = prepared
+    out = find_matches(
+        queries, ents, list(cfg.specs), entity_id="id",
+        limit=10, threshold=0.5,
+    ).collect()
+    ids = [r["match_id"] for r in out]
+    # the duplicate pair blocks with the query (same name prefix + zip)
+    assert set(ids) == {"e-001", "e-002"}
+    top = out[0]
+    assert top["rank"] == 1 and top["score"] >= 0.5
+    assert "confidence" in top["explanation"]
+    assert set(top["field_scores"].keys()) == {s.name for s in cfg.specs}
+
+
+def test_find_matches_unblocked_cross(spark, prepared):
+    cfg, queries, ents = prepared
+    out = find_matches(
+        queries, ents, list(cfg.specs), entity_id="id",
+        block_key=None, limit=3, threshold=0.0,
+    ).collect()
+    assert len(out) == 3  # top-3 of all 10 under threshold 0
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["match_id"] in ("e-001", "e-002")
+
+
+def test_find_matches_threshold_and_limit(spark, prepared):
+    cfg, queries, ents = prepared
+    out = find_matches(
+        queries, ents, list(cfg.specs), entity_id="id",
+        block_key=None, limit=1, threshold=0.5,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["rank"] == 1
