@@ -1,0 +1,105 @@
+"""CLI driver (SURVEY.md §2.1 S12) — the batch-engine replacement for
+the reference's flags (cmd/resolve/main.go:42-56):
+
+    python -m resolve_spark ingest    --input files.parquet --store STORE
+    python -m resolve_spark match     --input queries.parquet --store STORE --out OUT
+    python -m resolve_spark resolve   --input files.parquet --out OUT [--checkpoint CK]
+    python -m resolve_spark recompute-clusters --store STORE --out OUT
+    python -m resolve_spark group     --store STORE --edges EDGES --id SEED
+
+Submit on a cluster with:
+    spark-submit --py-files resolve_spark.zip -m ... (or package as wheel)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from resolve_spark.session import build_session
+from resolve_spark.plans.pipeline import (
+    ResolvePipeline, entities_pipeline_config, files_pipeline_config,
+)
+
+
+def _config(name: str, threshold: float):
+    if name == "files":
+        return files_pipeline_config(threshold)
+    if name == "entities":
+        return entities_pipeline_config(threshold)
+    raise SystemExit(f"unknown --config {name}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="resolve_spark")
+    ap.add_argument("verb", choices=["ingest", "match", "resolve",
+                                     "recompute-clusters", "group"])
+    ap.add_argument("--input")
+    ap.add_argument("--store")
+    ap.add_argument("--edges")
+    ap.add_argument("--out")
+    ap.add_argument("--id")
+    ap.add_argument("--config", default="files", help="files | entities")
+    ap.add_argument("--threshold", type=float, default=0.85)
+    ap.add_argument("--limit", type=int, default=10)
+    ap.add_argument("--checkpoint")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    spark = build_session(app_name=f"resolve_{args.verb}", master=args.master)
+    cfg = _config(args.config, args.threshold)
+    pipe = ResolvePipeline(spark, cfg, checkpoint_dir=args.checkpoint)
+
+    if args.verb == "ingest":
+        df = spark.read.parquet(args.input)
+        prepared = pipe.blocked(pipe.normalized(df))
+        prepared.write.mode("append").parquet(args.store)
+        print(json.dumps({"ingested": prepared.count(), "store": args.store}))
+
+    elif args.verb == "resolve":
+        df = spark.read.parquet(args.input)
+        run = pipe.run(df, input_fp=args.input)
+        run.clusters.write.mode("overwrite").parquet(f"{args.out}/clusters")
+        run.edges.write.mode("overwrite").parquet(f"{args.out}/edges")
+        if run.stats is not None:
+            run.stats.write.mode("overwrite").parquet(f"{args.out}/stats")
+        print(json.dumps({"clusters": run.clusters.count(), **run.counters}))
+
+    elif args.verb == "match":
+        from resolve_spark.operators.matching import find_matches
+        store = spark.read.parquet(args.store)
+        queries = spark.read.parquet(args.input)
+        queries = pipe.blocked(pipe.normalized(queries))
+        qid = cfg.id_col if cfg.id_col in queries.columns else "query_id"
+        out = find_matches(
+            queries.withColumnRenamed(qid, "query_id"), store,
+            list(cfg.specs), entity_id=cfg.id_col,
+            limit=args.limit, threshold=args.threshold,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"matches": out.count(), "out": args.out}))
+
+    elif args.verb == "recompute-clusters":
+        # B3 parity: re-derive blocking keys over the whole store
+        store = spark.read.parquet(args.store)
+        drop = [c for c in ("block_key", "block_keys") if c in store.columns]
+        re_blocked = pipe.blocked(store.drop(*drop))
+        re_blocked.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"recomputed": re_blocked.count(), "out": args.out}))
+
+    elif args.verb == "group":
+        from resolve_spark.operators.clustering import direct_group
+        edges = spark.read.parquet(args.edges)
+        rows = direct_group(edges, args.id, limit=args.limit).collect()
+        print(json.dumps({"seed": args.id,
+                          "members": [(r["rid"], r["score"]) for r in rows]}))
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -52,16 +52,21 @@ def find_matches(
     q = queries.select(F.col(query_id).alias("id_a"), bk(queries).alias("_bk"))
     e = entities.select(F.col(entity_id).alias("id_b"), bk(entities).alias("_bk"))
     pairs = q.join(e, "_bk").select("id_a", "id_b")
-    qa = queries.select(
-        F.col(query_id).alias("id_a"),
-        *[F.coalesce(F.col(c), F.lit("")).alias(f"{c}_a") if c != vector_col
-          else F.col(c).alias(f"{c}_a") for c in side_cols],
-    )
-    eb = entities.select(
-        F.col(entity_id).alias("id_b"),
-        *[F.coalesce(F.col(c), F.lit("")).alias(f"{c}_b") if c != vector_col
-          else F.col(c).alias(f"{c}_b") for c in side_cols],
-    )
+    def _sides(df: DataFrame, id_in: str, id_out: str, suffix: str) -> DataFrame:
+        str_cols = {
+            f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
+        }
+        return df.select(
+            F.col(id_in).alias(id_out),
+            *[
+                (F.coalesce(F.col(c), F.lit("")) if c in str_cols else F.col(c))
+                .alias(f"{c}{suffix}")
+                for c in side_cols
+            ],
+        )
+
+    qa = _sides(queries, query_id, "id_a", "_a")
+    eb = _sides(entities, entity_id, "id_b", "_b")
     wide = pairs.join(qa, "id_a").join(eb, "id_b")
     scored = score_pairs(wide, specs, threshold=threshold, vector_col=vector_col)
     w = Window.partitionBy("id_a").orderBy(F.desc("score"), F.asc("id_b"))

@@ -1,0 +1,56 @@
+"""Structured-Streaming incremental ingest + match tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from resolve_spark import datagen
+from resolve_spark.plans import pipeline as P
+from resolve_spark.streaming.incremental import IncrementalResolver
+
+
+def test_incremental_ingest_and_match(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    store_dir = str(tmp_path / "store")
+    matches_dir = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    files = datagen.with_record_id(
+        datagen.synth_files(spark, n_base=300, dup_rate=0.3)
+    ).persist()
+    base = files.where(~F.col("is_variant"))
+    variants = files.where(F.col("is_variant"))
+    schema = files.schema
+
+    resolver = IncrementalResolver(
+        spark, P.files_pipeline_config(), store_dir, matches_dir
+    )
+
+    # wave 1: base records arrive; store is empty -> no matches
+    base.write.mode("overwrite").parquet(input_dir)
+    q = resolver.start(input_dir, ckpt, schema)
+    q.awaitTermination(300)
+    store1 = spark.read.parquet(store_dir)
+    assert store1.count() == base.count()
+    assert not os.path.exists(os.path.join(matches_dir, "_SUCCESS"))
+
+    # wave 2: the planted variants arrive -> they match stored bases
+    variants.write.mode("append").parquet(input_dir)
+    q = resolver.start(input_dir, ckpt, schema)
+    q.awaitTermination(300)
+
+    store2 = spark.read.parquet(store_dir)
+    assert store2.count() == files.count()
+    matches = spark.read.parquet(matches_dir)
+    n_var = variants.count()
+    # the overwhelming majority of variants find their base
+    matched_queries = matches.select("query_id").distinct().count()
+    assert matched_queries >= 0.95 * n_var, (matched_queries, n_var)
+    # exactly-once: replaying with the same checkpoint adds nothing
+    q = resolver.start(input_dir, ckpt, schema)
+    q.awaitTermination(300)
+    assert spark.read.parquet(store_dir).count() == store2.count()
