@@ -103,21 +103,33 @@ def candidate_pairs(
     oversized = F.when(purgeable, F.col("c") > cfg.redundant_block_size).otherwise(
         F.col("c") > cfg.max_block_size
     )
-    big_keys = counts.where(
-        oversized & ~purgeable & (F.col("c") <= cfg.prune_block_size)
-    ).select("key")
-    dead_keys = counts.where(
-        (oversized & purgeable) | (F.col("c") > cfg.prune_block_size)
-    ).select("key")
-
-    # broadcast of the big/dead key lists is tiny (hot keys are few by nature)
-    keyed = keyed.join(F.broadcast(dead_keys), "key", "left_anti")
-    if big_keys.isEmpty():
-        # common case: no windowed branch to schedule at all
+    dead_cond = (oversized & purgeable) | (F.col("c") > cfg.prune_block_size)
+    windowed_cond = oversized & ~purgeable & (F.col("c") <= cfg.prune_block_size)
+    hot = counts.where(dead_cond | windowed_cond).select(
+        "key", windowed_cond.alias("_windowed")
+    )
+    # adaptive: hot keys are few on healthy inputs -> broadcast; but the
+    # list is only bounded by n/max_block_size, so fall back to a shuffle
+    # count-join when it is genuinely large (the 1000x-scale path)
+    n_hot = hot.count()
+    if n_hot == 0:
         pairs = _full_pairs(keyed)
+    elif n_hot <= 200_000:
+        hot_b = F.broadcast(hot)
+        keyed_small = keyed.join(hot_b, "key", "left_anti")
+        keyed_big = keyed.join(
+            hot_b.where("_windowed").select("key"), "key", "left_semi"
+        )
+        pairs = _full_pairs(keyed_small).unionByName(
+            _windowed_pairs(keyed_big, cfg.neighborhood_window)
+        )
     else:
-        keyed_small = keyed.join(F.broadcast(big_keys), "key", "left_anti")
-        keyed_big = keyed.join(F.broadcast(big_keys), "key", "left_semi")
+        keyed2 = keyed.join(counts, "key").withColumn(
+            "_fate",
+            F.when(dead_cond, "dead").when(windowed_cond, "windowed").otherwise("full"),
+        )
+        keyed_small = keyed2.where(F.col("_fate") == "full").select("key", "rid")
+        keyed_big = keyed2.where(F.col("_fate") == "windowed").select("key", "rid")
         pairs = _full_pairs(keyed_small).unionByName(
             _windowed_pairs(keyed_big, cfg.neighborhood_window)
         )
