@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from resolve_spark.functions.fields import explanation_column
-from resolve_spark.operators.scoring import FieldSpec, score_pairs
+from resolve_spark.functions.kernels import parse_query_fields
+from resolve_spark.operators.scoring import FieldSpec, score_pairs, specs_from_options
 
 
 def find_matches(
@@ -82,4 +83,36 @@ def find_matches(
         "matched_on",
         explanation_column(F.col("score"), F.col("matched_on")).alias("explanation"),
         "rank",
+    )
+
+
+def find_matches_text(
+    spark,
+    text: str,
+    entities: DataFrame,
+    entity_id: str = "id",
+    block_key: str | None = None,
+    limit: int = 10,
+    threshold: float = 0.85,
+    field_type_mappings: dict[str, str] | None = None,
+    force_exact_match_fields: list[str] | None = None,
+    field_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """The reference's text endpoint (S11 /match/text + M6): parse
+    ``"field1=v1;field2=v2"`` into a one-row query DataFrame and run M1
+    with option-driven kernels (match.go:170-264, 427-468)."""
+    fields = parse_query_fields(text)
+    if not fields:
+        raise ValueError("query text has no field=value pairs (match.go:427-468)")
+    present = [f for f in fields if f in entities.columns]
+    specs = specs_from_options(
+        present, field_type_mappings, force_exact_match_fields, field_weights
+    )
+    row = {"query_id": "q-text", **{f: fields[f] for f in present}}
+    queries = spark.createDataFrame([row])
+    if block_key is not None:
+        queries = queries.withColumn(block_key, F.lit(None).cast("string"))
+    return find_matches(
+        queries, entities, specs, entity_id=entity_id,
+        block_key=block_key, limit=limit, threshold=threshold,
     )

@@ -44,6 +44,31 @@ class FieldSpec:
         return FieldSpec(name, column or name, FD.infer_kernel_name(name), weight)
 
 
+def specs_from_options(
+    fields: list[str],
+    field_type_mappings: dict[str, str] | None = None,
+    force_exact_match_fields: list[str] | None = None,
+    field_weights: dict[str, float] | None = None,
+) -> list[FieldSpec]:
+    """Reference Options semantics (match.go:48-57, 288-385): kernel from
+    FieldTypeMappings (F7) else inferred from the field name (F8);
+    ForceExactMatchFields overrides to exact (match.go:312-318); weights
+    default to 1.0 (match.go:478-480)."""
+    mappings = field_type_mappings or {}
+    force = set(force_exact_match_fields or [])
+    weights = field_weights or {}
+    specs = []
+    for f in fields:
+        if f in force:
+            kernel = "exact"
+        elif f in mappings:
+            kernel = mappings[f]
+        else:
+            kernel = FD.infer_kernel_name(f)
+        specs.append(FieldSpec(f, f, kernel, float(weights.get(f, 1.0))))
+    return specs
+
+
 def attach_pair_sides(
     pairs: DataFrame, entities: DataFrame, id_col: str, side_cols: list[str]
 ) -> DataFrame:

@@ -67,3 +67,39 @@ def test_find_matches_threshold_and_limit(spark, prepared):
     ).collect()
     assert len(out) == 1
     assert out[0]["rank"] == 1
+
+
+def test_specs_from_options_reference_semantics():
+    from resolve_spark.operators.scoring import specs_from_options
+    specs = specs_from_options(
+        ["name", "zip", "notes", "city"],
+        field_type_mappings={"city": "street_address"},
+        force_exact_match_fields=["zip"],
+        field_weights={"name": 0.4},
+    )
+    by = {s.name: s for s in specs}
+    assert by["name"].kernel == "name" and by["name"].weight == 0.4
+    assert by["zip"].kernel == "exact"          # force-exact override
+    assert by["city"].kernel == "street_address"  # explicit mapping wins
+    assert by["notes"].kernel == "text"         # F8 default
+    assert by["notes"].weight == 1.0
+
+
+def test_find_matches_text(spark, prepared):
+    from resolve_spark.operators.matching import find_matches_text
+    _, _, ents = prepared
+    out = find_matches_text(
+        spark, "name=Vertex Analytics; city=Springfield", ents,
+        entity_id="id", limit=5, threshold=0.5,
+    ).collect()
+    assert [r["match_id"] for r in out][:2] == ["e-002", "e-001"] or \
+        set(r["match_id"] for r in out[:2]) == {"e-001", "e-002"}
+    assert all(r["query_id"] == "q-text" for r in out)
+
+
+def test_find_matches_text_rejects_plain_text(spark, prepared):
+    import pytest as _pytest
+    from resolve_spark.operators.matching import find_matches_text
+    _, _, ents = prepared
+    with _pytest.raises(ValueError):
+        find_matches_text(spark, "just a name with no fields", ents)

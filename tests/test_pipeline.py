@@ -98,3 +98,22 @@ def test_entities_pipeline_reference_shape(spark):
     others = [clusters[f"e-{i:03d}"] for i in range(3, 11)]
     assert len(set(others)) == 8
     assert clusters["e-003"] not in (clusters["e-001"],)
+
+
+def test_checkpoint_crash_recovery(spark, files_df, tmp_path):
+    """A stage without its _lineage.json sidecar (crash mid-write) must
+    recompute, while completed upstream stages resume from disk."""
+    import os
+    ckdir = str(tmp_path / "crash")
+    pipe = P.ResolvePipeline(spark, P.files_pipeline_config(), checkpoint_dir=ckdir)
+    run1 = pipe.run(files_df, input_fp="fp-C")
+    c1 = sorted((r["rid"], r["cluster_id"]) for r in run1.clusters.collect())
+    norm_done = pipe.ckpt.lineage("normalized")["completed_at"]
+
+    # simulate a crash during the edges stage: sidecar never landed
+    os.remove(os.path.join(ckdir, "edges", "_lineage.json"))
+    run2 = pipe.run(files_df, input_fp="fp-C")
+    assert sorted((r["rid"], r["cluster_id"]) for r in run2.clusters.collect()) == c1
+    # edges recomputed (fresh sidecar), normalized untouched (resumed)
+    assert pipe.ckpt.lineage("edges")["completed_at"] > norm_done
+    assert pipe.ckpt.lineage("normalized")["completed_at"] == norm_done
