@@ -76,7 +76,10 @@ def pair_scorer_udf(kernel_name: str):
     def scorer(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(_batch_apply(kernel, a, b), dtype="float64")
 
-    return scorer
+    # the kernel IS deterministic; the marker stops Catalyst from pushing
+    # threshold filters through the projection and re-evaluating the UDF
+    # in a second ArrowEvalPython node (observed double-eval otherwise)
+    return scorer.asNondeterministic()
 
 
 def fused_scores_udf(kernel_names: list[str]):
@@ -96,7 +99,8 @@ def fused_scores_udf(kernel_names: list[str]):
         ]
         return pd.Series([list(row) for row in zip(*per_kernel)])
 
-    return fused
+    # see pair_scorer_udf: prevents optimizer-duplicated evaluation
+    return fused.asNondeterministic()
 
 
 def similarity_column(kernel_name: str, a: Column, b: Column) -> Column:
