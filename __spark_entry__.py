@@ -496,6 +496,56 @@ def _q35_find_matches(spark, sf_dir):  # M1/M2 batch matching (oracled)
     )
 
 
+def _q36_cosine_tf(spark, sf_dir):  # K6 TF-cosine (rows-only: pUDF kernel)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"), "lang")
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"), "lang")
+    udf = FD.pair_scorer_udf("cosine")
+    return (
+        a.join(b, "lang").where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(udf(F.col("ta"), F.col("tb")), 6).alias("cos_tf"))
+        .where(F.col("cos_tf") >= 0.5)
+    )
+
+
+def _edges_for_groups(spark, sf_dir):
+    """Deterministic scored edges over customers (for G2/G4 queries)."""
+    c = _t(spark, sf_dir, "customer")
+    rid = F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+    a = c.select(F.col("c_custkey").alias("k"), rid.alias("id_a"), "c_nationkey")
+    b = c.select((F.col("c_custkey") - 1).alias("k"), rid.alias("id_b"),
+                 F.col("c_nationkey").alias("nk_b"), F.col("c_acctbal").alias("bal_b"))
+    return (
+        a.join(b, "k")
+        .where(F.col("c_nationkey") == F.col("nk_b"))
+        .select("id_a", "id_b",
+                F.round(F.lit(0.8) + (F.col("bal_b") % 200) / 1000.0, 6).alias("score"))
+    )
+
+
+def _q37_direct_group(spark, sf_dir):  # G2 — 1-hop group of each seed
+    edges = _edges_for_groups(spark, sf_dir)
+    seeds = edges.where(F.col("id_a").substr(-1, 1) == "0").select(
+        F.col("id_a").alias("seed")
+    ).distinct()
+    e = edges
+    out = (
+        seeds.join(e, (e.id_a == seeds.seed) | (e.id_b == seeds.seed))
+        .select(
+            "seed",
+            F.when(F.col("id_a") == F.col("seed"), F.col("id_b"))
+            .otherwise(F.col("id_a")).alias("rid"),
+            "score",
+        )
+    )
+    return out
+
+
+def _q38_hybrid_edges(spark, sf_dir):  # G4 — two-threshold hybrid edges
+    edges = _edges_for_groups(spark, sf_dir)
+    return C.hybrid_edges(edges, threshold=0.85).select("id_a", "id_b", "score")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -533,6 +583,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_rolling_windows": _q33_rolling_windows,
         "q34_media_stats": _q34_media_stats,
         "q35_find_matches": _q35_find_matches,
+        "q36_cosine_tf": _q36_cosine_tf,
+        "q37_direct_group": _q37_direct_group,
+        "q38_hybrid_edges": _q38_hybrid_edges,
     }
 
 
@@ -710,6 +763,29 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY qid ORDER BY sc DESC, mid ASC) AS rank "
             "FROM p WHERE sc >= 0.6) "
             "SELECT query_id, match_id, score, rank FROM s WHERE rank <= 5"
+        ),
+        "q37_direct_group": (
+            "WITH e AS (SELECT lpad(cast(a.c_custkey as varchar), 6, '0') AS id_a, "
+            "lpad(cast(b.c_custkey as varchar), 6, '0') AS id_b, "
+            "round(0.8 + (b.c_acctbal % 200) / 1000.0, 6) AS score "
+            "FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 "
+            "AND a.c_nationkey = b.c_nationkey), "
+            "seeds AS (SELECT DISTINCT id_a AS seed FROM e WHERE right(id_a, 1) = '0') "
+            "SELECT seed, CASE WHEN id_a = seed THEN id_b ELSE id_a END AS rid, score "
+            "FROM seeds JOIN e ON e.id_a = seed OR e.id_b = seed"
+        ),
+        "q38_hybrid_edges": (
+            "WITH e AS (SELECT lpad(cast(a.c_custkey as varchar), 6, '0') AS id_a, "
+            "lpad(cast(b.c_custkey as varchar), 6, '0') AS id_b, "
+            "round(0.8 + (b.c_acctbal % 200) / 1000.0, 6) AS score "
+            "FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 "
+            "AND a.c_nationkey = b.c_nationkey), "
+            "hi AS (SELECT * FROM e WHERE score >= 0.9), "
+            "core AS (SELECT id_a AS n FROM hi UNION SELECT id_b FROM hi), "
+            "touch AS (SELECT lo.* FROM e lo WHERE lo.score >= 0.85 AND "
+            "(lo.id_a IN (SELECT n FROM core) OR lo.id_b IN (SELECT n FROM core))) "
+            "SELECT DISTINCT id_a, id_b, score FROM "
+            "(SELECT * FROM hi UNION ALL SELECT * FROM touch)"
         ),
         # rows-only by design: q19/q28 (MinHash: seeded numpy hashing),
         # q20 (Jaro-Winkler composite: DuckDB's JW gates the prefix boost),
