@@ -160,21 +160,31 @@ def _minhash_params(num_hashes: int, seed: int = 42):
     return a, b
 
 
+# odd multipliers for the rolling shingle combine (uint64 wraparound mix)
+_SHINGLE_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9], dtype=np.uint64
+)
+
+
 def _token_hashes(text: str, shingle: int) -> np.ndarray:
+    """Distinct shingle hashes, vectorized: tokens hash in C via
+    pandas.util.hash_array (stable siphash), shingles combine by a
+    positional multiply-xor over numpy slices — no per-shingle Python
+    hashing (hashlib-per-shingle was the blocking stage's hot spot)."""
     toks = text.lower().split()
-    if len(toks) >= shingle:
-        shingles = [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
-    else:
-        shingles = [" ".join(toks)] if toks else []
-    if not shingles:
+    if not toks:
         return np.empty(0, dtype=np.uint64)
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
-            for s in set(shingles)
-        ),
-        dtype=np.uint64,
-    )
+    th = pd.util.hash_array(np.asarray(toks, dtype=object))
+    if len(toks) < shingle:
+        combined = np.zeros(1, dtype=np.uint64)
+        for j in range(len(toks)):
+            combined ^= th[j : j + 1] * _SHINGLE_MIX[j % shingle]
+        return combined
+    n = len(toks) - shingle + 1
+    combined = np.zeros(n, dtype=np.uint64)
+    for j in range(shingle):
+        combined ^= th[j : j + n] * _SHINGLE_MIX[j]
+    return np.unique(combined)
 
 
 def minhash_band_keys_udf(num_hashes: int = 64, bands: int = 16, shingle: int = 3, seed: int = 42):

@@ -89,10 +89,11 @@ def candidate_pairs(
     with id_a < id_b; block_key is the smallest key that produced the
     pair. Stats trigger two small aggregate jobs when requested.
     """
-    keyed = (
-        df.select(F.col(id_col).alias("rid"), F.explode(keys_col).alias("key"))
-        .dropDuplicates(["rid", "key"])
-    )
+    # no (rid, key) dedup shuffle needed: each blocking pass emits
+    # distinct keys per record (array_distinct / single key) and passes
+    # are prefix-disjoint (c:/t:/q:/m<band>:), so the explode is
+    # duplicate-free by construction
+    keyed = df.select(F.col(id_col).alias("rid"), F.explode(keys_col).alias("key"))
     counts = keyed.groupBy("key").agg(F.count("*").alias("c"))
     # cache: used by the small/big split and by the stats aggregates
     counts.persist()
