@@ -182,6 +182,117 @@ def labeled_pairs(files: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Reference-shaped synthetic entity corpus (person/business domain)
+# ---------------------------------------------------------------------------
+
+_FIRST = ["vertex", "quantum", "beacon", "cascade", "northgate", "helios",
+          "marigold", "ironwood", "lakeshore", "summit", "pioneer", "redwood",
+          "bluebird", "granite", "harbor", "meridian", "keystone", "willow"]
+_SECOND = ["analytics", "logistics", "materials", "foods", "energy", "studio",
+           "consulting", "partners", "holdings", "systems", "labs", "works",
+           "dynamics", "supply", "media", "transport", "outfitters", "group"]
+_SUFFIXES = ["Inc.", "LLC", "Corp.", "Ltd.", "Corporation", ""]
+_STREETS = ["Birch", "Harbor", "Commerce", "Maple", "Industrial", "Mill",
+            "Solar", "Canal", "Summit", "Cedar", "Juniper", "Dockside"]
+_STREET_TYPES = ["Street", "Avenue", "Boulevard", "Road", "Lane", "Drive"]
+_CITIES = [("Springfield", "IL"), ("Portland", "OR"), ("Austin", "TX"),
+           ("Denver", "CO"), ("Tacoma", "WA"), ("Columbus", "OH"),
+           ("Phoenix", "AZ"), ("Providence", "RI"), ("Boise", "ID"),
+           ("Madison", "WI")]
+_STATE_NAMES = {"IL": "Illinois", "OR": "Oregon", "TX": "Texas",
+                "CO": "Colorado", "WA": "Washington", "OH": "Ohio",
+                "AZ": "Arizona", "RI": "Rhode Island", "ID": "Idaho",
+                "WI": "Wisconsin"}
+
+ENTITY_SYNTH_SCHEMA = ("id string, entity_uid long, name string, address string, "
+                       "city string, state string, zip string, phone string, "
+                       "email string, is_variant boolean")
+
+
+def _base_entity(uid: int) -> dict:
+    rng = _rng(uid, "ent")
+    first, second = rng.choice(_FIRST), rng.choice(_SECOND)
+    name = f"{first.capitalize()} {second.capitalize()}"
+    suffix = rng.choice(_SUFFIXES)
+    city, state = _CITIES[rng.randrange(len(_CITIES))]
+    zip5 = f"{10000 + (uid * 37) % 89999}"
+    area = 200 + (uid * 7) % 799
+    phone = f"({area}) 555-{(uid * 13) % 10000:04d}"
+    return {
+        "name": f"{name} {suffix}".strip(),
+        "address": f"{100 + uid % 9000} {rng.choice(_STREETS)} {rng.choice(_STREET_TYPES)}",
+        "city": city, "state": state, "zip": zip5, "phone": phone,
+        "email": f"info@{first}{second}.com",
+    }
+
+
+def _entity_variant(base: dict, uid: int, k: int) -> dict:
+    """Acme-pair-style variants (sample-entities.json 001/002): legal
+    suffix changes, street abbreviation, state spelled out, phone
+    formatting, email user changes — the blocking key (name[:3], zip[:5])
+    is preserved, as in the reference's fixtures."""
+    rng = _rng(uid, f"entvar{k}")
+    rec = dict(base)
+    name_root = rec["name"]
+    for s in _SUFFIXES:
+        if s and name_root.endswith(s):
+            name_root = name_root[: -len(s)].strip()
+    rec["name"] = f"{name_root} {rng.choice(_SUFFIXES)}".strip()
+    if rng.random() < 0.6:
+        for full, abbr in (("Street", "St"), ("Avenue", "Ave"), ("Boulevard", "Blvd"),
+                           ("Road", "Rd"), ("Lane", "Ln"), ("Drive", "Dr")):
+            rec["address"] = rec["address"].replace(full, abbr)
+    if rng.random() < 0.5:
+        rec["state"] = _STATE_NAMES.get(rec["state"], rec["state"])
+    if rng.random() < 0.5:
+        digits = "".join(ch for ch in rec["phone"] if ch.isdigit())
+        rec["phone"] = f"{digits[:3]}-{digits[3:6]}-{digits[6:]}"
+    if rng.random() < 0.4:
+        rec["email"] = rec["email"].replace("info@", "contact@")
+    return rec
+
+
+def synth_entities(
+    spark: SparkSession, n_base: int = 2000, dup_rate: float = 0.25
+) -> DataFrame:
+    """Deterministic reference-domain entity table with planted
+    duplicates; ground truth via entity_uid (cf. labeled_entity_pairs)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uid in pdf["id"]:
+                uid = int(uid)
+                base = _base_entity(uid)
+                rows.append({"id": f"e{uid:07d}", "entity_uid": uid,
+                             "is_variant": False, **base})
+                if _rng(uid, "entdup").random() < dup_rate:
+                    var = _entity_variant(base, uid, 1)
+                    rows.append({"id": f"e{uid:07d}v", "entity_uid": uid,
+                                 "is_variant": True, **var})
+            yield pd.DataFrame(rows, columns=[
+                "id", "entity_uid", "name", "address", "city", "state",
+                "zip", "phone", "email", "is_variant",
+            ])
+
+    return (
+        spark.range(n_base)
+        .repartition(max(spark.sparkContext.defaultParallelism, 8))
+        .mapInPandas(gen, schema=ENTITY_SYNTH_SCHEMA)
+    )
+
+
+def labeled_entity_pairs(entities: DataFrame) -> DataFrame:
+    a = entities.selectExpr("id as id_a", "entity_uid as ea")
+    b = entities.selectExpr("id as id_b", "entity_uid as eb")
+    return (
+        a.join(b, F.col("ea") == F.col("eb"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(True).alias("is_match"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Reference-shaped entity fixture (kernel/pipeline smoke tests)
 # ---------------------------------------------------------------------------
 

@@ -85,3 +85,48 @@ def test_group_statistics(spark):
     assert rows[("a", "state")]["agreement"] == pytest.approx(2 / 3)
     # singleton cluster: avg_score defaults 1.0
     assert rows[("z", "name")]["avg_score"] == 1.0
+
+
+def test_cc_matches_union_find_oracle(spark):
+    """Randomized graphs: large-star/small-star output must equal a
+    plain union-find ground truth."""
+    import random
+
+    rng = random.Random(1234)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes))
+        for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    truth = {}
+    for n in nodes:
+        truth.setdefault(find(n), set()).add(n)
+    want = {min(members): members for members in truth.values() if len(members) > 1}
+
+    got_df = C.connected_components(
+        spark.createDataFrame(edges, ["id_a", "id_b"])
+    )
+    got = {}
+    for r in got_df.collect():
+        got.setdefault(r["cluster_id"], set()).add(r["rid"])
+    for root, members in got.items():
+        members = members | {root}
+        assert members == want[root], (root, members ^ want[root])
+    assert set(got) == set(want)

@@ -117,3 +117,18 @@ def test_checkpoint_crash_recovery(spark, files_df, tmp_path):
     # edges recomputed (fresh sidecar), normalized untouched (resumed)
     assert pipe.ckpt.lineage("edges")["completed_at"] > norm_done
     assert pipe.ckpt.lineage("normalized")["completed_at"] == norm_done
+
+
+def test_entities_pipeline_f1_gate(spark):
+    """Reference-domain (person/business) F1 gate: planted duplicate
+    variants in the style of the reference's own fixture pair must
+    co-cluster at pairwise F1 >= 0.99 under reference scoring
+    semantics (canopy blocking name+zip, default field weights,
+    vector blend)."""
+    ents = datagen.synth_entities(spark, n_base=1500, dup_rate=0.25).persist()
+    pipe = P.ResolvePipeline(spark, P.entities_pipeline_config())
+    run = pipe.run(ents)
+    labeled = datagen.labeled_entity_pairs(ents)
+    m = P.pairwise_f1(run.clusters, labeled, run.pairs)
+    assert m["blocking_recall"] >= 0.99, m
+    assert m["f1"] >= 0.99, m
