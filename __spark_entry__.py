@@ -136,11 +136,13 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     blocked = B.add_blocking_keys(docs, cfg)
     pairs, _ = candidate_pairs(blocked, "rid", cfg, with_stats=False)
-    a = docs.select(F.col("rid").alias("id_a"), F.col("text").alias("text_a"))
-    b = docs.select(F.col("rid").alias("id_b"), F.col("text").alias("text_b"))
+    # tokenize ONCE per document; per-pair work is array intersection
+    toks = docs.select("rid", S.tokens(F.col("text")).alias("toks"))
+    a = toks.select(F.col("rid").alias("id_a"), F.col("toks").alias("ta"))
+    b = toks.select(F.col("rid").alias("id_b"), F.col("toks").alias("tb"))
     edges = (
         pairs.join(a, "id_a").join(b, "id_b")
-        .withColumn("score", S.jaccard(F.col("text_a"), F.col("text_b")))
+        .withColumn("score", S.jaccard_token_arrays(F.col("ta"), F.col("tb")))
         .where(F.col("score") >= 0.6)
         .select("id_a", "id_b", "score")
     )
@@ -398,10 +400,12 @@ def _q24_quality_score(spark, sf_dir):  # text analysis: quality scoring
 
 def _q25_token_stats(spark, sf_dir):  # text analysis: token counting
     d = _t(spark, sf_dir, "documents")
+    # bigint on both sides: the driver's value hash is dtype-sensitive and
+    # DuckDB's len()/list_sum emit BIGINT/HUGEINT where Spark size() is int32
     return d.select(
         "doc_id",
-        TX.token_count(F.col("text")).alias("n_tokens"),
-        TX.subword_count_estimate(F.col("text")).alias("n_subwords"),
+        TX.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        TX.subword_count_estimate(F.col("text")).cast("bigint").alias("n_subwords"),
     )
 
 
@@ -469,9 +473,12 @@ def _q33_rolling_windows(spark, sf_dir):  # fingerprinting: window counts
     )
 
 
-def _q34_media_stats(spark, sf_dir):  # multimodal plumbing (rows-only)
+def _q34_media_stats(spark, sf_dir):  # multimodal plumbing (oracled)
+    # media derives from the documents table (payload = utf-8 text bytes)
+    # so the mapInPandas feature path is checkable by plain SQL
     from resolve_spark.operators import multimodal as MM
-    media = MM.synth_media(spark, n=120)
+    d = _t(spark, sf_dir, "documents")
+    media = MM.media_from_documents(d)
     feats = MM.extract_features(media, dim=8)
     return feats.groupBy("media_type").agg(
         F.count("*").alias("n"), F.round(F.avg("n_bytes"), 2).alias("avg_bytes")
@@ -546,6 +553,17 @@ def _q38_hybrid_edges(spark, sf_dir):  # G4 — two-threshold hybrid edges
     return C.hybrid_edges(edges, threshold=0.85).select("id_a", "id_b", "score")
 
 
+def _q39_match_groups(spark, sf_dir):  # G1/G3/G4 — per-seed hop-limited BFS
+    edges = _edges_for_groups(spark, sf_dir)
+    seeds = edges.where(F.col("id_a").substr(-1, 1) == "0").select(
+        F.col("id_a").alias("seed")
+    ).distinct()
+    return C.match_groups(
+        edges, seeds, threshold=0.85, strategy="hybrid",
+        hops_limit=3, max_group_size=100,
+    ).select("seed", "rid", "hop_distance", F.round("score", 6).alias("score"), "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -586,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_cosine_tf": _q36_cosine_tf,
         "q37_direct_group": _q37_direct_group,
         "q38_hybrid_edges": _q38_hybrid_edges,
+        "q39_match_groups": _q39_match_groups,
     }
 
 
@@ -719,10 +738,10 @@ def oracle_sql() -> dict[str, str]:
         "q24_quality_score": _QUALITY_SQL,
         "q25_token_stats": (
             "SELECT doc_id, "
-            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens, "
             "(coalesce(list_sum(list_transform(" + _TOKENS_RAW_SQL.format(c="text") +
             ", x -> cast(ceil(length(x) / 4.0) as int))), 0) "
-            "+ len(list_filter(string_split_regex(text, '[a-zA-Z0-9\\s]+'), x -> x <> '')))"
+            "+ len(list_filter(string_split_regex(text, '[a-zA-Z0-9\\s]+'), x -> x <> '')))::BIGINT"
             " AS n_subwords FROM documents"
         ),
         "q26_dup_histogram": (
@@ -787,8 +806,63 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT id_a, id_b, score FROM "
             "(SELECT * FROM hi UNION ALL SELECT * FROM touch)"
         ),
+        "q34_media_stats": (
+            "SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+            "ELSE 'video' END AS media_type, count(*) AS n, "
+            "round(avg(octet_length(encode(text))), 2) AS avg_bytes "
+            "FROM documents GROUP BY 1"
+        ),
+        # TF-cosine: token counts are integers, so dot and squared norms
+        # are EXACT in float64 — sum order cannot perturb the value, and
+        # cos = dot/(mag_a*mag_b) is bit-identical between engines.
+        "q36_cosine_tf": (
+            "WITH d AS (SELECT doc_id, lang, " + _TOKENS_RAW_SQL.format(c="text") +
+            " AS toks FROM documents WHERE doc_id % 10 = 0), "
+            "tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS c FROM "
+            "(SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2), "
+            "mag AS (SELECT doc_id, sqrt(sum(c * c)) AS mag FROM tf GROUP BY 1), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM d a "
+            "JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id), "
+            "dt AS (SELECT p.id_a, p.id_b, sum(ta.c * tb.c) AS dot FROM p "
+            "JOIN tf ta ON ta.doc_id = p.id_a "
+            "JOIN tf tb ON tb.doc_id = p.id_b AND tb.tok = ta.tok GROUP BY 1, 2) "
+            "SELECT id_a, id_b, cos_tf FROM ("
+            "SELECT p.id_a, p.id_b, "
+            "round(coalesce(dt.dot, 0) / (ma.mag * mb.mag), 6) AS cos_tf "
+            "FROM p JOIN mag ma ON ma.doc_id = p.id_a "
+            "JOIN mag mb ON mb.doc_id = p.id_b "
+            "LEFT JOIN dt ON dt.id_a = p.id_a AND dt.id_b = p.id_b"
+            ") WHERE cos_tf >= 0.5"
+        ),
+        # hybrid hop-limited BFS == min-hop over bounded recursive walks:
+        # hop-1 needs score >= 0.9 (direct), hops 2..3 need >= 0.85
+        "q39_match_groups": (
+            "WITH RECURSIVE "
+            "e AS (SELECT lpad(cast(a.c_custkey as varchar), 6, '0') AS id_a, "
+            "lpad(cast(b.c_custkey as varchar), 6, '0') AS id_b, "
+            "round(0.8 + (b.c_acctbal % 200) / 1000.0, 6)::DOUBLE AS score "
+            "FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 "
+            "AND a.c_nationkey = b.c_nationkey), "
+            "sym AS (SELECT id_a AS src, id_b AS dst, score FROM e WHERE score >= 0.85 "
+            "UNION ALL SELECT id_b, id_a, score FROM e WHERE score >= 0.85), "
+            "seeds AS (SELECT DISTINCT id_a AS seed FROM e WHERE right(id_a, 1) = '0'), "
+            "walk(seed, node, hop, score) AS ("
+            "SELECT seed, seed, 0, 1.0::DOUBLE FROM seeds "
+            "UNION ALL "
+            "SELECT w.seed, s.dst, w.hop + 1, s.score FROM walk w "
+            "JOIN sym s ON s.src = w.node "
+            "WHERE w.hop < 3 AND (w.hop > 0 OR s.score >= 0.9)), "
+            "best AS (SELECT seed, node, min(hop) AS hop_distance FROM walk GROUP BY 1, 2), "
+            "scored AS (SELECT b.seed, b.node, b.hop_distance, max(w.score) AS score "
+            "FROM best b JOIN walk w ON w.seed = b.seed AND w.node = b.node "
+            "AND w.hop = b.hop_distance GROUP BY 1, 2, 3) "
+            "SELECT seed, node AS rid, hop_distance::INT AS hop_distance, "
+            "round(score, 6) AS score, rank::INT AS rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY seed "
+            "ORDER BY hop_distance, score DESC, node) AS rank FROM scored"
+            ") WHERE rank <= 100"
+        ),
         # rows-only by design: q19/q28 (MinHash: seeded numpy hashing),
         # q20 (Jaro-Winkler composite: DuckDB's JW gates the prefix boost),
-        # q27 (SimHash over Spark xxhash64), q30/q32 (LSH/IVF buckets),
-        # q34 (generator-backed multimodal stubs).
+        # q27 (SimHash over Spark xxhash64), q30/q32 (LSH/IVF buckets).
     }

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType
 
-from resolve_spark.functions import kernels, similarity
+from resolve_spark.functions import kernels, similarity, vectorized
 
 # Kernels expressible as native Column expressions (the JVM fast path).
 NATIVE_BUILDERS: dict[str, Callable[[Column, Column], Column]] = {
@@ -49,13 +49,22 @@ NATIVE_BUILDERS: dict[str, Callable[[Column, Column], Column]] = {
 }
 
 
-def _batch_apply(kernel, a: pd.Series, b: pd.Series) -> list[float]:
-    """Apply a python kernel over a batch with (a,b)-memoization."""
+def _batch_apply(kernel, a: pd.Series, b: pd.Series):
+    """Apply a python kernel over a batch.
+
+    JW-bearing kernels dispatch to the numpy-batched implementations in
+    resolve_spark.functions.vectorized (distinct pairs only — the Arrow
+    batch fast path); anything unvectorized falls back to a memoized
+    scalar loop.
+    """
+    xa = ["" if x is None else x for x in a]
+    xb = ["" if y is None else y for y in b]
+    batch_fn = vectorized.BATCH_KERNELS.get(kernel)
+    if batch_fn is not None:
+        return vectorized.apply_distinct(batch_fn, xa, xb)
     memo: dict[tuple[str, str], float] = {}
     out = []
-    for x, y in zip(a, b):
-        x = "" if x is None else x
-        y = "" if y is None else y
+    for x, y in zip(xa, xb):
         key = (x, y)
         v = memo.get(key)
         if v is None:

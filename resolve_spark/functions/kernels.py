@@ -240,15 +240,26 @@ _DIRECTIONS = {
 }
 
 
+# one combined scan deciding whether ANY of the three substitution
+# regexes could fire; when it can't (the common case for path-like
+# inputs), the three sub() passes are skipped — pure fast path, the
+# replacement semantics are unchanged.
+_ADDR_HINT_RE = re.compile(
+    "|".join(p.pattern for p in (_UNIT_RE, _STREET_TYPE_RE, _DIRECTIONAL_RE)),
+    re.IGNORECASE,
+)
+
+
 def _address_preprocess(address: str) -> str:
     address = address.lower()
-    address = _UNIT_RE.sub("", address)
-    address = _STREET_TYPE_RE.sub(
-        lambda m: _STREET_TYPES.get(m.group(0).rstrip("."), m.group(0)), address
-    )
-    address = _DIRECTIONAL_RE.sub(
-        lambda m: _DIRECTIONS.get(m.group(0).rstrip("."), m.group(0)), address
-    )
+    if _ADDR_HINT_RE.search(address):
+        address = _UNIT_RE.sub("", address)
+        address = _STREET_TYPE_RE.sub(
+            lambda m: _STREET_TYPES.get(m.group(0).rstrip("."), m.group(0)), address
+        )
+        address = _DIRECTIONAL_RE.sub(
+            lambda m: _DIRECTIONS.get(m.group(0).rstrip("."), m.group(0)), address
+        )
     return _SPACE_RE.sub(" ", address.strip())
 
 

@@ -63,11 +63,15 @@ def jaccard_token_arrays(ta: Column, tb: Column) -> Column:
     Empty-array conventions mirror the kernel's empty-string ones
     (both empty -> 1.0, one empty -> 0.0; Go's 0/0 NaN case -> 1.0).
     """
-    union = F.size(F.array_union(ta, tb))
+    # inputs are DISTINCT arrays, so |A∪B| = |A|+|B|-|A∩B| — this avoids
+    # materializing a second (union) array per pair, which halves the
+    # per-pair array work on wide token arrays
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - inter
     return (
         F.when((F.size(ta) == 0) & (F.size(tb) == 0), F.lit(1.0))
         .when((F.size(ta) == 0) | (F.size(tb) == 0), F.lit(0.0))
-        .otherwise(F.size(F.array_intersect(ta, tb)) / union)
+        .otherwise(inter / union)
     )
 
 

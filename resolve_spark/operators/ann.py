@@ -50,14 +50,25 @@ def _hyperplanes(dim: int, planes: int, seed: int) -> np.ndarray:
     return rng.normal(size=(planes, dim)).astype(np.float64)
 
 
-def signature_udf(dim: int, planes: int = 16, seed: int = 42):
-    """vector -> int64 SRP signature; one numpy matmul per Arrow batch."""
-    H = _hyperplanes(dim, planes, seed)
+def signature_udf(planes: int = 16, seed: int = 42):
+    """vector -> int64 SRP signature; one numpy matmul per Arrow batch.
+
+    The hyperplane matrix is derived lazily (and deterministically) from
+    (seed, vector dim) inside the UDF on first batch, so building the
+    plan triggers NO Spark jobs — every executor regenerates the same
+    planes from the same seed.
+    """
     weights = (1 << np.arange(planes)).astype(np.int64)
+    planes_cache: dict[int, np.ndarray] = {}
 
     @pandas_udf(LongType())
     def sig(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy()).astype(np.float64)
+        dim = m.shape[1]
+        H = planes_cache.get(dim)
+        if H is None:
+            H = _hyperplanes(dim, planes, seed)
+            planes_cache[dim] = H
         bits = (m @ H.T) > 0
         return pd.Series(bits.astype(np.int64) @ weights)
 
@@ -68,8 +79,8 @@ def add_hyperplane_bucket(
     df: DataFrame, vec_col: str, planes: int = 16, seed: int = 42,
     bucket_col: str = "bucket",
 ) -> DataFrame:
-    dim = len(df.select(vec_col).first()[0])
-    return df.withColumn(bucket_col, signature_udf(dim, planes, seed)(F.col(vec_col)))
+    """Pure plan builder — no driver-side actions (no dim probe)."""
+    return df.withColumn(bucket_col, signature_udf(planes, seed)(F.col(vec_col)))
 
 
 def lsh_topk(
@@ -105,6 +116,9 @@ def ivf_topk(
     """IVF coarse search: deterministic sampled centroids; candidates
     live in their nearest cell; queries probe the ``nprobe`` nearest
     cells and re-rank exactly within them."""
+    # deterministic pseudo-random centroid pick. orderBy+limit compiles
+    # to TakeOrderedAndProject (per-partition top-k heap + driver merge
+    # of ncells rows per partition), NOT a global sort — scale-safe.
     cents = (
         candidates.select(F.col(cand_id).alias("_cid"), F.col(vec).alias("_cv"))
         .withColumn("_h", F.xxhash64(F.col("_cid")))

@@ -71,16 +71,40 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """(src,dst) edge list -> (rid, cluster_id) with cluster_id = min
     member id of the component. Only nodes appearing in edges are
-    returned; callers union isolated nodes as singleton clusters."""
-    cur = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
-        F.col("src") != F.col("dst")
-    ).distinct().localCheckpoint()
+    returned; callers union isolated nodes as singleton clusters.
+
+    Fault tolerance: by default every round localCheckpoints (fast, but
+    executor-local — fine on local[]). With ``checkpoint_dir`` set, every
+    ``checkpoint_every``-th round does a RELIABLE ``checkpoint()`` to
+    that directory and intermediate rounds keep full lineage, so on a
+    real cluster an executor loss replays at most ``checkpoint_every``
+    rounds instead of killing the job (SURVEY.md §7 hard-part #5).
+    """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame, rnd: int) -> DataFrame:
+        if checkpoint_dir is not None:
+            if rnd % checkpoint_every == 0:
+                return df.checkpoint(eager=True)
+            return df  # keep lineage; recoverable from last reliable ckpt
+        return df.localCheckpoint()
+
+    cur = _truncate(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+            F.col("src") != F.col("dst")
+        ).distinct(),
+        0,
+    )
     prev_fp = None
-    for _ in range(max_iterations):
-        cur = _small_star(_large_star(cur)).localCheckpoint()
+    for rnd in range(1, max_iterations + 1):
+        cur = _truncate(_small_star(_large_star(cur)), rnd)
         fp = _fingerprint(cur)
         if fp == prev_fp:
             break
@@ -136,6 +160,106 @@ def direct_group(scored_edges: DataFrame, seed_id: str, limit: int | None = None
         .orderBy(F.desc("score"))
     )
     return out.limit(limit) if limit else out
+
+
+def match_groups(
+    scored_edges: DataFrame,
+    seeds: DataFrame,
+    threshold: float,
+    strategy: str = "hybrid",
+    hops_limit: int = 3,
+    max_group_size: int = 100,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    seed_col: str = "seed",
+) -> DataFrame:
+    """G1 — per-seed hop-limited match groups (group.go:36-96 dispatch,
+    defaults HopsLimit=3 / MaxGroupSize=100 at group.go:44-50), run for
+    ALL seeds at once as a bounded batch-BFS over the scored edge set.
+
+    Strategies (group.go:98-337):
+    - "direct":     1-hop neighbors with score >= threshold.
+    - "transitive": BFS min-hop <= hops_limit at threshold
+                    (group.go:162-263; per-member hop_distance parity
+                    with match.Metadata["hop_distance"], group.go:239).
+    - "hybrid":     direct at max(threshold, 0.9) (group.go:272-274),
+                    then hops_limit-1 further hops at threshold from
+                    each direct match (group.go:283-334).
+
+    Members carry hop_distance (min hops from the seed) and score (max
+    score among the edges that discover the node at its min hop — the
+    reference records whichever edge its BFS dequeued first, which is
+    visit-order-dependent; we canonicalize deterministically). Groups
+    truncate to max_group_size by (hop_distance, score desc, rid) —
+    the reference truncates in BFS arrival order (group.go:245-247),
+    which again is not deterministic; same canonicalization.
+
+    Returns (seed, rid, hop_distance, score, rank), seed itself included
+    at hop 0 / score 1.0 (group.go:72-74).
+    """
+    if strategy not in ("direct", "transitive", "hybrid"):
+        raise ValueError(f"unknown match group strategy: {strategy}")
+    e = scored_edges.select(id_a, id_b, "score")
+
+    def sym(min_score: float) -> DataFrame:
+        ok = e.where(F.col("score") >= min_score)
+        return ok.select(
+            F.col(id_a).alias("src"), F.col(id_b).alias("dst"), "score"
+        ).unionByName(
+            ok.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"), "score")
+        )
+
+    seeds_df = seeds.select(F.col(seed_col).alias("seed")).distinct()
+    base = seeds_df.select(
+        "seed",
+        F.col("seed").alias("rid"),
+        F.lit(0).alias("hop_distance"),
+        F.lit(1.0).alias("score"),
+    )
+
+    def bfs(frontier: DataFrame, visited: DataFrame, edges_sym: DataFrame,
+            first_hop: int, hops: int) -> DataFrame:
+        """Expand (seed, rid) frontier ``hops`` times; min-hop semantics
+        via anti-join against everything already visited."""
+        for h in range(first_hop, first_hop + hops):
+            if h > first_hop:
+                edges_sym = sym(threshold)  # only the first hop may differ
+            nxt = (
+                frontier.join(edges_sym, frontier["rid"] == edges_sym["src"])
+                .groupBy("seed", F.col("dst").alias("nrid"))
+                .agg(F.max("score").alias("score"))
+                .select(
+                    "seed", F.col("nrid").alias("rid"),
+                    F.lit(h).alias("hop_distance"), "score",
+                )
+            )
+            new = nxt.join(
+                visited.select("seed", "rid"), ["seed", "rid"], "left_anti"
+            ).persist()
+            if new.isEmpty():
+                new.unpersist()
+                break
+            visited = visited.unionByName(new)
+            frontier = new.select("seed", "rid")
+        return visited
+
+    if strategy == "direct":
+        out = bfs(base.select("seed", "rid"), base, sym(threshold), 1, 1)
+    elif strategy == "transitive":
+        out = bfs(base.select("seed", "rid"), base, sym(threshold), 1, hops_limit)
+    else:  # hybrid
+        hi = max(threshold, HYBRID_DIRECT_THRESHOLD)
+        out = bfs(base.select("seed", "rid"), base, sym(hi), 1, 1)
+        if hops_limit > 1:
+            direct_frontier = out.where(F.col("hop_distance") == 1).select("seed", "rid")
+            out = bfs(direct_frontier, out, sym(threshold), 2, hops_limit - 1)
+    w = Window.partitionBy("seed").orderBy(
+        F.asc("hop_distance"), F.desc("score"), F.asc("rid")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= max_group_size)
+    )
 
 
 def group_statistics(

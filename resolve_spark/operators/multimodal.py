@@ -55,6 +55,29 @@ def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def media_from_documents(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic media table derived from an existing documents
+    table (payload = utf-8 bytes of text, type round-robin by id). This
+    keeps the multimodal plumbing SQL-oracleable: every derived value is
+    a pure function of (doc_id, text)."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    codecs = F.array(F.lit("png"), F.lit("wav"), F.lit("mp4"))
+    idx = (F.col(id_col) % 3).cast("int")
+    mt = F.element_at(kinds, idx + 1)
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        mt.alias("media_type"),
+        F.element_at(codecs, idx + 1).alias("codec"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.when(mt == "image", (64 + (F.col(id_col) % 16) * 8).cast("int")).alias("width"),
+        F.when(mt == "image", (64 + (F.col(id_col) % 12) * 8).cast("int")).alias("height"),
+        F.when(mt == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
+        F.when(mt.isin("audio", "video"), (1000 + F.col(id_col) % 5000).cast("int")).alias("duration_ms"),
+    )
+
+
 def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
     # deterministic bytes -> feature: mean-pooled byte windows
     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
