@@ -863,6 +863,8 @@ def oracle_sql() -> dict[str, str]:
             ") WHERE rank <= 100"
         ),
         # rows-only by design: q19/q28 (MinHash: seeded numpy hashing),
-        # q20 (Jaro-Winkler composite: DuckDB's JW gates the prefix boost),
+        # q20 (JW composite: DuckDB's jaro_winkler gates the prefix boost AND
+        # its jaro_similarity uses a different matching rule — verified
+        # 0.70 vs the reference's 0.6722 on 'hot plate'/'blue plate'),
         # q27 (SimHash over Spark xxhash64), q30/q32 (LSH/IVF buckets).
     }

@@ -53,15 +53,26 @@ def main(argv: list[str] | None = None) -> int:
     cfg = _config(args.config, args.threshold)
     pipe = ResolvePipeline(spark, cfg, checkpoint_dir=args.checkpoint)
 
+    def _with_block_key(df):
+        # canopy-less configs (e.g. files) have no block_key column; the
+        # first multi-pass key (token signature) is the equi-join key —
+        # same fallback as IncrementalResolver.prepare
+        if "block_key" not in df.columns and "block_keys" in df.columns:
+            df = df.withColumn("block_key", F.element_at("block_keys", 1))
+        return df
+
     if args.verb == "ingest":
         df = spark.read.parquet(args.input)
-        prepared = pipe.blocked(pipe.normalized(df))
+        prepared = _with_block_key(pipe.blocked(pipe.normalized(df)))
         prepared.write.mode("append").parquet(args.store)
         print(json.dumps({"ingested": prepared.count(), "store": args.store}))
 
     elif args.verb == "resolve":
+        from resolve_spark.sources.checkpoint import input_data_fingerprint
         df = spark.read.parquet(args.input)
-        run = pipe.run(df, input_fp=args.input)
+        # path + file listing (sizes/mtimes): same --checkpoint dir with
+        # CHANGED data at the same path recomputes instead of resuming
+        run = pipe.run(df, input_fp=input_data_fingerprint(args.input))
         run.clusters.write.mode("overwrite").parquet(f"{args.out}/clusters")
         run.edges.write.mode("overwrite").parquet(f"{args.out}/edges")
         if run.stats is not None:
@@ -70,9 +81,9 @@ def main(argv: list[str] | None = None) -> int:
 
     elif args.verb == "match":
         from resolve_spark.operators.matching import find_matches
-        store = spark.read.parquet(args.store)
+        store = _with_block_key(spark.read.parquet(args.store))
         queries = spark.read.parquet(args.input)
-        queries = pipe.blocked(pipe.normalized(queries))
+        queries = _with_block_key(pipe.blocked(pipe.normalized(queries)))
         qid = cfg.id_col if cfg.id_col in queries.columns else "query_id"
         out = find_matches(
             queries.withColumnRenamed(qid, "query_id"), store,

@@ -97,15 +97,53 @@ def cosine_similarity_native(va: Column, vb: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot / denom)
 
 
+def embedder_udf(embed_fn, dim: int, batch_size: int = 32):
+    """E2 — wrap ANY python embedding function as an Arrow pandas UDF
+    with the reference's batch semantics (embed.go:66-197): texts are
+    sent in sub-batches of ``batch_size`` and reassembled in order; the
+    reference's in-process result cache is ``embed_dedup`` upstream.
+
+    ``embed_fn``: list[str] -> sequence of ``dim``-length float vectors
+    (an HTTP client, an in-process model, ...). Raises on dim mismatch
+    rather than silently padding — a wrong-dim embedder is a config bug.
+    """
+
+    @pandas_udf(ArrayType(FloatType()))
+    def embed(text: pd.Series) -> pd.Series:
+        texts = ["" if t is None else t for t in text]
+        out: list[np.ndarray] = []
+        for i in range(0, len(texts), batch_size):
+            vecs = embed_fn(texts[i:i + batch_size])
+            for v in vecs:
+                v = np.asarray(v, dtype=np.float32)
+                if v.shape != (dim,):
+                    raise ValueError(
+                        f"embed_fn returned shape {v.shape}, expected ({dim},)"
+                    )
+                out.append(v)
+        if len(out) != len(texts):
+            raise ValueError(
+                f"embed_fn returned {len(out)} vectors for {len(texts)} texts"
+            )
+        return pd.Series(out)
+
+    return embed
+
+
 def embed_dedup(
-    df: DataFrame, text_col: str, out_col: str = "vector", dim: int = MOCK_EMBEDDING_DIM
+    df: DataFrame, text_col: str, out_col: str = "vector",
+    dim: int = MOCK_EMBEDDING_DIM, embed_fn=None,
 ) -> DataFrame:
     """E2/E3 — embed distinct texts once, join back (cache-as-dataflow).
 
     At 100 TB the distinct() is a shuffle but the UDF then runs on the
     (much smaller) unique-text set; the join back is a plain hash join
     that AQE will broadcast when the unique side is small.
+
+    ``embed_fn``: optional pluggable embedder (see embedder_udf);
+    defaults to the reference's deterministic mock formula.
     """
+    udf = mock_embedding_udf(dim) if embed_fn is None else embedder_udf(embed_fn, dim)
     uniq = df.select(text_col).distinct()
-    embedded = uniq.withColumn(out_col, mock_embedding_udf(dim)(F.col(text_col)))
+    embedded = uniq.withColumn(out_col, udf(F.col(text_col)))
     return df.join(embedded, on=text_col, how="left")

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, DoubleType
+from pyspark.sql.types import ArrayType, DoubleType, StringType
 
 from resolve_spark.functions import kernels, similarity, vectorized
 
@@ -110,6 +110,28 @@ def fused_scores_udf(kernel_names: list[str]):
 
     # see pair_scorer_udf: prevents optimizer-duplicated evaluation
     return fused.asNondeterministic()
+
+
+# Composites that decompose into native column math + a JW-only pUDF
+# when record-level preprocessed companions exist (see scoring.score_pairs
+# and plans.pipeline.normalized): only Jaro-Winkler stays in Python.
+DECOMPOSABLE_KERNELS = ("name", "namesimilarity", "address", "addresssimilarity")
+
+
+def preprocess_udf(kind: str):
+    """Record-level preprocess (fields.go:36-60 name, :121-193 address):
+    runs ONCE PER RECORD in the normalized stage instead of once per
+    candidate pair side — the regex cost drops from O(pairs) to O(records).
+    """
+    fn = (kernels._name_preprocess if kind.startswith("name")
+          else kernels._address_preprocess)
+
+    @pandas_udf(StringType())
+    def pre(col: pd.Series) -> pd.Series:
+        vals = ["" if v is None else v for v in col]
+        return pd.Series(vectorized._preprocess_many(fn, vals))
+
+    return pre.asNondeterministic()
 
 
 def similarity_column(kernel_name: str, a: Column, b: Column) -> Column:

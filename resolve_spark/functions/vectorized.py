@@ -382,9 +382,18 @@ BATCH_KERNELS = {
 
 
 def apply_distinct(batch_fn, a: list[str], b: list[str]) -> np.ndarray:
-    """Score only the np.unique-distinct (a, b) pairs, then gather."""
-    codes, uniques = pd.factorize(pd.Series(list(zip(a, b)), dtype=object))
-    ua = [t[0] for t in uniques]
-    ub = [t[1] for t in uniques]
-    vals = batch_fn(ua, ub)
-    return np.asarray(vals, np.float64)[codes]
+    """Score only the np.unique-distinct (a, b) pairs, then gather.
+
+    Sides factorize separately (C string hashing), the pair becomes one
+    int64 code — no per-row python tuples.
+    """
+    ca, ua = pd.factorize(pd.Series(a, dtype=object))
+    cb, ub = pd.factorize(pd.Series(b, dtype=object))
+    combo = ca.astype(np.int64) * len(ub) + cb
+    uniq, inv = np.unique(combo, return_inverse=True)
+    ia = (uniq // len(ub)).astype(np.int64)
+    ib = (uniq % len(ub)).astype(np.int64)
+    ua_list = ua.tolist()
+    ub_list = ub.tolist()
+    vals = batch_fn([ua_list[i] for i in ia], [ub_list[i] for i in ib])
+    return np.asarray(vals, np.float64)[inv]

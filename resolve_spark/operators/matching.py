@@ -97,10 +97,19 @@ def find_matches_text(
     field_type_mappings: dict[str, str] | None = None,
     force_exact_match_fields: list[str] | None = None,
     field_weights: dict[str, float] | None = None,
+    block_fields: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """The reference's text endpoint (S11 /match/text + M6): parse
     ``"field1=v1;field2=v2"`` into a one-row query DataFrame and run M1
-    with option-driven kernels (match.go:170-264, 427-468)."""
+    with option-driven kernels (match.go:170-264, 427-468).
+
+    With a non-None ``block_key``, the query row gets a REAL canopy key
+    built from ``block_fields`` (default: the parsed fields), so the
+    block-key equi-join can match — pass the same fields the entity
+    store was blocked on (cluster.go:63-69 key semantics).
+    """
+    from resolve_spark.operators.blocking import canopy_key
+
     fields = parse_query_fields(text)
     if not fields:
         raise ValueError("query text has no field=value pairs (match.go:427-468)")
@@ -111,7 +120,13 @@ def find_matches_text(
     row = {"query_id": "q-text", **{f: fields[f] for f in present}}
     queries = spark.createDataFrame([row])
     if block_key is not None:
-        queries = queries.withColumn(block_key, F.lit(None).cast("string"))
+        from resolve_spark.functions.normalize import normalize_entity
+
+        # the store's canopy keys are built over *_normalized companions
+        # (cluster.go:63-69); normalize the query row the same way
+        queries = normalize_entity(queries)
+        bf = block_fields if block_fields is not None else tuple(present)
+        queries = queries.withColumn(block_key, canopy_key(queries.columns, bf))
     return find_matches(
         queries, entities, specs, entity_id=entity_id,
         block_key=block_key, limit=limit, threshold=threshold,

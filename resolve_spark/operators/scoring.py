@@ -134,13 +134,66 @@ def score_pairs(
         if vector_col is not None and (blend_with_vector is None or blend_with_vector):
             ub = (F.lit(1.0) + ub) / 2
         df = df.where(ub >= threshold)
-    if fused:
-        udf = FD.fused_scores_udf([s.kernel for s in fused])
+    # decomposed composites: when the wide rows carry record-level
+    # preprocessed companions (<col>_pre, <col>_pre_tokens — produced
+    # once per RECORD in pipeline.normalized), the name/address
+    # composites split into native column math (jaccard over token-hash
+    # arrays, containment, house-number penalty, equality ladder) plus a
+    # JW-only fused pUDF. Exact same scores as the scalar kernels
+    # (fields.go:8-87, :89-256) — parity-tested — but the Python side
+    # shrinks to Jaro-Winkler over distinct preprocessed pairs.
+    decomposed = [
+        s for s in fused
+        if s.kernel.lower() in FD.DECOMPOSABLE_KERNELS
+        and f"{s.column}_pre_a" in df.columns
+        and f"{s.column}_pre_tokens_a" in df.columns
+    ]
+    plain = [s for s in fused if s not in decomposed]
+    if decomposed:
+        from resolve_spark.functions import similarity as SIM
+
+        jw_udf = FD.fused_scores_udf(["jaro"] * len(decomposed))
+        jw_args = []
+        for s in decomposed:
+            jw_args.extend([F.col(f"{s.column}_pre_a"), F.col(f"{s.column}_pre_b")])
+        df = df.withColumn("_jw", jw_udf(*jw_args))
+        for i, s in enumerate(decomposed):
+            raw_a, raw_b = F.col(f"{s.column}_a"), F.col(f"{s.column}_b")
+            pre_a, pre_b = F.col(f"{s.column}_pre_a"), F.col(f"{s.column}_pre_b")
+            jw = F.col("_jw")[i]
+            ta = F.col(f"{s.column}_pre_tokens_a")
+            tb = F.col(f"{s.column}_pre_tokens_b")
+            # scalar-kernel parity: both sides NONEMPTY strings with zero
+            # tokens is union==0 -> 0.0 (kernels.jaccard), not the
+            # empty-array 1.0 convention
+            jacc = F.when(
+                (F.size(ta) == 0) & (F.size(tb) == 0), F.lit(0.0)
+            ).otherwise(SIM.jaccard_token_arrays(ta, tb))
+            cont = SIM.contained_in(pre_a, pre_b)
+            if s.kernel.lower().startswith("name"):
+                combined = jw * 0.6 + jacc * 0.3 + cont * 0.1
+            else:  # address: house-number penalty x0.3 (fields.go:195)
+                num_a = F.regexp_extract(pre_a, "[0-9]+", 0)
+                num_b = F.regexp_extract(pre_b, "[0-9]+", 0)
+                penalty = F.when(
+                    (num_a != "") & (num_b != "") & (num_a != num_b), F.lit(0.3)
+                ).otherwise(F.lit(1.0))
+                combined = (jacc * 0.5 + jw * 0.2 + cont * 0.3) * penalty
+            score = (
+                F.when(raw_a == raw_b, F.lit(1.0))
+                .when((raw_a == "") | (raw_b == ""), F.lit(0.0))
+                .when(pre_a == pre_b, F.lit(1.0))
+                .otherwise(combined)
+            )
+            df = df.withColumn(f"score_{s.name}", score)
+        df = df.drop("_jw")
+    if plain:
+        udf = FD.fused_scores_udf([s.kernel for s in plain])
         args = []
-        for s in fused:
+        for s in plain:
             args.extend([F.col(f"{s.column}_a"), F.col(f"{s.column}_b")])
         df = df.withColumn("_fused", udf(*args))
-        for i, s in enumerate(fused):
+        for i, s in enumerate(plain):
             df = df.withColumn(f"score_{s.name}", F.col("_fused")[i])
         df = df.drop("_fused")
 

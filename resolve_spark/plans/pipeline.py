@@ -43,6 +43,9 @@ class PipelineConfig:
     derived_columns: dict[str, str] = dc_field(default_factory=dict)  # name -> SQL expr
     use_vectors: bool = False
     embedding_dim: int = 16
+    # pluggable embedder: list[str] -> list of embedding_dim vectors
+    # (embed.go:66-197 batch semantics); None = reference mock formula
+    embed_fn: object | None = None
     content_col: str | None = None  # sha256-invariant column
     cluster_strategy: str = "transitive"  # transitive | hybrid
     stat_fields: tuple[str, ...] = ()
@@ -132,17 +135,43 @@ class ResolvePipeline:
         if cfg.content_col:
             df = df.withColumn("content_sha256", F.sha2(F.col(cfg.content_col), 256))
         # pre-tokenize for jaccard_tokens specs (tokenize once per record)
+        # and store xxhash64 TOKEN HASHES, not strings: per-pair
+        # array_intersect compares/hashes int64s instead of strings
+        # (~3x cheaper) and the shuffled rows are much smaller. Jaccard
+        # over distinct hashes == jaccard over distinct tokens up to
+        # xxhash64 collisions (~n^2/2^64 — negligible at any scale here).
+        from resolve_spark.functions import fields as FD
         from resolve_spark.functions import similarity as SIM
         for s in cfg.specs:
             if s.kernel == "jaccard_tokens" and s.column not in df.columns:
                 src = s.column.removesuffix("_tokens")
-                df = df.withColumn(s.column, SIM.tokens(F.col(src)))
+                df = df.withColumn(
+                    s.column,
+                    F.transform(SIM.tokens(F.col(src)), lambda t: F.xxhash64(t)),
+                )
+            # name/address composites: preprocess ONCE PER RECORD (not per
+            # pair side) and pre-tokenize, so scoring decomposes into
+            # native math + a JW-only pUDF (scoring.score_pairs)
+            if s.kernel.lower() in FD.DECOMPOSABLE_KERNELS:
+                pre = f"{s.column}_pre"
+                if pre not in df.columns:
+                    df = df.withColumn(
+                        pre,
+                        FD.preprocess_udf(s.kernel.lower())(
+                            F.coalesce(F.col(s.column), F.lit(""))
+                        ),
+                    )
+                    df = df.withColumn(
+                        f"{pre}_tokens",
+                        F.transform(SIM.tokens(F.col(pre)), lambda t: F.xxhash64(t)),
+                    )
         if cfg.use_vectors:
             combined = combine_fields(
                 [F.col(f"{s.column}") for s in cfg.specs]
             )
             df = df.withColumn("combined_text", combined)
-            df = embed_dedup(df, "combined_text", "vector", cfg.embedding_dim)
+            df = embed_dedup(df, "combined_text", "vector", cfg.embedding_dim,
+                             embed_fn=cfg.embed_fn)
         return df
 
     def blocked(self, df: DataFrame) -> DataFrame:
@@ -151,6 +180,11 @@ class ResolvePipeline:
     def score(self, pairs: DataFrame, entities: DataFrame) -> DataFrame:
         cfg = self.cfg
         side_cols = [s.column for s in cfg.specs]
+        # preprocessed companions enable the decomposed scoring path
+        for s in cfg.specs:
+            for extra in (f"{s.column}_pre", f"{s.column}_pre_tokens"):
+                if extra in entities.columns:
+                    side_cols.append(extra)
         if cfg.use_vectors:
             side_cols = side_cols + ["vector"]
         wide = attach_pair_sides(pairs, entities, cfg.id_col, side_cols)
@@ -173,7 +207,8 @@ class ResolvePipeline:
         cfg = self.cfg
         counters: dict = {}
         cfg_fp = fingerprint(cfg.specs, cfg.blocking, cfg.threshold,
-                             cfg.use_vectors, cfg.cluster_strategy)
+                             cfg.use_vectors, cfg.cluster_strategy,
+                             getattr(cfg.embed_fn, "__qualname__", None))
 
         def stage(name, fp, compute, stage_counters=None, partition_by=None):
             if self.ckpt is None:

@@ -36,6 +36,24 @@ def fingerprint(*parts: object) -> str:
     return h.hexdigest()[:16]
 
 
+def input_data_fingerprint(path: str) -> str:
+    """Cheap DATA fingerprint for stage resume: the input path plus its
+    file listing with sizes and mtimes. Rerunning against the same path
+    after the data changed therefore recomputes instead of silently
+    reusing stale stage outputs (no file reads — listing only)."""
+    entries = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append((os.path.relpath(p, path), st.st_size, st.st_mtime_ns))
+    elif os.path.exists(path):
+        st = os.stat(path)
+        entries.append((path, st.st_size, st.st_mtime_ns))
+    return fingerprint(path, sorted(entries))
+
+
 @dataclass
 class StageResult:
     name: str

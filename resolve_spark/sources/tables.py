@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -85,3 +86,81 @@ def merge_entities(existing: DataFrame, updates: DataFrame, id_col: str) -> Data
 def delete_entities(existing: DataFrame, ids: DataFrame, id_col: str) -> DataFrame:
     """S7 — `DELETE FROM` as an anti-join."""
     return existing.join(ids.select(id_col), id_col, "left_anti")
+
+
+class EntityStore:
+    """Hash-bucketed entity store with PARTITION-PRUNED point updates.
+
+    The reference does per-object updates/deletes against Weaviate
+    (internal/weaviate/weaviate.go:549-601 update, :604-622 delete). A
+    full-table anti-join + rewrite per upsert batch is a scale-killer at
+    100 TB, so rows live in ``n_buckets`` hash partitions
+    (bucket = pmod(xxhash64(id), n)); an upsert/delete batch
+
+    1. prunes the read to the touched buckets only (partition filter on
+       the scan — 63/64 of the table is never read), and
+    2. rewrites ONLY those bucket directories via dynamic partition
+       overwrite — untouched partition files are not modified.
+
+    With an Iceberg catalog this becomes ``MERGE INTO``; the layout and
+    pruning behavior are identical.
+    """
+
+    BUCKET_COL = "_bucket"
+
+    def __init__(self, spark: SparkSession, path: str, id_col: str = "id",
+                 n_buckets: int = 64) -> None:
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.n_buckets = n_buckets
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            self.BUCKET_COL,
+            F.pmod(F.xxhash64(F.col(self.id_col).cast("string")), F.lit(self.n_buckets)),
+        )
+
+    def init(self, df: DataFrame) -> None:
+        """Full (re)write, partitioned by bucket."""
+        write_table(
+            self._bucketed(df), self.path, partition_by=[self.BUCKET_COL],
+            metadata={"id_col": self.id_col, "n_buckets": self.n_buckets},
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
+
+    def _rewrite_touched(self, batch: DataFrame, deleted: bool) -> None:
+        batch = self._bucketed(batch).persist()
+        touched = [r[0] for r in batch.select(self.BUCKET_COL).distinct().collect()]
+        # partition-pruned read: only the touched bucket dirs are scanned
+        existing = self.spark.read.parquet(self.path).where(
+            F.col(self.BUCKET_COL).isin(touched)
+        )
+        keep = existing.join(batch.select(self.id_col), self.id_col, "left_anti")
+        merged = keep if deleted else keep.unionByName(batch.select(*existing.columns))
+        # materialize before overwriting the directories being read
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(self.path)
+        )
+        # dynamic overwrite only replaces partitions PRESENT in the new
+        # data: a bucket emptied by a delete must be dropped explicitly
+        remaining = {r[0] for r in merged.select(self.BUCKET_COL).distinct().collect()}
+        for b in set(touched) - remaining:
+            bucket_dir = os.path.join(self.path, f"{self.BUCKET_COL}={b}")
+            if os.path.isdir(bucket_dir):
+                shutil.rmtree(bucket_dir)
+        batch.unpersist()
+
+    def upsert(self, updates: DataFrame) -> None:
+        """S6/S8 — rewrite only the buckets containing updated ids."""
+        self._rewrite_touched(updates, deleted=False)
+
+    def delete(self, ids: DataFrame) -> None:
+        """S7 — rewrite only the buckets containing deleted ids."""
+        self._rewrite_touched(ids, deleted=True)

@@ -14,7 +14,9 @@ equivalent is Structured Streaming over an arriving-files directory:
 foreachBatch is the right tool here (not a stateful operator): each
 micro-batch joins against the mutable entity table — a batch join per
 trigger — while normalization/blocking stay on the streaming plan.
-Checkpointing gives exactly-once appends.
+Writes are idempotent per batch_id (each batch owns one partition and a
+retried batch overwrites it), so stream-checkpoint replay AND mid-batch
+failure retry both land exactly-once.
 """
 
 from __future__ import annotations
@@ -51,9 +53,20 @@ class IncrementalResolver:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         prepared = self.prepare(batch).persist()
-        store_exists = os.path.exists(os.path.join(self.store_dir, "_SUCCESS"))
+        # dynamic partition overwrite writes no _SUCCESS marker; the
+        # store exists iff at least one batch partition landed
+        store_exists = os.path.isdir(self.store_dir) and any(
+            e.startswith("_batch_id=") for e in os.listdir(self.store_dir)
+        )
         if store_exists:
-            store = self.spark.read.parquet(self.store_dir)
+            # exclude THIS batch's own partition: a retried batch must
+            # match against exactly the store state the first attempt
+            # saw, even if the first attempt's store write landed
+            store = (
+                self.spark.read.parquet(self.store_dir)
+                .where(F.col("_batch_id") != batch_id)
+                .drop("_batch_id")
+            )
             queries = prepared.withColumnRenamed(self.cfg.id_col, "query_id")
             matches = find_matches(
                 queries, store, list(self.cfg.specs),
@@ -61,9 +74,24 @@ class IncrementalResolver:
                 block_key="block_key",
                 threshold=self.threshold,
             ).withColumn("batch_id", F.lit(batch_id))
-            matches.write.mode("append").parquet(self.matches_dir)
-        prepared.drop("block_keys").write.mode("append").parquet(self.store_dir)
+            self._idempotent_write(matches, "batch_id", self.matches_dir)
+        self._idempotent_write(
+            prepared.drop("block_keys").withColumn("_batch_id", F.lit(batch_id)),
+            "_batch_id", self.store_dir,
+        )
         prepared.unpersist()
+
+    @staticmethod
+    def _idempotent_write(df: DataFrame, batch_col: str, path: str) -> None:
+        """Exactly-once-per-batch sink: each micro-batch owns one
+        ``batch_col`` partition and a retried batch dynamically
+        OVERWRITES its own partition instead of appending a duplicate."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(batch_col)
+            .parquet(path)
+        )
 
     def start(self, input_dir: str, checkpoint_dir: str, schema,
               trigger_once: bool = True):

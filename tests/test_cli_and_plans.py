@@ -78,3 +78,25 @@ def test_blocked_join_is_whole_stage_codegen(spark):
     final = scored._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark whole-stage-codegen spans in the final plan
     assert "*(" in final and "isFinalPlan=true" in final
+
+
+@pytest.mark.slow
+def test_cli_ingest_then_match_files_config(spark, tmp_path):
+    """The match verb must work with the default --config files (no
+    canopy): ingest derives block_key from the multi-pass keys, match
+    uses the same fallback on both sides."""
+    from resolve_spark import datagen
+    files = datagen.with_record_id(datagen.synth_files(spark, n_base=200, dup_rate=0.3))
+    inp = str(tmp_path / "files")
+    files.where(~F.col("is_variant")).write.parquet(inp)
+    qs = str(tmp_path / "queries")
+    files.where(F.col("is_variant")).limit(20).write.parquet(qs)
+
+    store = str(tmp_path / "store")
+    _run_cli("ingest", "--input", inp, "--store", store)
+    out = str(tmp_path / "match_out")
+    res = _run_cli("match", "--input", qs, "--store", store,
+                   "--out", out, "--threshold", "0.7")
+    assert res["matches"] > 0
+    got = spark.read.parquet(out)
+    assert {"query_id", "match_id", "score", "rank"} <= set(got.columns)

@@ -103,3 +103,21 @@ def test_find_matches_text_rejects_plain_text(spark, prepared):
     _, _, ents = prepared
     with _pytest.raises(ValueError):
         find_matches_text(spark, "just a name with no fields", ents)
+
+
+def test_find_matches_text_with_block_key(spark, prepared):
+    """A non-None block_key must compute a REAL canopy key for the query
+    row (not NULL) so the equi-join can match the store."""
+    from resolve_spark.operators.matching import find_matches_text
+
+    cfg, _queries, ents = prepared
+    out = find_matches_text(
+        spark,
+        "name=Vertex Analytics; zip=62704",
+        ents,
+        entity_id="id",
+        block_key="block_key",
+        threshold=0.3,
+        block_fields=("name", "zip"),
+    ).collect()
+    assert {r["match_id"] for r in out} >= {"e-001"}

@@ -132,3 +132,43 @@ def test_entities_pipeline_f1_gate(spark):
     m = P.pairwise_f1(run.clusters, labeled, run.pairs)
     assert m["blocking_recall"] >= 0.99, m
     assert m["f1"] >= 0.99, m
+
+
+def test_pluggable_embedder_through_pipeline(spark):
+    """E2 — a custom embed function injects through PipelineConfig and
+    drives the vectors the pipeline scores with (embed.go:66-197 batch
+    semantics: order-preserving sub-batches; wrong dim raises)."""
+    import dataclasses
+
+    import numpy as np
+
+    from resolve_spark.functions.embedding import embedder_udf
+    from pyspark.sql import functions as F
+
+    calls = []
+
+    def toy_embed(texts):
+        calls.append(len(texts))
+        return [
+            np.full(16, (len(t) % 7) / 7.0, dtype=np.float32) for t in texts
+        ]
+
+    ents = datagen.entity_rows(spark)
+    cfg = dataclasses.replace(P.entities_pipeline_config(), embed_fn=toy_embed)
+    pipe = P.ResolvePipeline(spark, cfg)
+    norm = pipe.normalized(ents)
+    rows = norm.select("combined_text", "vector").collect()
+    for r in rows:
+        want = (len(r["combined_text"]) % 7) / 7.0
+        assert r["vector"] is not None and abs(r["vector"][0] - want) < 1e-6
+    # full run still converges with the injected embedder
+    run = pipe.run(ents)
+    clusters = {r["rid"]: r["cluster_id"] for r in run.clusters.collect()}
+    assert clusters["e-001"] == clusters["e-002"]
+
+    # dim mismatch is an error, not a silent pad
+    bad = embedder_udf(lambda ts: [np.zeros(3, np.float32) for _ in ts], dim=16)
+    df = spark.createDataFrame([("x",)], ["t"]).select(bad(F.col("t")).alias("v"))
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="expected"):
+        df.collect()

@@ -36,7 +36,7 @@ def test_incremental_ingest_and_match(spark, tmp_path):
     q.awaitTermination(300)
     store1 = spark.read.parquet(store_dir)
     assert store1.count() == base.count()
-    assert not os.path.exists(os.path.join(matches_dir, "_SUCCESS"))
+    assert not os.path.isdir(matches_dir)  # no matches written in wave 1
 
     # wave 2: the planted variants arrive -> they match stored bases
     variants.write.mode("append").parquet(input_dir)
@@ -54,3 +54,31 @@ def test_incremental_ingest_and_match(spark, tmp_path):
     q = resolver.start(input_dir, ckpt, schema)
     q.awaitTermination(300)
     assert spark.read.parquet(store_dir).count() == store2.count()
+
+
+def test_process_batch_retry_is_idempotent(spark, tmp_path):
+    """A mid-batch failure retry (same batch_id replayed) must not
+    duplicate rows in the store or the match log."""
+    store_dir = str(tmp_path / "store")
+    matches_dir = str(tmp_path / "matches")
+    files = datagen.with_record_id(
+        datagen.synth_files(spark, n_base=200, dup_rate=0.3)
+    ).persist()
+    base = files.where(~F.col("is_variant"))
+    variants = files.where(F.col("is_variant"))
+    resolver = IncrementalResolver(
+        spark, P.files_pipeline_config(), store_dir, matches_dir
+    )
+    resolver.process_batch(base, batch_id=0)
+    n0 = spark.read.parquet(store_dir).count()
+    assert n0 == base.count()
+
+    resolver.process_batch(variants, batch_id=1)
+    n1 = spark.read.parquet(store_dir).count()
+    m1 = spark.read.parquet(matches_dir).count()
+    assert n1 == files.count() and m1 > 0
+
+    # retry of batch 1 (foreachBatch redelivery after failure)
+    resolver.process_batch(variants, batch_id=1)
+    assert spark.read.parquet(store_dir).count() == n1
+    assert spark.read.parquet(matches_dir).count() == m1
