@@ -44,15 +44,17 @@ def sf_of(sf_dir: str) -> float:
         return 0.0
 
 
-def run_pipeline_bench(spark, sf: float) -> dict:
+def run_pipeline_bench(spark, sf: float, n_base: int | None = None) -> dict:
     """End-to-end ER pipeline on the deterministic synthetic files table,
-    sized with sf. Reports candidate-pairs-scored/sec (BASELINE metric)."""
+    sized with sf (or an explicit record count). Reports
+    candidate-pairs-scored/sec (BASELINE metric)."""
     import tempfile
 
     from resolve_spark import datagen
     from resolve_spark.plans import pipeline as P
 
-    n_base = max(2000, int(200_000 * sf))
+    if n_base is None:
+        n_base = max(2000, int(200_000 * sf))
     files = datagen.with_record_id(datagen.synth_files(spark, n_base=n_base, dup_rate=0.2))
     files.persist()
     n_records = files.count()
@@ -88,7 +90,8 @@ def run_queries_bench(spark, sf_dir: str) -> dict:
     return out
 
 
-def main_bench(cpus: int, sf_dir: str, pipeline_only: bool) -> dict:
+def main_bench(cpus: int, sf_dir: str, pipeline_only: bool,
+               n_base: int | None = None) -> dict:
     from resolve_spark.session import build_session
 
     spark = build_session(
@@ -97,7 +100,7 @@ def main_bench(cpus: int, sf_dir: str, pipeline_only: bool) -> dict:
     )
     sf = sf_of(sf_dir)
     t0 = time.time()
-    pipe_stats = run_pipeline_bench(spark, sf)
+    pipe_stats = run_pipeline_bench(spark, sf, n_base=n_base)
     queries = {} if pipeline_only else run_queries_bench(spark, sf_dir)
     total = time.time() - t0
     result = {
@@ -113,7 +116,7 @@ def main_bench(cpus: int, sf_dir: str, pipeline_only: bool) -> dict:
     return result
 
 
-def run_score_bench(cpus: int) -> dict:
+def run_score_bench(cpus: int, n_base: int = 50_000, pin: bool = False) -> dict:
     """Pairwise-scoring throughput (the BASELINE metric:
     candidate-pairs-scored/sec) on a fixed deterministic 1.31M-pair
     workload with the full kernel stack (no prefilter)."""
@@ -130,7 +133,7 @@ def run_score_bench(cpus: int) -> dict:
         app_name=f"resolve_scorebench_{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=64,
     )
-    files = datagen.with_record_id(datagen.synth_files(spark, n_base=50_000, dup_rate=0.2))
+    files = datagen.with_record_id(datagen.synth_files(spark, n_base=n_base, dup_rate=0.2))
     cfg = P.files_pipeline_config()
     pipe = P.ResolvePipeline(spark, cfg)
     ents = pipe.normalized(files).persist()
@@ -158,18 +161,31 @@ def run_score_bench(cpus: int) -> dict:
             "pairs_scored_per_sec": round(n / wall, 1)}
 
 
-def main_scaling(sf_dir: str) -> dict:
-    """Scoring throughput at local[2] / local[8] / local[32]; fresh JVM
-    each. The 2->8 pair is the clean N->4N evidence (each task slot gets
-    dedicated hardware); 8->32 oversubscribes this 32-logical-core box
-    (every pandas-UDF task needs a JVM thread AND a python worker), which
-    a real multi-executor cluster does not."""
+def main_scaling(sf_dir: str, n_base: int | None = None) -> dict:
+    """Pinned strong-scaling evidence (north rule N->4N): the scoring
+    job at 2 vs 8 DEDICATED cores (taskset), fresh JVM each, constant
+    partitioning (64), tmpfs shuffle scratch.
+
+    Pinning matters: since the round-2 vectorization the job is no
+    longer python-compute-bound, so an unpinned local[2] JVM leaks
+    shuffle/codegen/GC work onto the box's 30 idle cores and inflates
+    the N-level baseline — taskset makes "N task slots" mean N cores,
+    which is what an N-executor cluster gives you. local[32] (whole box,
+    unpinned) is reported for context; at 32 slots every pandas-UDF task
+    needs a JVM thread AND a python worker, which oversubscribes a
+    single box in a way a multi-executor cluster does not.
+    """
+    import shutil as _shutil
+
+    n_base = n_base or 150_000  # big enough that fixed stage costs are noise
+    have_taskset = _shutil.which("taskset") is not None
     results = {}
-    for cpus in (2, 8, 32):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--score-bench", "--cpus", str(cpus)],
-            capture_output=True, text=True, check=True,
-        )
+    for cpus, cores in ((2, "0,1"), (8, "0-7"), (32, None)):
+        cmd = [sys.executable, __file__, "--score-bench", "--cpus", str(cpus),
+               "--records", str(n_base)]
+        if cores is not None and have_taskset:
+            cmd = ["taskset", "-c", cores] + cmd
+        proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
         results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
     eff_2_8 = (results[2]["score_sec"] / results[8]["score_sec"]) / 4.0
     eff_8_32 = (results[8]["score_sec"] / results[32]["score_sec"]) / 4.0
@@ -177,6 +193,8 @@ def main_scaling(sf_dir: str) -> dict:
         "metric": "scaling_efficiency_2_to_8",
         "value": round(eff_2_8, 3),
         "unit": "ratio",
+        "pinned": have_taskset,
+        "records": n_base,
         "scaling_efficiency_8_to_32": round(eff_8_32, 3),
         "pairs": results[2]["pairs"],
         "throughput": {str(c): results[c]["pairs_scored_per_sec"] for c in results},
@@ -189,14 +207,18 @@ if __name__ == "__main__":
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--score-bench", action="store_true")
     ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--records", type=int, default=None,
+                    help="explicit base-record count for the pipeline bench "
+                         "(e.g. 770000 for the ~1M-record run)")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT))
     args = ap.parse_args()
     if args.scaling:
-        out = main_scaling(args.sf_dir)
+        out = main_scaling(args.sf_dir, n_base=args.records)
     elif args.score_bench:
-        out = run_score_bench(args.cpus)
+        out = run_score_bench(args.cpus, n_base=args.records or 50_000)
     else:
-        out = main_bench(args.cpus, args.sf_dir, args.pipeline_only)
+        out = main_bench(args.cpus, args.sf_dir, args.pipeline_only,
+                         n_base=args.records)
     print(json.dumps(out))

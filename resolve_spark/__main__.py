@@ -43,14 +43,24 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out")
     ap.add_argument("--id")
     ap.add_argument("--config", default="files", help="files | entities")
-    ap.add_argument("--threshold", type=float, default=0.85)
+    ap.add_argument("--config-file", default=None,
+                    help="YAML/JSON engine config (reference config.go schema); "
+                         "RESOLVE_* env vars override")
+    ap.add_argument("--threshold", type=float, default=None)
     ap.add_argument("--limit", type=int, default=10)
     ap.add_argument("--checkpoint")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
+    threshold = args.threshold
+    if args.config_file or threshold is None:
+        from resolve_spark.config import load_config
+        file_cfg = load_config(args.config_file)
+        if threshold is None:
+            threshold = file_cfg["matching"]["similarity_threshold"]
+
     spark = build_session(app_name=f"resolve_{args.verb}", master=args.master)
-    cfg = _config(args.config, args.threshold)
+    cfg = _config(args.config, threshold)
     pipe = ResolvePipeline(spark, cfg, checkpoint_dir=args.checkpoint)
 
     def _with_block_key(df):
@@ -88,7 +98,7 @@ def main(argv: list[str] | None = None) -> int:
         out = find_matches(
             queries.withColumnRenamed(qid, "query_id"), store,
             list(cfg.specs), entity_id=cfg.id_col,
-            limit=args.limit, threshold=args.threshold,
+            limit=args.limit, threshold=threshold,
         )
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"matches": out.count(), "out": args.out}))

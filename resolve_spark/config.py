@@ -105,3 +105,111 @@ class MatchConfig:
     embedding_dim: int = MOCK_EMBEDDING_DIM
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     normalization: NormalizationOptions = field(default_factory=NormalizationOptions)
+
+
+# ---------------------------------------------------------------------------
+# Config-file loading (config.go:72-167): YAML/JSON with the reference's
+# section names, reference defaults for anything omitted, and
+# RESOLVE_-prefixed environment overrides (viper.SetEnvPrefix parity).
+# ---------------------------------------------------------------------------
+
+def _config_defaults() -> dict:
+    """setDefaults() parity — config.go:146-167 (engine-relevant keys;
+    the server/API/Weaviate endpoints have no Spark equivalent)."""
+    return {
+        "matching": {
+            "similarity_threshold": DEFAULT_SIMILARITY_THRESHOLD,
+            "default_limit": DEFAULT_LIMIT,
+            "field_weights": dict(DEFAULT_FIELD_WEIGHTS),
+        },
+        "embedding": {
+            "batch_size": 32,
+            "embedding_dim": DEFAULT_EMBEDDING_DIM,
+            "model_name": "all-MiniLM-L6-v2",
+        },
+        "normalization": {
+            "enable_stopwords": True,
+            "enable_lowercase": True,
+            "name_options": {"remove_legal_suffixes": True, "normalize_initials": True},
+            "address_options": {"standardize_abbreviations": True,
+                                "remove_apartment_numbers": True},
+            "phone_options": {"e164_format": True},
+            "email_options": {"lowercase_domain": True},
+        },
+        "clustering": {
+            "enabled": False,
+            "method": "canopy",
+            "fields": list(DEFAULT_CLUSTER_FIELDS),
+            "similarity_threshold": 0.8,
+        },
+        "group": {
+            "strategy": DEFAULT_GROUP_STRATEGY,
+            "hops_limit": DEFAULT_HOPS_LIMIT,
+            "max_group_size": DEFAULT_MAX_GROUP_SIZE,
+        },
+    }
+
+
+def _deep_merge(base: dict, over: dict) -> dict:
+    out = dict(base)
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_config(path: str | None = None) -> dict:
+    """Load engine config: defaults <- file (YAML or JSON) <- env.
+
+    Environment overrides use the reference's prefix convention
+    (config.go:89-90): ``RESOLVE_MATCHING_SIMILARITY_THRESHOLD=0.9``
+    maps to ``cfg['matching']['similarity_threshold']``.
+    """
+    import json
+    import os
+
+    cfg = _config_defaults()
+    if path:
+        with open(path) as f:
+            raw = f.read()
+        if path.endswith(".json"):
+            loaded = json.loads(raw)
+        else:
+            import yaml
+            loaded = yaml.safe_load(raw)
+        if loaded:
+            cfg = _deep_merge(cfg, loaded)
+    for key, val in os.environ.items():
+        if not key.startswith("RESOLVE_"):
+            continue
+        parts = key[len("RESOLVE_"):].lower().split("_", 1)
+        if len(parts) != 2 or parts[0] not in cfg:
+            continue
+        section, rest = parts
+        if rest in cfg[section]:
+            cur = cfg[section][rest]
+            if isinstance(cur, bool):
+                cfg[section][rest] = val.lower() in ("1", "true", "yes")
+            elif isinstance(cur, (int, float)):
+                cfg[section][rest] = type(cur)(val)
+            else:
+                cfg[section][rest] = val
+    return cfg
+
+
+def normalization_options_from(cfg: dict) -> NormalizationOptions:
+    n = cfg["normalization"]
+    return NormalizationOptions(
+        enable_lowercase=n.get("enable_lowercase", True),
+        enable_stopwords=n.get("enable_stopwords", True),
+        remove_legal_suffixes=n.get("name_options", {}).get("remove_legal_suffixes", True),
+        normalize_initials=n.get("name_options", {}).get("normalize_initials", True),
+        standardize_abbreviations=n.get("address_options", {}).get(
+            "standardize_abbreviations", True),
+        remove_apartment_numbers=n.get("address_options", {}).get(
+            "remove_apartment_numbers", True),
+        phone_e164=n.get("phone_options", {}).get("e164_format", True),
+        email_lowercase_domain=n.get("email_options", {}).get("lowercase_domain", True),
+    )

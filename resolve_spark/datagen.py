@@ -324,5 +324,17 @@ ENTITY_ROWS = [
 ]
 
 
-def entity_rows(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(ENTITY_ROWS, ENTITY_COLUMNS)
+def entity_rows(spark: SparkSession, with_metadata: bool = False) -> DataFrame:
+    """Reference-shaped entity fixtures; ``with_metadata`` adds the
+    EntityRecord.Metadata map column (weaviate.go:47) so round-trip
+    tests can assert it survives pipeline -> store -> match results."""
+    df = spark.createDataFrame(ENTITY_ROWS, ENTITY_COLUMNS)
+    if with_metadata:
+        df = df.withColumn(
+            "metadata",
+            F.create_map(
+                F.lit("source_system"), F.col("source"),
+                F.lit("record_kind"), F.col("type"),
+            ),
+        )
+    return df

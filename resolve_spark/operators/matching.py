@@ -41,13 +41,21 @@ def find_matches(
     limit: int = 10,
     threshold: float = 0.85,
     vector_col: str | None = None,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """(query_id, match_id, score, field_scores, matched_on,
     explanation, rank) — top-``limit`` matches >= threshold per query.
 
     ``queries`` and ``entities`` must already carry the spec columns
     (and ``block_key`` unless block_key=None).
+
+    ``carry``: extra entity-side columns copied verbatim into each
+    match row — the EntityRecord.Metadata round-trip
+    (weaviate.go:47,135; match.go:22,41). Defaults to ['metadata']
+    when the entities table has that column.
     """
+    if carry is None:
+        carry = ["metadata"] if "metadata" in entities.columns else []
     side_cols = [s.column for s in specs] + ([vector_col] if vector_col else [])
     bk = (lambda df: F.col(block_key)) if block_key else (lambda df: F.lit("all"))
     q = queries.select(F.col(query_id).alias("id_a"), bk(queries).alias("_bk"))
@@ -68,6 +76,10 @@ def find_matches(
 
     qa = _sides(queries, query_id, "id_a", "_a")
     eb = _sides(entities, entity_id, "id_b", "_b")
+    if carry:
+        eb = eb.join(
+            entities.select(F.col(entity_id).alias("id_b"), *carry), "id_b"
+        )
     wide = pairs.join(qa, "id_a").join(eb, "id_b")
     scored = score_pairs(wide, specs, threshold=threshold, vector_col=vector_col)
     w = Window.partitionBy("id_a").orderBy(F.desc("score"), F.asc("id_b"))
@@ -83,6 +95,7 @@ def find_matches(
         "matched_on",
         explanation_column(F.col("score"), F.col("matched_on")).alias("explanation"),
         "rank",
+        *carry,
     )
 
 

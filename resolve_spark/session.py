@@ -43,6 +43,15 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # shuffle/spill scratch: on a cluster every executor brings its own
+    # local disks; on this one box the default /tmp is a single shared
+    # device and serializes parallel shuffle IO. tmpfs restores the
+    # per-core-scaling behavior a real cluster has.
+    if os.path.isdir("/dev/shm"):
+        builder = builder.config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -100,3 +100,30 @@ def test_cli_ingest_then_match_files_config(spark, tmp_path):
     assert res["matches"] > 0
     got = spark.read.parquet(out)
     assert {"query_id", "match_id", "score", "rank"} <= set(got.columns)
+
+
+def test_load_config_reference_schema(tmp_path):
+    """Config-file loading (config.go:72-167): YAML with the reference
+    section names, defaults for omissions, RESOLVE_* env overrides."""
+    import os
+
+    from resolve_spark.config import load_config, normalization_options_from
+
+    p = tmp_path / "config.yaml"
+    p.write_text(
+        "matching:\n  similarity_threshold: 0.92\n"
+        "normalization:\n  name_options:\n    remove_legal_suffixes: false\n"
+        "clustering:\n  enabled: true\n  fields: [name, phone]\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg["matching"]["similarity_threshold"] == 0.92
+    assert cfg["matching"]["default_limit"] == 10          # default kept
+    assert cfg["clustering"]["fields"] == ["name", "phone"]
+    opts = normalization_options_from(cfg)
+    assert opts.remove_legal_suffixes is False
+    assert opts.standardize_abbreviations is True           # default kept
+    os.environ["RESOLVE_MATCHING_SIMILARITY_THRESHOLD"] = "0.5"
+    try:
+        assert load_config(str(p))["matching"]["similarity_threshold"] == 0.5
+    finally:
+        del os.environ["RESOLVE_MATCHING_SIMILARITY_THRESHOLD"]

@@ -121,3 +121,21 @@ def test_find_matches_text_with_block_key(spark, prepared):
         block_fields=("name", "zip"),
     ).collect()
     assert {r["match_id"] for r in out} >= {"e-001"}
+
+
+def test_metadata_roundtrip_through_matching(spark):
+    """EntityRecord.Metadata parity (weaviate.go:47, match.go:22): a
+    metadata map on the entity store survives normalize -> block ->
+    find_matches and lands verbatim on each match row."""
+    cfg = entities_pipeline_config()
+    ents = datagen.entity_rows(spark, with_metadata=True)
+    ents = N.normalize_entity(ents, cfg.normalize_types)
+    ents = ents.withColumn("block_key", B.canopy_key(ents.columns, ("name", "zip")))
+    queries = ents.where(F.col("id") == "e-001").withColumnRenamed("id", "query_id")
+    out = find_matches(queries, ents, list(cfg.specs), entity_id="id",
+                       limit=5, threshold=0.5).collect()
+    assert out, "expected at least the planted duplicate to match"
+    by_id = {r["match_id"]: r["metadata"] for r in out}
+    raw = {r["id"]: (r["source"], r["type"]) for r in datagen.entity_rows(spark).collect()}
+    for mid, meta in by_id.items():
+        assert meta == {"source_system": raw[mid][0], "record_kind": raw[mid][1]}
