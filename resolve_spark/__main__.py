@@ -36,7 +36,8 @@ def _config(name: str, threshold: float):
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="resolve_spark")
     ap.add_argument("verb", choices=["ingest", "match", "resolve",
-                                     "recompute-clusters", "group"])
+                                     "recompute-clusters", "group", "serve"])
+    ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--input")
     ap.add_argument("--store")
     ap.add_argument("--edges")
@@ -110,6 +111,21 @@ def main(argv: list[str] | None = None) -> int:
         re_blocked = pipe.blocked(store.drop(*drop))
         re_blocked.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"recomputed": re_blocked.count(), "out": args.out}))
+
+    elif args.verb == "serve":
+        # S11 — the reference's REST surface (api/server.go:70-89)
+        import time as _time
+
+        from resolve_spark.api import ResolveEngine, serve
+        engine = ResolveEngine(spark, args.store)
+        server = serve(engine, host="0.0.0.0", port=args.port)
+        print(json.dumps({"serving": f"0.0.0.0:{server.server_address[1]}",
+                          "store": args.store}), flush=True)
+        try:
+            while True:
+                _time.sleep(3600)
+        except KeyboardInterrupt:
+            server.shutdown()
 
     elif args.verb == "group":
         from resolve_spark.operators.clustering import direct_group

@@ -1,0 +1,409 @@
+"""S11 — the reference's REST surface (api/server.go:70-89, 12 routes)
+over the Spark engine, served by stdlib ``ThreadingHTTPServer`` (no web
+framework in this container, none needed).
+
+Route parity:
+
+    GET    /health
+    POST   /entities                 add one entity
+    GET    /entities/{id}
+    PUT    /entities/{id}
+    DELETE /entities/{id}
+    POST   /entities/batch
+    GET    /entities/count
+    POST   /match                    match a structured entity
+    POST   /match/text               match "field=value; ..." text
+    GET    /entities/{id}/group      query-param options
+    POST   /entities/{id}/group      JSON-body options
+    POST   /clusters/recompute
+
+Engine mapping: the entity store is a hash-bucketed parquet
+``EntityStore`` (partition-pruned point updates — the Weaviate
+replacement); matching is ``find_matches``/``find_matches_text``;
+groups run the per-seed hop-limited ``match_groups`` BFS over scored
+edges derived from the store (recomputed lazily after mutations).
+Divergence from the reference (documented): the reference REQUIRES a
+client-supplied vector on add (server.go:154-163); this engine computes
+the deterministic mock embedding when absent, because embedding is
+in-engine here rather than a sidecar.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, FloatType, MapType, StringType, StructField, StructType,
+)
+
+from resolve_spark.config import (
+    DEFAULT_GROUP_STRATEGY, DEFAULT_HOPS_LIMIT, DEFAULT_LIMIT,
+    DEFAULT_MAX_GROUP_SIZE, DEFAULT_SIMILARITY_THRESHOLD, MOCK_EMBEDDING_DIM,
+)
+from resolve_spark.functions import normalize as N
+from resolve_spark.functions.embedding import mock_embedding_udf
+from resolve_spark.operators import blocking as B
+from resolve_spark.operators import clustering as C
+from resolve_spark.operators.matching import find_matches, find_matches_text
+from resolve_spark.operators.scoring import specs_from_options
+from resolve_spark.plans.pipeline import entities_pipeline_config
+from resolve_spark.sources.tables import EntityStore
+
+ENTITY_FIELDS = ("name", "address", "city", "state", "zip", "phone", "email")
+
+_SCHEMA = StructType(
+    [StructField("id", StringType())]
+    + [StructField(f, StringType()) for f in ENTITY_FIELDS]
+    + [
+        StructField("vector", ArrayType(FloatType())),
+        StructField("metadata", MapType(StringType(), StringType())),
+    ]
+)
+
+
+class ResolveEngine:
+    """The route implementations, HTTP-free (unit-testable directly)."""
+
+    def __init__(self, spark, store_path: str, n_buckets: int = 16,
+                 embedding_dim: int = MOCK_EMBEDDING_DIM):
+        self.spark = spark
+        self.cfg = entities_pipeline_config()
+        self.store = EntityStore(spark, store_path, id_col="id", n_buckets=n_buckets)
+        self.embedding_dim = embedding_dim
+        self._edges = None            # scored edges cache for group routes
+        self._edges_stale = True
+        self._lock = threading.Lock()
+        self._initialized = False
+
+    # -- entity CRUD --------------------------------------------------------
+
+    def _prepare(self, rows: list[dict]):
+        """JSON dicts -> normalized/blocked/embedded store rows."""
+        data = []
+        for i, r in enumerate(rows):
+            rec = {"id": str(r.get("id") or f"e-api-{i}")}
+            for f in ENTITY_FIELDS:
+                rec[f] = str(r.get(f) or "")
+            vec = r.get("vector")
+            if vec is not None and len(vec) != self.embedding_dim:
+                raise ValueError(
+                    f"invalid vector dimension: expected {self.embedding_dim}, "
+                    f"got {len(vec)}"
+                )
+            rec["vector"] = [float(x) for x in vec] if vec is not None else None
+            meta = r.get("metadata") or {}
+            rec["metadata"] = {str(k): str(v) for k, v in meta.items()}
+            data.append(rec)
+        df = self.spark.createDataFrame(data, _SCHEMA)
+        df = N.normalize_entity(df, self.cfg.normalize_types)
+        df = df.withColumn(
+            "block_key", B.canopy_key(df.columns, self.cfg.blocking.fields)
+        )
+        combined = F.concat_ws(" ", *[F.col(f) for f in ENTITY_FIELDS])
+        df = df.withColumn(
+            "vector",
+            F.coalesce(
+                F.col("vector"), mock_embedding_udf(self.embedding_dim)(combined)
+            ),
+        )
+        return df, [r["id"] for r in data]
+
+    def add_entities(self, rows: list[dict]) -> list[str]:
+        df, ids = self._prepare(rows)
+        with self._lock:
+            if not self._initialized and self.count() == 0:
+                self.store.init(df)
+            else:
+                self.store.upsert(df)
+            self._initialized = True
+            self._edges_stale = True
+        return ids
+
+    def get_entity(self, entity_id: str) -> dict | None:
+        rows = self.store.read().where(F.col("id") == entity_id).collect()
+        if not rows:
+            return None
+        d = rows[0].asDict(recursive=True)
+        if d.get("vector") is not None:
+            d["vector"] = [float(x) for x in d["vector"]]
+        return d
+
+    def update_entity(self, entity_id: str, payload: dict) -> None:
+        payload = dict(payload, id=entity_id)
+        existing = self.get_entity(entity_id)
+        if existing:
+            # PUT merges over the stored record (reference updates
+            # provided properties, weaviate.go:549-601)
+            for f in ENTITY_FIELDS:
+                payload.setdefault(f, existing.get(f))
+            payload.setdefault("metadata", existing.get("metadata"))
+        df, _ = self._prepare([payload])
+        with self._lock:
+            self.store.upsert(df)
+            self._edges_stale = True
+
+    def delete_entity(self, entity_id: str) -> None:
+        ids = self.spark.createDataFrame([(entity_id,)], ["id"])
+        with self._lock:
+            self.store.delete(ids)
+            self._edges_stale = True
+
+    def count(self) -> int:
+        try:
+            return self.store.read().count()
+        except Exception:
+            return 0
+
+    # -- matching -----------------------------------------------------------
+
+    def _match_opts(self, req: dict) -> dict:
+        threshold = float(req.get("threshold") or 0)
+        if threshold <= 0:
+            threshold = DEFAULT_SIMILARITY_THRESHOLD
+        limit = int(req.get("limit") or 0)
+        if limit <= 0:
+            limit = DEFAULT_LIMIT
+        return {
+            "threshold": threshold,
+            "limit": limit,
+            "field_weights": req.get("field_weights") or None,
+            "field_type_mappings": req.get("field_type_mappings") or None,
+        }
+
+    @staticmethod
+    def _match_rows(out) -> list[dict]:
+        rows = []
+        for r in out.collect():
+            d = r.asDict(recursive=True)
+            d.pop("query_id", None)
+            d["id"] = d.pop("match_id")
+            rows.append(d)
+        return rows
+
+    def match_entity(self, req: dict) -> list[dict]:
+        entity = req.get("entity")
+        if not entity:
+            raise ValueError("Entity is required")
+        opts = self._match_opts(req)
+        qdf, _ = self._prepare([dict(entity, id=entity.get("id") or "q-api")])
+        queries = qdf.withColumnRenamed("id", "query_id")
+        fields = [f for f in ENTITY_FIELDS if (entity.get(f) or "") != ""]
+        specs = specs_from_options(
+            fields, opts["field_type_mappings"], None, opts["field_weights"]
+        )
+        store = self.store.read()
+        out = find_matches(
+            queries, store, specs, entity_id="id",
+            block_key="block_key" if req.get("use_clustering") else None,
+            limit=opts["limit"], threshold=opts["threshold"],
+        )
+        return self._match_rows(out)
+
+    def match_text(self, req: dict) -> list[dict]:
+        text = req.get("text") or ""
+        if not text:
+            raise ValueError("Text is required")
+        opts = self._match_opts(req)
+        out = find_matches_text(
+            self.spark, text, self.store.read(), entity_id="id",
+            block_key="block_key" if req.get("use_clustering") else None,
+            block_fields=self.cfg.blocking.fields,
+            limit=opts["limit"], threshold=opts["threshold"],
+            field_type_mappings=opts["field_type_mappings"],
+            field_weights=opts["field_weights"],
+        )
+        return self._match_rows(out)
+
+    # -- groups -------------------------------------------------------------
+
+    def _scored_edges(self):
+        with self._lock:
+            if self._edges is not None and not self._edges_stale:
+                return self._edges
+        edges = self.recompute()
+        return edges
+
+    def recompute(self):
+        """POST /clusters/recompute — re-derive blocking keys and scored
+        edges over the whole store (B3 + the batch analog of the
+        reference's cluster recompute)."""
+        from resolve_spark.operators.pairs import candidate_pairs
+        from resolve_spark.operators.scoring import attach_pair_sides, score_pairs
+
+        store = self.store.read()
+        blocked = B.add_blocking_keys(store, self.cfg.blocking)
+        pairs, _ = candidate_pairs(blocked, "id", self.cfg.blocking, with_stats=False)
+        wide = attach_pair_sides(pairs, store, "id",
+                                 [s.column for s in self.cfg.specs])
+        scored = score_pairs(wide, list(self.cfg.specs),
+                             threshold=self.cfg.threshold)
+        edges = scored.select("id_a", "id_b", "score").persist()
+        edges.count()
+        with self._lock:
+            if self._edges is not None:
+                self._edges.unpersist()
+            self._edges = edges
+            self._edges_stale = False
+        return edges
+
+    def match_group(self, entity_id: str, opts: dict) -> dict:
+        seed = self.get_entity(entity_id)
+        if seed is None:
+            raise KeyError(entity_id)
+        threshold = float(opts.get("threshold") or 0)
+        if threshold <= 0:
+            threshold = DEFAULT_SIMILARITY_THRESHOLD
+        strategy = opts.get("strategy") or DEFAULT_GROUP_STRATEGY
+        hops = int(opts.get("hops_limit") or 0) or DEFAULT_HOPS_LIMIT
+        max_size = int(opts.get("max_size") or 0) or DEFAULT_MAX_GROUP_SIZE
+        edges = self._scored_edges()
+        seeds = self.spark.createDataFrame([(entity_id,)], ["seed"])
+        members = C.match_groups(
+            edges, seeds, threshold=threshold, strategy=strategy,
+            hops_limit=hops, max_group_size=max_size,
+        ).orderBy("rank").collect()
+        ents = [
+            {"id": r["rid"], "score": float(r["score"]),
+             "hop_distance": int(r["hop_distance"])}
+            for r in members
+        ]
+        avg = sum(e["score"] for e in ents) / len(ents) if ents else 0.0
+        return {
+            "id": entity_id,
+            "primary_id": entity_id,
+            "entities": ents,
+            "score": avg,
+            "size": len(ents),
+        }
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer
+# ---------------------------------------------------------------------------
+
+_ID_GROUP_RE = re.compile(r"^/entities/([^/]+)/group$")
+_ID_RE = re.compile(r"^/entities/([^/]+)$")
+
+
+def _make_handler(engine: ResolveEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test runs
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _error(self, code: int, msg: str):
+            self._send(code, {"error": msg})
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(n) if n else b"{}"
+            return json.loads(raw or b"{}")
+
+        def do_GET(self):  # noqa: N802
+            from urllib.parse import parse_qsl, urlparse
+            u = urlparse(self.path)
+            q = dict(parse_qsl(u.query))
+            try:
+                if u.path == "/health":
+                    self._send(200, {"status": "ok",
+                                     "store_healthy": True,
+                                     "entities": engine.count()})
+                elif u.path == "/entities/count":
+                    self._send(200, {"count": engine.count()})
+                elif m := _ID_GROUP_RE.match(u.path):
+                    self._send(200, engine.match_group(m.group(1), q))
+                elif m := _ID_RE.match(u.path):
+                    ent = engine.get_entity(m.group(1))
+                    if ent is None:
+                        self._error(404, "Entity not found")
+                    else:
+                        self._send(200, ent)
+                else:
+                    self._error(404, "route not found")
+            except KeyError:
+                self._error(404, "Entity not found")
+            except Exception as e:  # noqa: BLE001
+                self._error(500, str(e))
+
+        def do_POST(self):  # noqa: N802
+            try:
+                if self.path == "/entities":
+                    req = self._body()
+                    ids = engine.add_entities([req])
+                    self._send(201, {"id": ids[0]})
+                elif self.path == "/entities/batch":
+                    req = self._body()
+                    ents = req.get("entities") or []
+                    if not ents:
+                        self._error(400, "No entities provided")
+                        return
+                    ids = engine.add_entities(ents)
+                    self._send(201, {"status": "added", "count": len(ids),
+                                     "ids": ids})
+                elif self.path == "/match":
+                    matches = engine.match_entity(self._body())
+                    self._send(200, {"matches": matches, "count": len(matches)})
+                elif self.path == "/match/text":
+                    matches = engine.match_text(self._body())
+                    self._send(200, {"matches": matches, "count": len(matches)})
+                elif self.path == "/clusters/recompute":
+                    edges = engine.recompute()
+                    self._send(200, {"status": "recomputed",
+                                     "edges": edges.count()})
+                elif m := _ID_GROUP_RE.match(self.path):
+                    self._send(200, engine.match_group(m.group(1), self._body()))
+                else:
+                    self._error(404, "route not found")
+            except ValueError as e:
+                self._error(400, str(e))
+            except KeyError:
+                self._error(404, "Entity not found")
+            except Exception as e:  # noqa: BLE001
+                self._error(500, str(e))
+
+        def do_PUT(self):  # noqa: N802
+            m = _ID_RE.match(self.path)
+            if not m:
+                self._error(404, "route not found")
+                return
+            try:
+                engine.update_entity(m.group(1), self._body())
+                self._send(200, {"status": "updated", "id": m.group(1)})
+            except ValueError as e:
+                self._error(400, str(e))
+            except Exception as e:  # noqa: BLE001
+                self._error(500, str(e))
+
+        def do_DELETE(self):  # noqa: N802
+            m = _ID_RE.match(self.path)
+            if not m:
+                self._error(404, "route not found")
+                return
+            try:
+                engine.delete_entity(m.group(1))
+                self._send(200, {"status": "deleted", "id": m.group(1)})
+            except Exception as e:  # noqa: BLE001
+                self._error(500, str(e))
+
+    return Handler
+
+
+def serve(engine: ResolveEngine, host: str = "127.0.0.1", port: int = 0):
+    """Start the API server on a background thread; returns the server
+    (``server.server_address`` carries the bound port; ``shutdown()``
+    stops it)."""
+    server = ThreadingHTTPServer((host, port), _make_handler(engine))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server

@@ -1,0 +1,117 @@
+"""S11 REST surface (api/server.go:70-89 route parity) driven over real
+HTTP with urllib against the ThreadingHTTPServer."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from urllib.error import HTTPError
+
+import pytest
+
+from resolve_spark import datagen
+from resolve_spark.api import ResolveEngine, serve
+
+
+def _req(base, method, path, payload=None):
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(f"{base}{path}", data=data, method=method,
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+@pytest.fixture(scope="module")
+def api(spark, tmp_path_factory):
+    engine = ResolveEngine(spark, str(tmp_path_factory.mktemp("api") / "store"),
+                           n_buckets=4)
+    server = serve(engine)
+    host, port = server.server_address
+    yield f"http://{host}:{port}"
+    server.shutdown()
+
+
+def test_full_entity_lifecycle_over_http(api):
+    # health before any data
+    code, health = _req(api, "GET", "/health")
+    assert code == 200 and health["status"] == "ok"
+
+    # batch add the reference-shaped fixtures
+    ents = [
+        {"id": rid, **{k: v for k, v in zip(
+            ("name", "address", "city", "state", "zip", "phone", "email"),
+            fields)}, "metadata": {"src": src}}
+        for rid, *fields, src, _typ in datagen.ENTITY_ROWS
+    ]
+    code, resp = _req(api, "POST", "/entities/batch", {"entities": ents})
+    assert code == 201 and resp["count"] == len(ents)
+
+    code, resp = _req(api, "GET", "/entities/count")
+    assert resp["count"] == len(ents)
+
+    # point read round-trips fields + metadata
+    code, e1 = _req(api, "GET", "/entities/e-001")
+    assert code == 200 and e1["name"] == ents[0]["name"]
+    assert e1["metadata"] == ents[0]["metadata"]
+    assert len(e1["vector"]) == 16  # mock embedding computed server-side
+
+    # single add + update + delete
+    code, resp = _req(api, "POST", "/entities", {
+        "id": "e-x", "name": "Temp Co", "zip": "00001"})
+    assert code == 201 and resp["id"] == "e-x"
+    code, resp = _req(api, "PUT", "/entities/e-x", {"name": "Temp Company"})
+    assert resp["status"] == "updated"
+    code, ex = _req(api, "GET", "/entities/e-x")
+    assert ex["name"] == "Temp Company" and ex["zip"] == "00001"  # merge kept zip
+    code, resp = _req(api, "DELETE", "/entities/e-x")
+    assert resp["status"] == "deleted"
+    with pytest.raises(HTTPError) as err:
+        _req(api, "GET", "/entities/e-x")
+    assert err.value.code == 404
+
+
+def test_match_routes_over_http(api):
+    # structured match: the planted duplicate pair must be the top hits
+    code, resp = _req(api, "POST", "/match", {
+        "entity": {"name": "Vertex Analytics", "address": "742 Birch Street",
+                   "city": "Springfield", "state": "IL", "zip": "62704"},
+        "threshold": 0.5,
+    })
+    assert code == 200 and resp["count"] >= 2
+    top_ids = [m["id"] for m in resp["matches"][:2]]
+    assert set(top_ids) == {"e-001", "e-002"}
+    assert "explanation" in resp["matches"][0]
+
+    # text match (M6 parse + M1)
+    code, resp = _req(api, "POST", "/match/text", {
+        "text": "name=Vertex Analytics; city=Springfield", "threshold": 0.5})
+    assert code == 200
+    assert {m["id"] for m in resp["matches"][:2]} == {"e-001", "e-002"}
+
+    # missing text -> 400 like the reference
+    with pytest.raises(HTTPError) as err:
+        _req(api, "POST", "/match/text", {"threshold": 0.5})
+    assert err.value.code == 400
+
+
+def test_group_and_recompute_over_http(api):
+    code, resp = _req(api, "POST", "/clusters/recompute")
+    assert code == 200 and resp["status"] == "recomputed"
+
+    code, grp = _req(api, "GET",
+                     "/entities/e-001/group?strategy=hybrid&threshold=0.5")
+    assert code == 200
+    assert grp["primary_id"] == "e-001" and grp["size"] >= 2
+    ids = {e["id"] for e in grp["entities"]}
+    assert {"e-001", "e-002"} <= ids
+    hops = {e["id"]: e["hop_distance"] for e in grp["entities"]}
+    assert hops["e-001"] == 0 and hops["e-002"] >= 1
+
+    # POST body options variant
+    code, grp2 = _req(api, "POST", "/entities/e-001/group",
+                      {"strategy": "direct", "threshold": 0.5, "max_size": 5})
+    assert code == 200 and grp2["size"] <= 5
+
+    with pytest.raises(HTTPError) as err:
+        _req(api, "GET", "/entities/nope/group")
+    assert err.value.code == 404
