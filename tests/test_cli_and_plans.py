@@ -127,3 +127,46 @@ def test_load_config_reference_schema(tmp_path):
         assert load_config(str(p))["matching"]["similarity_threshold"] == 0.5
     finally:
         del os.environ["RESOLVE_MATCHING_SIMILARITY_THRESHOLD"]
+
+
+def test_decomposed_scoring_single_arrow_eval(spark):
+    """The decomposed scoring plan must contain exactly ONE
+    ArrowEvalPython node (the JW-only fused pUDF) — regression guard for
+    optimizer-duplicated UDF evaluation and for natives accidentally
+    falling back to Python."""
+    from resolve_spark import datagen
+    from resolve_spark.plans import pipeline as P
+    from resolve_spark.operators.scoring import attach_pair_sides, score_pairs
+
+    files = datagen.with_record_id(datagen.synth_files(spark, n_base=500, dup_rate=0.2))
+    cfg = P.files_pipeline_config()
+    pipe = P.ResolvePipeline(spark, cfg)
+    ents = pipe.normalized(files)
+    a = ents.select(F.col("record_id").alias("id_a"), F.col("uid").alias("ua"))
+    b = ents.select(F.col("record_id").alias("id_b"), F.col("uid").alias("ub"))
+    pairs = a.join(b, (F.col("ub") > F.col("ua")) & (F.col("ub") - F.col("ua") <= 5)).select("id_a", "id_b")
+    side_cols = [s.column for s in cfg.specs]
+    for s in cfg.specs:
+        for extra in (f"{s.column}_pre", f"{s.column}_pre_tokens"):
+            if extra in ents.columns:
+                side_cols.append(extra)
+    wide = attach_pair_sides(pairs, ents, "record_id", side_cols)
+    scored = score_pairs(wide, list(cfg.specs), threshold=0.85)
+    base = wide._jdf.queryExecution().executedPlan().toString().count("ArrowEvalPython")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    # upstream normalized() legitimately has record-level pUDFs (the two
+    # preprocess UDFs); SCORING itself must add exactly one ArrowEvalPython
+    assert plan.count("ArrowEvalPython") == base + 1, plan[:2000]
+
+
+def test_entity_store_read_prunes_partitions(spark, tmp_path):
+    """EntityStore point reads must push the bucket filter into the scan
+    (PartitionFilters), not scan every bucket."""
+    from resolve_spark.sources.tables import EntityStore
+    store = EntityStore(spark, str(tmp_path / "s"), id_col="id", n_buckets=8)
+    store.init(spark.createDataFrame([(i, f"n{i}") for i in range(100)], ["id", "name"]))
+    pruned = spark.read.parquet(store.path).where(F.col("_bucket").isin([3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    flat = plan.replace("\n", " ")
+    assert "PartitionFilters" in flat
+    assert "_bucket" in flat.split("PartitionFilters", 1)[1][:200]

@@ -82,3 +82,45 @@ def test_process_batch_retry_is_idempotent(spark, tmp_path):
     resolver.process_batch(variants, batch_id=1)
     assert spark.read.parquet(store_dir).count() == n1
     assert spark.read.parquet(matches_dir).count() == m1
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: state persists across micro-batches
+    AND across stream restarts (checkpointed) — a duplicate arriving in
+    a later wave is flagged, never re-emitted as first."""
+    from resolve_spark.streaming.dedup import run_streaming_dedup
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(input_dir)
+
+    wave1 = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lorem ipsum dolor"),
+         (3, "THE QUICK  brown fox")],  # normalized dup of doc 1
+        ["doc_id", "text"],
+    )
+    schema = wave1.schema
+    wave1.write.mode("overwrite").parquet(input_dir)
+    q = run_streaming_dedup(spark, input_dir, out_dir, ckpt, schema)
+    q.awaitTermination(300)
+
+    got1 = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert got1[1]["is_first"] and not got1[3]["is_first"]
+    assert got1[3]["prior_dupes"] == 1 and got1[2]["is_first"]
+
+    # wave 2 after a RESTART: new doc + another dup of doc 1
+    wave2 = spark.createDataFrame(
+        [(4, "completely new text"), (5, "the quick brown fox")],
+        ["doc_id", "text"],
+    )
+    wave2.write.mode("append").parquet(input_dir)
+    q = run_streaming_dedup(spark, input_dir, out_dir, ckpt, schema)
+    q.awaitTermination(300)
+
+    got2 = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert got2[4]["is_first"]
+    assert not got2[5]["is_first"]          # state survived the restart
+    assert got2[5]["prior_dupes"] == 2       # doc 1 + doc 3 seen before
+    firsts = {d for d, r in got2.items() if r["is_first"]}
+    assert firsts == {1, 2, 4}
