@@ -564,6 +564,42 @@ def _q39_match_groups(spark, sf_dir):  # G1/G3/G4 — per-seed hop-limited BFS
     ).select("seed", "rid", "hop_distance", F.round("score", 6).alias("score"), "rank")
 
 
+def _q40_windowed_events(spark, sf_dir):  # event-time tumbling windows
+    e = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def _q41_json_props(spark, sf_dir):  # semi-structured JSON column extraction
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.groupBy((k % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+def _q42_user_sessions(spark, sf_dir):  # gap-based sessionization (30 min)
+    from pyspark.sql import Window as W
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session tz is UTC so the cast is an
+    # identity relabel (matches DuckDB's naive epoch_us)
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = tus - F.lag(tus).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("is_new").cast("int").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -605,6 +641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_direct_group": _q37_direct_group,
         "q38_hybrid_edges": _q38_hybrid_edges,
         "q39_match_groups": _q39_match_groups,
+        "q40_windowed_events": _q40_windowed_events,
+        "q41_json_props": _q41_json_props,
+        "q42_user_sessions": _q42_user_sessions,
     }
 
 
@@ -861,6 +900,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, row_number() OVER (PARTITION BY seed "
             "ORDER BY hop_distance, score DESC, node) AS rank FROM scored"
             ") WHERE rank <= 100"
+        ),
+        # float-sum note: total_value rounds at 4 and avg_value at 6
+        # decimals — orders of magnitude above double-sum association
+        # error for these magnitudes, so the hashes are stable
+        "q40_windowed_events": (
+            "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
+            "event_type, count(*) AS n, round(sum(value), 4) AS total_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "q41_json_props": (
+            "SELECT (json_extract_string(props, '$.k')::INT % 10) AS k_mod, "
+            "count(*) AS n, round(avg(value), 6) AS avg_value "
+            "FROM events GROUP BY 1"
+        ),
+        "q42_user_sessions": (
+            "WITH o AS (SELECT user_id, epoch_us(ts) AS tus, "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS prev FROM events), "
+            "m AS (SELECT user_id, CASE WHEN prev IS NULL OR tus - prev > "
+            "1800000000 THEN 1 ELSE 0 END AS is_new FROM o) "
+            "SELECT user_id, sum(is_new)::INT AS n_sessions, "
+            "count(*) AS n_events FROM m GROUP BY 1"
         ),
         # rows-only by design: q19/q28 (MinHash: seeded numpy hashing),
         # q20 (JW composite: DuckDB's jaro_winkler gates the prefix boost AND

@@ -124,3 +124,47 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     assert got2[5]["prior_dupes"] == 2       # doc 1 + doc 3 seen before
     firsts = {d for d, r in got2.items() if r["is_first"]}
     assert firsts == {1, 2, 4}
+
+
+def test_windowed_counts_drop_late_events(spark, tmp_path):
+    """Watermarked windowed agg: append mode emits each closed window
+    once; an event arriving AFTER the watermark passed its window is
+    dropped, not double-counted."""
+    import datetime as dt
+
+    from resolve_spark.streaming.windows import run_windowed_counts
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(input_dir)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minutes, etype="click", value=1.0):
+        return (eid, t0 + dt.timedelta(minutes=minutes), etype, value)
+
+    cols = ["event_id", "ts", "event_type", "value"]
+    # wave 1: hour-0 events and an hour-3 event that pushes the
+    # watermark far past hour 0 (watermark = max ts - 10 min)
+    wave1 = spark.createDataFrame(
+        [ev(1, 5), ev(2, 20), ev(3, 185)], cols)
+    wave1.write.mode("overwrite").parquet(input_dir)
+    q = run_windowed_counts(spark, input_dir, out_dir, ckpt, wave1.schema)
+    q.awaitTermination(300)
+    rows1 = {(r["window_start"].hour, r["event_type"]): r["n"]
+             for r in spark.read.parquet(out_dir).collect()}
+    assert rows1[(0, "click")] == 2          # hour-0 window closed and emitted
+    assert (3, "click") not in rows1          # hour-3 window still open
+
+    # wave 2: a LATE hour-0 event (watermark has long passed) + one more
+    # hour-3 event + an hour-5 event to close hour 3
+    wave2 = spark.createDataFrame(
+        [ev(4, 25), ev(5, 190), ev(6, 320)], cols)
+    wave2.write.mode("append").parquet(input_dir)
+    q = run_windowed_counts(spark, input_dir, out_dir, ckpt, wave1.schema)
+    q.awaitTermination(300)
+    rows2 = {(r["window_start"].hour, r["event_type"]): r["n"]
+             for r in spark.read.parquet(out_dir).collect()}
+    assert rows2[(0, "click")] == 2          # late event 4 DROPPED
+    assert rows2[(3, "click")] == 2          # hour-3 closed with both events
