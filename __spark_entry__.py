@@ -4,11 +4,14 @@
                scoring -> connected components) on sf0.001.
 ``queries``  — one entry per implemented operator family from
                SURVEY.md §2 (IDs noted per query).
-``oracle_sql`` — DuckDB-equivalent SQL for every SQL-expressible query;
-               JW-bearing composites, MinHash and mock-embedding ops are
-               deliberately rows-only (DuckDB's jaro_winkler applies the
-               0.7 boost gate; the reference's does not — no faithful
-               SQL oracle exists).
+``oracle_sql`` — DuckDB-equivalent SQL for every SQL-expressible query
+               (36 of 42); the six rows-only queries are hash/seed-bound:
+               MinHash (seeded numpy), SimHash/LSH/IVF (Spark xxhash64 /
+               seeded hyperplanes), and the JW composite — DuckDB's
+               jaro_winkler gates the prefix boost at 0.7 AND its
+               jaro_similarity uses a different matching rule (verified:
+               0.70 vs the reference's 0.6722 on 'hot plate'/'blue
+               plate'), so no faithful SQL oracle exists for it.
 """
 
 from __future__ import annotations

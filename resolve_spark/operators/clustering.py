@@ -15,10 +15,13 @@ O(log n) rounds. Lineage is truncated every round via localCheckpoint
 by a (count, xxhash-sum) fingerprint of the edge set.
 
 Strategy parity (group.go):
-- "transitive" == CC over edges at threshold t.
+- "transitive" == CC over edges at threshold t (global form), or the
+  EXACT per-seed hop-limited BFS via ``match_groups``.
 - "direct"     == the 1-hop neighborhood of a seed (trivial filter).
-- "hybrid"     == CC over edges>=0.9 plus edges>=t that touch a >=0.9
-  component (two-threshold simplification, SURVEY.md §7 decision #3).
+- "hybrid"     == per-seed EXACT semantics in ``match_groups``
+  (direct@max(t,0.9) then hops-1 transitive, group.go:266-337); the
+  global-clustering form keeps the documented two-threshold
+  approximation in ``hybrid_edges`` (SURVEY.md §7 decision #3).
 """
 
 from __future__ import annotations
