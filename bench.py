@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "q18_token_signature",
     "q19_minhash_bands",
     "q20_name_similarity",
+    "q40_windowed_events",
+    "q42_user_sessions",
 ]
 
 
