@@ -893,7 +893,11 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT w.seed, s.dst, w.hop + 1, s.score FROM walk w "
             "JOIN sym s ON s.src = w.node "
-            "WHERE w.hop < 3 AND (w.hop > 0 OR s.score >= 0.9)), "
+            # EVERY expansion leaving the seed node needs >= 0.9 (not just
+            # hop 0): a walk may bounce back to the seed at a later hop,
+            # and the engine (and reference group.go hybrid) never
+            # re-expands the visited seed over sub-0.9 edges
+            "WHERE w.hop < 3 AND (w.node <> w.seed OR s.score >= 0.9)), "
             "best AS (SELECT seed, node, min(hop) AS hop_distance FROM walk GROUP BY 1, 2), "
             "scored AS (SELECT b.seed, b.node, b.hop_distance, max(w.score) AS score "
             "FROM best b JOIN walk w ON w.seed = b.seed AND w.node = b.node "

@@ -35,9 +35,13 @@ import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import time
+from collections import Counter
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, FloatType, MapType, StringType, StructField, StructType,
+    ArrayType, FloatType, LongType, MapType, StringType, StructField,
+    StructType,
 )
 
 from resolve_spark.config import (
@@ -48,7 +52,8 @@ from resolve_spark.functions import normalize as N
 from resolve_spark.functions.embedding import mock_embedding_udf
 from resolve_spark.operators import blocking as B
 from resolve_spark.operators import clustering as C
-from resolve_spark.operators.matching import find_matches, find_matches_text
+from resolve_spark.functions.kernels import parse_query_fields
+from resolve_spark.operators.matching import find_matches
 from resolve_spark.operators.scoring import specs_from_options
 from resolve_spark.plans.pipeline import entities_pipeline_config
 from resolve_spark.sources.tables import EntityStore
@@ -61,6 +66,10 @@ _SCHEMA = StructType(
     + [
         StructField("vector", ArrayType(FloatType())),
         StructField("metadata", MapType(StringType(), StringType())),
+        # EntityRecord carries unix timestamps; updates bump updated_at
+        # (weaviate.go:133-134, :574-576)
+        StructField("created_at", LongType()),
+        StructField("updated_at", LongType()),
     ]
 )
 
@@ -76,7 +85,11 @@ class ResolveEngine:
         self.embedding_dim = embedding_dim
         self._edges = None            # scored edges cache for group routes
         self._edges_stale = True
-        self._lock = threading.Lock()
+        # re-entrant: ThreadingHTTPServer serves concurrently, and
+        # _rewrite_touched dynamic-overwrites bucket dirs — a concurrent
+        # read collecting from a half-rewritten bucket would hit
+        # FileNotFound. All store-backed reads AND writes hold this lock.
+        self._lock = threading.RLock()
         self._initialized = False
 
     # -- entity CRUD --------------------------------------------------------
@@ -97,6 +110,9 @@ class ResolveEngine:
             rec["vector"] = [float(x) for x in vec] if vec is not None else None
             meta = r.get("metadata") or {}
             rec["metadata"] = {str(k): str(v) for k, v in meta.items()}
+            now = int(time.time())
+            rec["created_at"] = int(r.get("created_at") or now)
+            rec["updated_at"] = int(r.get("updated_at") or now)
             data.append(rec)
         df = self.spark.createDataFrame(data, _SCHEMA)
         df = N.normalize_entity(df, self.cfg.normalize_types)
@@ -124,7 +140,10 @@ class ResolveEngine:
         return ids
 
     def get_entity(self, entity_id: str) -> dict | None:
-        rows = self.store.read().where(F.col("id") == entity_id).collect()
+        with self._lock:
+            # bucket-pruned point read: only the id's partition dir is
+            # scanned (same pruning the upsert/delete paths use)
+            rows = self.store.read_for_ids([entity_id]).collect()
         if not rows:
             return None
         d = rows[0].asDict(recursive=True)
@@ -134,13 +153,21 @@ class ResolveEngine:
 
     def update_entity(self, entity_id: str, payload: dict) -> None:
         payload = dict(payload, id=entity_id)
+        # updated_at always bumps to now (weaviate.go:574-576); a stale
+        # client-supplied value must not stick
+        payload.pop("updated_at", None)
         existing = self.get_entity(entity_id)
         if existing:
+            payload["created_at"] = existing.get("created_at")
             # PUT merges over the stored record (reference updates
-            # provided properties, weaviate.go:549-601)
+            # provided properties, weaviate.go:549-601). The stored
+            # vector survives too: re-embedding a partial update with
+            # the mock embedder would silently swap embedding spaces
+            # for entities added with client-supplied vectors.
             for f in ENTITY_FIELDS:
                 payload.setdefault(f, existing.get(f))
             payload.setdefault("metadata", existing.get("metadata"))
+            payload.setdefault("vector", existing.get("vector"))
         df, _ = self._prepare([payload])
         with self._lock:
             self.store.upsert(df)
@@ -153,10 +180,12 @@ class ResolveEngine:
             self._edges_stale = True
 
     def count(self) -> int:
-        try:
-            return self.store.read().count()
-        except Exception:
+        # empty-store probe only — anything else (schema drift, corrupt
+        # files) must surface, not masquerade as "0 entities"
+        if not self.store.exists():
             return 0
+        with self._lock:
+            return self.store.read().count()
 
     # -- matching -----------------------------------------------------------
 
@@ -184,6 +213,25 @@ class ResolveEngine:
             rows.append(d)
         return rows
 
+    def _ann_candidates(self, queries, store, limit: int):
+        """Sublinear candidate generation for UNCLUSTERED matches: SRP-LSH
+        bucket join over the stored vectors instead of a whole-store cross
+        product. This mirrors the reference, whose unclustered default
+        still goes through the HNSW vector index (weaviate.go:304-394) —
+        per-query work is bounded by bucket sizes, not store size. k is
+        3x the requested limit (the reference's recall-inflation factor,
+        match.go:209-214) so the field-score rerank has slack."""
+        from resolve_spark.operators.ann import lsh_topk
+
+        out = lsh_topk(
+            queries.select("query_id", F.col("vector").alias("embedding")),
+            store.select(F.col("id").alias("cand_id"),
+                         F.col("vector").alias("embedding")),
+            k=max(3 * limit, 30), planes=8, tables=8,
+        )
+        return out.select(F.col("query_id").alias("id_a"),
+                          F.col("cand_id").alias("id_b"))
+
     def match_entity(self, req: dict) -> list[dict]:
         entity = req.get("entity")
         if not entity:
@@ -195,28 +243,36 @@ class ResolveEngine:
         specs = specs_from_options(
             fields, opts["field_type_mappings"], None, opts["field_weights"]
         )
-        store = self.store.read()
-        out = find_matches(
-            queries, store, specs, entity_id="id",
-            block_key="block_key" if req.get("use_clustering") else None,
-            limit=opts["limit"], threshold=opts["threshold"],
-        )
-        return self._match_rows(out)
+        with self._lock:
+            store = self.store.read()
+            if req.get("use_clustering"):
+                block_key, candidates = "block_key", None
+            elif req.get("exhaustive"):
+                # explicit opt-out: whole-store scoring (demo scale only)
+                block_key, candidates = None, None
+            else:
+                block_key = None
+                candidates = self._ann_candidates(queries, store, opts["limit"])
+            out = find_matches(
+                queries, store, specs, entity_id="id", block_key=block_key,
+                candidates=candidates,
+                limit=opts["limit"], threshold=opts["threshold"],
+            )
+            return self._match_rows(out)
 
     def match_text(self, req: dict) -> list[dict]:
         text = req.get("text") or ""
         if not text:
             raise ValueError("Text is required")
-        opts = self._match_opts(req)
-        out = find_matches_text(
-            self.spark, text, self.store.read(), entity_id="id",
-            block_key="block_key" if req.get("use_clustering") else None,
-            block_fields=self.cfg.blocking.fields,
-            limit=opts["limit"], threshold=opts["threshold"],
-            field_type_mappings=opts["field_type_mappings"],
-            field_weights=opts["field_weights"],
-        )
-        return self._match_rows(out)
+        fields = parse_query_fields(text)
+        if not fields:
+            raise ValueError("query text has no field=value pairs")
+        entity = {f: v for f, v in fields.items() if f in ENTITY_FIELDS}
+        if not entity:
+            raise ValueError("no recognized entity fields in query text")
+        # S11 /match/text == parse (M6) + the structured match path, so
+        # text queries get the same ANN/blocked candidate generation
+        return self.match_entity(dict(req, entity=entity))
 
     # -- groups -------------------------------------------------------------
 
@@ -224,8 +280,7 @@ class ResolveEngine:
         with self._lock:
             if self._edges is not None and not self._edges_stale:
                 return self._edges
-        edges = self.recompute()
-        return edges
+            return self.recompute()
 
     def recompute(self):
         """POST /clusters/recompute — re-derive blocking keys and scored
@@ -234,21 +289,22 @@ class ResolveEngine:
         from resolve_spark.operators.pairs import candidate_pairs
         from resolve_spark.operators.scoring import attach_pair_sides, score_pairs
 
-        store = self.store.read()
-        blocked = B.add_blocking_keys(store, self.cfg.blocking)
-        pairs, _ = candidate_pairs(blocked, "id", self.cfg.blocking, with_stats=False)
-        wide = attach_pair_sides(pairs, store, "id",
-                                 [s.column for s in self.cfg.specs])
-        scored = score_pairs(wide, list(self.cfg.specs),
-                             threshold=self.cfg.threshold)
-        edges = scored.select("id_a", "id_b", "score").persist()
-        edges.count()
         with self._lock:
+            store = self.store.read()
+            blocked = B.add_blocking_keys(store, self.cfg.blocking)
+            pairs, _ = candidate_pairs(blocked, "id", self.cfg.blocking,
+                                       with_stats=False)
+            wide = attach_pair_sides(pairs, store, "id",
+                                     [s.column for s in self.cfg.specs])
+            scored = score_pairs(wide, list(self.cfg.specs),
+                                 threshold=self.cfg.threshold)
+            edges = scored.select("id_a", "id_b", "score").persist()
+            edges.count()
             if self._edges is not None:
                 self._edges.unpersist()
             self._edges = edges
             self._edges_stale = False
-        return edges
+            return edges
 
     def match_group(self, entity_id: str, opts: dict) -> dict:
         seed = self.get_entity(entity_id)
@@ -278,7 +334,39 @@ class ResolveEngine:
             "entities": ents,
             "score": avg,
             "size": len(ents),
+            "sample_fields": self._sample_fields([e["id"] for e in ents], avg),
         }
+
+    def _sample_fields(self, member_ids: list[str], group_score: float) -> dict:
+        """Per-field {value, agreement, confidence} over group members
+        (MatchGroup.SampleFields, group.go:18-23, computed at :358-403):
+        value = modal non-empty value, agreement = mode count / group
+        size, confidence = agreement * group score (:403). Group sizes
+        are <= max_group_size (100), so this is a driver-side fold over
+        one bucket-pruned point read."""
+        if not member_ids:
+            return {}
+        with self._lock:
+            rows = (
+                self.store.read_for_ids(member_ids)
+                .select("id", *ENTITY_FIELDS).collect()
+            )
+        size = len(member_ids)
+        out = {}
+        for f in ENTITY_FIELDS:
+            counts = Counter(r[f] for r in rows if r[f])
+            if not counts:
+                continue
+            # deterministic mode: max count, ties to the smallest value
+            # (the reference inherits Go map iteration order here)
+            value, cnt = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            agreement = cnt / size
+            out[f] = {
+                "value": value,
+                "agreement": agreement,
+                "confidence": agreement * group_score,
+            }
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -204,13 +204,24 @@ def match_groups(
         raise ValueError(f"unknown match group strategy: {strategy}")
     e = scored_edges.select(id_a, id_b, "score")
 
-    def sym(min_score: float) -> DataFrame:
-        ok = e.where(F.col("score") >= min_score)
-        return ok.select(
-            F.col(id_a).alias("src"), F.col(id_b).alias("dst"), "score"
-        ).unionByName(
-            ok.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"), "score")
+    # symmetrize + threshold-filter ONCE per call and persist: every BFS
+    # hop reuses this relation instead of re-deriving it from the source
+    # lineage (repeated scans when edges aren't already materialized)
+    sym_all = (
+        e.where(F.col("score") >= threshold)
+        .select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"), "score")
+        .unionByName(
+            e.where(F.col("score") >= threshold)
+            .select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"), "score")
         )
+        .persist()
+    )
+    persisted: list[DataFrame] = [sym_all]
+
+    def sym(min_score: float) -> DataFrame:
+        if min_score <= threshold:
+            return sym_all
+        return sym_all.where(F.col("score") >= min_score)
 
     seeds_df = seeds.select(F.col(seed_col).alias("seed")).distinct()
     base = seeds_df.select(
@@ -239,8 +250,8 @@ def match_groups(
             new = nxt.join(
                 visited.select("seed", "rid"), ["seed", "rid"], "left_anti"
             ).persist()
+            persisted.append(new)
             if new.isEmpty():
-                new.unpersist()
                 break
             visited = visited.unionByName(new)
             frontier = new.select("seed", "rid")
@@ -259,10 +270,18 @@ def match_groups(
     w = Window.partitionBy("seed").orderBy(
         F.asc("hop_distance"), F.desc("score"), F.asc("rid")
     )
-    return (
+    ranked = (
         out.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= max_group_size)
     )
+    # materialize (cutting lineage), then release every cached frontier —
+    # repeated group requests must not accumulate session-lifetime caches
+    try:
+        result = ranked.localCheckpoint(eager=True)
+    finally:
+        for df in persisted:
+            df.unpersist()
+    return result
 
 
 def group_statistics(

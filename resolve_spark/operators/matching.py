@@ -42,6 +42,7 @@ def find_matches(
     threshold: float = 0.85,
     vector_col: str | None = None,
     carry: list[str] | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, match_id, score, field_scores, matched_on,
     explanation, rank) — top-``limit`` matches >= threshold per query.
@@ -53,14 +54,22 @@ def find_matches(
     match row — the EntityRecord.Metadata round-trip
     (weaviate.go:47,135; match.go:22,41). Defaults to ['metadata']
     when the entities table has that column.
+
+    ``candidates``: optional pre-built (id_a=query_id, id_b=entity_id)
+    pair set from an external candidate generator (e.g. ANN over the
+    stored vectors — the analog of the reference's always-indexed
+    unclustered search, weaviate.go:304-394). Overrides the block join.
     """
     if carry is None:
         carry = ["metadata"] if "metadata" in entities.columns else []
     side_cols = [s.column for s in specs] + ([vector_col] if vector_col else [])
-    bk = (lambda df: F.col(block_key)) if block_key else (lambda df: F.lit("all"))
-    q = queries.select(F.col(query_id).alias("id_a"), bk(queries).alias("_bk"))
-    e = entities.select(F.col(entity_id).alias("id_b"), bk(entities).alias("_bk"))
-    pairs = q.join(e, "_bk").select("id_a", "id_b")
+    if candidates is not None:
+        pairs = candidates.select("id_a", "id_b")
+    else:
+        bk = (lambda df: F.col(block_key)) if block_key else (lambda df: F.lit("all"))
+        q = queries.select(F.col(query_id).alias("id_a"), bk(queries).alias("_bk"))
+        e = entities.select(F.col(entity_id).alias("id_b"), bk(entities).alias("_bk"))
+        pairs = q.join(e, "_bk").select("id_a", "id_b")
     def _sides(df: DataFrame, id_in: str, id_out: str, suffix: str) -> DataFrame:
         str_cols = {
             f.name for f in df.schema.fields if f.dataType.simpleString() == "string"

@@ -46,12 +46,19 @@ def build_session(
     # shuffle/spill scratch: on a cluster every executor brings its own
     # local disks; on this one box the default /tmp is a single shared
     # device and serializes parallel shuffle IO. tmpfs restores the
-    # per-core-scaling behavior a real cluster has.
-    if os.path.isdir("/dev/shm"):
-        builder = builder.config(
-            "spark.local.dir",
-            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
-        )
+    # per-core-scaling behavior a real cluster has — but only when the
+    # tmpfs is actually big enough (Docker defaults /dev/shm to 64MB,
+    # where any nontrivial shuffle would die with ENOSPC).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 8 << 30:  # >= 8 GiB free
+                local_dir = "/dev/shm/spark-local"
+        except OSError:
+            pass
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

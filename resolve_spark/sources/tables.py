@@ -128,8 +128,31 @@ class EntityStore:
             metadata={"id_col": self.id_col, "n_buckets": self.n_buckets},
         )
 
+    def exists(self) -> bool:
+        return os.path.isdir(self.path)
+
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
+
+    def buckets_of(self, ids: list[str]) -> list[int]:
+        """Bucket numbers for ``ids`` via the same expression as
+        ``_bucketed`` (one driver-local job over a literal relation)."""
+        lit = self.spark.createDataFrame(
+            [(str(i),) for i in ids], [self.id_col]
+        )
+        rows = self._bucketed(lit).select(self.BUCKET_COL).distinct().collect()
+        return sorted(r[0] for r in rows)
+
+    def read_for_ids(self, ids: list[str]) -> DataFrame:
+        """Point reads pruned to the ids' buckets: the partition filter
+        on ``_bucket`` keeps untouched bucket dirs out of the scan (the
+        same pruning upsert/delete already do)."""
+        return (
+            self.spark.read.parquet(self.path)
+            .where(F.col(self.BUCKET_COL).isin(self.buckets_of(ids)))
+            .where(F.col(self.id_col).isin(list(ids)))
+            .drop(self.BUCKET_COL)
+        )
 
     def _rewrite_touched(self, batch: DataFrame, deleted: bool) -> None:
         batch = self._bucketed(batch).persist()

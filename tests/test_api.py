@@ -57,12 +57,21 @@ def test_full_entity_lifecycle_over_http(api):
 
     # single add + update + delete
     code, resp = _req(api, "POST", "/entities", {
-        "id": "e-x", "name": "Temp Co", "zip": "00001"})
+        "id": "e-x", "name": "Temp Co", "zip": "00001",
+        "vector": [0.5] * 16})
     assert code == 201 and resp["id"] == "e-x"
-    code, resp = _req(api, "PUT", "/entities/e-x", {"name": "Temp Company"})
+    code, ex0 = _req(api, "GET", "/entities/e-x")
+    assert ex0["created_at"] > 0 and ex0["updated_at"] >= ex0["created_at"]
+    code, resp = _req(api, "PUT", "/entities/e-x",
+                      {"name": "Temp Company", "updated_at": 1})
     assert resp["status"] == "updated"
     code, ex = _req(api, "GET", "/entities/e-x")
     assert ex["name"] == "Temp Company" and ex["zip"] == "00001"  # merge kept zip
+    # timestamps: created_at preserved, updated_at bumped (not the stale 1)
+    assert ex["created_at"] == ex0["created_at"]
+    assert ex["updated_at"] >= ex0["updated_at"]
+    # client-supplied vector survives a partial PUT (no silent re-embed)
+    assert ex["vector"] == [0.5] * 16
     code, resp = _req(api, "DELETE", "/entities/e-x")
     assert resp["status"] == "deleted"
     with pytest.raises(HTTPError) as err:
@@ -88,6 +97,14 @@ def test_match_routes_over_http(api):
     assert code == 200
     assert {m["id"] for m in resp["matches"][:2]} == {"e-001", "e-002"}
 
+    # the default (ANN candidates), clustered, and exhaustive paths agree
+    # on the planted pair
+    for extra in ({"use_clustering": True}, {"exhaustive": True}):
+        code, r2 = _req(api, "POST", "/match", {
+            "entity": {"name": "Vertex Analytics", "zip": "62704"},
+            "threshold": 0.5, **extra})
+        assert {m["id"] for m in r2["matches"][:2]} == {"e-001", "e-002"}, extra
+
     # missing text -> 400 like the reference
     with pytest.raises(HTTPError) as err:
         _req(api, "POST", "/match/text", {"threshold": 0.5})
@@ -106,6 +123,23 @@ def test_group_and_recompute_over_http(api):
     assert {"e-001", "e-002"} <= ids
     hops = {e["id"]: e["hop_distance"] for e in grp["entities"]}
     assert hops["e-001"] == 0 and hops["e-002"] >= 1
+
+    # sample_fields (MatchGroup.SampleFields, group.go:358-403): modal
+    # value, agreement = mode count / size, confidence = agreement * score
+    sf = grp["sample_fields"]
+    assert sf, "group response must carry sample_fields"
+    # hand-recompute the mode from the members' stored records
+    cities = []
+    for e in grp["entities"]:
+        _, rec = _req(api, "GET", f"/entities/{e['id']}")
+        if rec.get("city"):
+            cities.append(rec["city"])
+    from collections import Counter
+    value, cnt = sorted(Counter(cities).items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    city = sf["city"]
+    assert city["value"] == value
+    assert city["agreement"] == pytest.approx(cnt / grp["size"])
+    assert city["confidence"] == pytest.approx(city["agreement"] * grp["score"])
 
     # POST body options variant
     code, grp2 = _req(api, "POST", "/entities/e-001/group",
