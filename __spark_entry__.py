@@ -5,9 +5,14 @@
 ``queries``  — one entry per implemented operator family from
                SURVEY.md §2 (IDs noted per query).
 ``oracle_sql`` — DuckDB-equivalent SQL for every SQL-expressible query
-               (36 of 42); the six rows-only queries are hash/seed-bound:
-               MinHash (seeded numpy), SimHash/LSH/IVF (Spark xxhash64 /
-               seeded hyperplanes), and the JW composite — DuckDB's
+               (41 of 42). The randomized operators (MinHash q19/q28,
+               SimHash q27, SRP-LSH q30, IVF q32) run here under
+               ``hash_impl="portable"`` — an md5-derived hash family
+               (resolve_spark/functions/hashing.py) computable
+               bit-identically in Spark, numpy and DuckDB, so the full
+               banding/bucketing/clustering dataflow is SQL-checkable
+               (xxhash64/siphash stays the fast default elsewhere).
+               The one remaining rows-only query is q20: DuckDB's
                jaro_winkler gates the prefix boost at 0.7 AND its
                jaro_similarity uses a different matching rule (verified:
                0.70 vs the reference's 0.6722 on 'hot plate'/'blue
@@ -350,9 +355,9 @@ def _q18_token_signature(spark, sf_dir):  # north-rule token blocking pass
     )
 
 
-def _q19_minhash_bands(spark, sf_dir):  # MinHash-LSH pass (rows-only check)
+def _q19_minhash_bands(spark, sf_dir):  # MinHash-LSH pass (portable hash, oracled)
     d = _t(spark, sf_dir, "documents")
-    mh = B.minhash_band_keys_udf(num_hashes=64, bands=16)
+    mh = B.minhash_band_keys_udf(num_hashes=64, bands=16, hash_impl="portable")
     return (
         d.select("doc_id", F.explode(mh(F.col("text"))).alias("band_key"))
         .groupBy("band_key").agg(F.count("*").alias("n"))
@@ -420,16 +425,18 @@ def _q26_dup_histogram(spark, sf_dir):  # fingerprint dedup histogram
     return groups.groupBy("dup_count").agg(F.count("*").alias("n_groups"))
 
 
-def _q27_simhash_pairs(spark, sf_dir):  # SimHash near-dup (rows-only: xxhash64)
+def _q27_simhash_pairs(spark, sf_dir):  # SimHash near-dup (portable hash, oracled)
     d = _t(spark, sf_dir, "documents")
-    return DD.simhash_duplicates(d, "doc_id", "text", max_hamming=7).where(
-        F.col("cluster_size") > 1
+    return DD.simhash_duplicates(
+        d, "doc_id", "text", max_hamming=7, hash_impl="portable"
+    ).where(F.col("cluster_size") > 1)
+
+
+def _q28_minhash_clusters(spark, sf_dir):  # MinHash dedup clusters (portable, oracled)
+    d = _t(spark, sf_dir, "documents")
+    out = DD.minhash_duplicates(
+        d, "doc_id", "text", jaccard_threshold=0.8, hash_impl="portable"
     )
-
-
-def _q28_minhash_clusters(spark, sf_dir):  # MinHash dedup clusters (rows-only)
-    d = _t(spark, sf_dir, "documents")
-    out = DD.minhash_duplicates(d, "doc_id", "text", jaccard_threshold=0.8)
     return out.groupBy("cluster_size").agg(F.count("*").alias("n_records"))
 
 
@@ -438,13 +445,13 @@ def _q29_exact_dedup_clusters(spark, sf_dir):  # dedup: exact assignment
     return DD.exact_duplicates(d, "doc_id", "text")
 
 
-def _q30_lsh_topk(spark, sf_dir):  # ANN: LSH-bucketed cosine (rows-only)
+def _q30_lsh_topk(spark, sf_dir):  # ANN: LSH-bucketed cosine (portable, oracled)
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.select(F.col("vec_id").alias("cand_id"), "embedding")
-    out = ANN.lsh_topk(q, c, k=3, planes=10, tables=4)
+    out = ANN.lsh_topk(q, c, k=3, planes=10, tables=4, hash_impl="portable")
     return out.select("query_id", "cand_id", F.round("cos", 4).alias("cos"), "rk")
 
 
@@ -458,13 +465,13 @@ def _q31_brute_force_topk(spark, sf_dir):  # ANN: exact baseline (oracled)
     return out.select("query_id", "cand_id", F.round("cos", 4).alias("cos"), "rk")
 
 
-def _q32_ivf_topk(spark, sf_dir):  # ANN: IVF coarse search (rows-only)
+def _q32_ivf_topk(spark, sf_dir):  # ANN: IVF coarse search (portable, oracled)
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.select(F.col("vec_id").alias("cand_id"), "embedding")
-    out = ANN.ivf_topk(q, c, k=3, ncells=8, nprobe=3)
+    out = ANN.ivf_topk(q, c, k=3, ncells=8, nprobe=3, hash_impl="portable")
     return out.select("query_id", "cand_id", F.round("cos", 4).alias("cos"), "rk")
 
 
@@ -648,6 +655,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_json_props": _q41_json_props,
         "q42_user_sessions": _q42_user_sessions,
     }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB replicas of the portable-hash randomized operators
+# (resolve_spark/functions/hashing.py: 60-bit md5-prefix hash + split-30
+# universal family — bit-identical in Spark, numpy and DuckDB)
+# ---------------------------------------------------------------------------
+
+def _ph_sql(x: str) -> str:
+    return f"('0x' || substr(md5({x}),1,15))::BIGINT"
+
+
+def _minhash_keys_cte(num_hashes: int = 64, bands: int = 16, seed: int = 42) -> str:
+    """CTE chain ending in keys(doc_id, band_key) — the DuckDB replica of
+    minhash_band_keys_udf(hash_impl='portable') over documents.text."""
+    rpb = num_hashes // bands
+    m30 = (1 << 30) - 1
+    p61 = (1 << 61) - 1
+    _a_expr = f"'mh:a:{seed}:' || i"
+    _b_expr = f"'mh:b:{seed}:' || i"
+    return (
+        # whitespace tokens, as python str.split()
+        "mh_d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'\\s+'), x -> x <> '') AS toks FROM documents), "
+        # 3-token shingle strings; <3 tokens -> one all-token shingle
+        "mh_sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []::VARCHAR[] "
+        "WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+        "ELSE list_distinct(list_transform(range(1, len(toks) - 1), "
+        "j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2])) END) AS s FROM mh_d), "
+        f"mh_x AS (SELECT doc_id, {_ph_sql('s')} AS x FROM mh_sh), "
+        # per-hash-function params from md5 of 'mh:a/b:{seed}:{i}'
+        f"mh_p AS (SELECT i, {_ph_sql(_a_expr)} + 1 AS a, "
+        f"{_ph_sql(_b_expr)} AS b FROM range({num_hashes}) t(i)), "
+        # signature: min of the split-30 universal hash over shingles
+        f"mh_sig AS (SELECT doc_id, i, min(((a & {m30}) * (x & {m30}) "
+        f"+ (a >> 30) * (x >> 30) + b) % {p61}) AS sg "
+        "FROM mh_x, mh_p GROUP BY 1, 2), "
+        f"mh_bk AS (SELECT doc_id, i // {rpb} AS band, "
+        "string_agg(sg::VARCHAR, '|' ORDER BY i) AS payload FROM mh_sig GROUP BY 1, 2), "
+        "keys AS (SELECT doc_id, 'm' || band || ':' || "
+        "substr(md5(band || '|' || payload), 1, 12) AS band_key FROM mh_bk)"
+    )
+
+
+def _simhash_cte() -> str:
+    """CTE chain ending in sim(doc_id, sim) — DuckDB replica of
+    simhash64(hash_impl='portable') over documents.text."""
+    toks = _TOKENS_SQL.format(c="text")
+    return (
+        f"sh_d AS (SELECT doc_id, {toks} AS toks FROM documents), "
+        f"sh_h AS (SELECT doc_id, {_ph_sql('t.tok')} AS th FROM "
+        "(SELECT doc_id, unnest(toks) AS tok FROM sh_d) t), "
+        "sh_bc AS (SELECT doc_id, b.b AS b, sum((th >> b.b) & 1) AS cnt, "
+        "count(*) AS n FROM sh_h, range(63) b(b) GROUP BY 1, 2), "
+        "sh_s AS (SELECT doc_id, sum(CASE WHEN 2 * cnt > n THEN (1::BIGINT << b) "
+        "ELSE 0::BIGINT END) AS sim FROM sh_bc GROUP BY 1), "
+        "sim AS (SELECT doc_id, coalesce(s.sim, 0) AS sim FROM documents "
+        "LEFT JOIN sh_s s USING (doc_id))"
+    )
+
+
+def _srp_sig_cte(planes: int = 10, tables: int = 4, seed: int = 42,
+                 dim: int = 64, quant: int = 1_000_000) -> str:
+    """CTE chain ending in sig(vec_id, tbl, bucket) — DuckDB replica of
+    signature_udf(hash_impl='portable') over embeddings.embedding for
+    every LSH table (seed + 101*t)."""
+    assert seed == 42  # seed is baked into the hash-input string below
+    w = _ph_sql("'hp:' || (42 + 101 * t.t) || ':' || p.p || ':' || d.d")
+    return (
+        f"hp AS (SELECT t.t AS tbl, p.p AS pl, d.d AS d, "
+        f"({w} % 2001 - 1000) AS w "
+        f"FROM range({tables}) t(t), range({planes}) p(p), range({dim}) d(d)), "
+        f"vq AS (SELECT vec_id, d.d AS d, "
+        f"floor((embedding[d.d + 1])::DOUBLE * {quant})::BIGINT AS q "
+        f"FROM embeddings, range({dim}) d(d)), "
+        "vdot AS (SELECT v.vec_id, h.tbl, h.pl, sum(v.q * h.w) AS dot "
+        "FROM vq v JOIN hp h USING (d) GROUP BY 1, 2, 3), "
+        "sig AS (SELECT vec_id, tbl, sum(CASE WHEN dot > 0 THEN (1::BIGINT << pl) "
+        "ELSE 0::BIGINT END) AS bucket FROM vdot GROUP BY 1, 2)"
+    )
+
+
+# recursive-CTE connected components over e(id_a, id_b): comp(rid, cluster_id)
+_CC_CTE = (
+    "sym AS (SELECT id_a AS s, id_b AS d FROM e UNION SELECT id_b, id_a FROM e), "
+    "reach AS (SELECT s, d FROM sym "
+    "UNION SELECT r.s, sym.d FROM reach r JOIN sym ON r.d = sym.s), "
+    "comp AS (SELECT s AS rid, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -930,9 +1026,93 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, sum(is_new)::INT AS n_sessions, "
             "count(*) AS n_events FROM m GROUP BY 1"
         ),
-        # rows-only by design: q19/q28 (MinHash: seeded numpy hashing),
-        # q20 (JW composite: DuckDB's jaro_winkler gates the prefix boost AND
-        # its jaro_similarity uses a different matching rule — verified
-        # 0.70 vs the reference's 0.6722 on 'hot plate'/'blue plate'),
-        # q27 (SimHash over Spark xxhash64), q30/q32 (LSH/IVF buckets).
+        # MinHash-LSH band occupancy (portable hash family)
+        "q19_minhash_bands": (
+            "WITH " + _minhash_keys_cte(64, 16, 42) + " "
+            "SELECT band_key, count(*) AS n FROM keys "
+            "GROUP BY 1 HAVING count(*) > 1"
+        ),
+        # SimHash banding -> hamming<=7 verify -> connected components
+        "q27_simhash_pairs": (
+            "WITH RECURSIVE " + _simhash_cte() + ", "
+            "sh_bands AS (SELECT doc_id, sim, 'b' || i.i || ':' || "
+            "((sim >> (i.i * 8)) & 255) AS band FROM sim, range(8) i(i)), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "a.sim AS sa, b.sim AS sb FROM sh_bands a JOIN sh_bands b "
+            "ON a.band = b.band AND a.doc_id < b.doc_id), "
+            "e AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(sa, sb)) <= 7), "
+            + _CC_CTE + ", "
+            "sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp "
+            "GROUP BY 1) "
+            "SELECT c.rid, c.cluster_id, s.cluster_size "
+            "FROM comp c JOIN sizes s USING (cluster_id)"
+        ),
+        # MinHash candidates -> true-Jaccard>=0.8 verify -> CC -> histogram
+        "q28_minhash_clusters": (
+            "WITH RECURSIVE " + _minhash_keys_cte(64, 16, 42) + ", "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM keys a JOIN keys b ON a.band_key = b.band_key "
+            "AND a.doc_id < b.doc_id), "
+            "tok AS (SELECT doc_id, " + _TOKENS_SQL.format(c="text") + " AS tk "
+            "FROM documents), "
+            "e AS (SELECT id_a, id_b FROM cand "
+            "JOIN tok ta ON ta.doc_id = cand.id_a "
+            "JOIN tok tb ON tb.doc_id = cand.id_b "
+            "WHERE len(list_intersect(ta.tk, tb.tk))::DOUBLE / "
+            "len(list_distinct(list_concat(ta.tk, tb.tk))) >= 0.8), "
+            + _CC_CTE + ", "
+            "assign AS (SELECT d.doc_id AS rid, coalesce(c.cluster_id, d.doc_id) "
+            "AS cluster_id FROM documents d LEFT JOIN comp c ON c.rid = d.doc_id), "
+            "sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM assign "
+            "GROUP BY 1) "
+            "SELECT cluster_size, count(*) AS n_records "
+            "FROM assign JOIN sizes USING (cluster_id) GROUP BY 1"
+        ),
+        # SRP-LSH buckets (4 tables x 10 integer hyperplanes over quantized
+        # vectors) -> exact-cosine re-rank top-3
+        "q30_lsh_topk": (
+            "WITH " + _srp_sig_cte(10, 4, 42, 64) + ", "
+            "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id "
+            "FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.bucket = c.bucket "
+            "WHERE q.vec_id % 50 = 0), "
+            "scored AS (SELECT cand.query_id, cand.cand_id, "
+            "list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) "
+            "AS c FROM cand "
+            "JOIN embeddings qe ON qe.vec_id = cand.query_id "
+            "JOIN embeddings ce ON ce.vec_id = cand.cand_id), "
+            "r AS (SELECT query_id, cand_id, c, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY c DESC, cand_id ASC) AS rk FROM scored) "
+            "SELECT query_id, cand_id, round(c, 4) AS cos, rk FROM r WHERE rk <= 3"
+        ),
+        # IVF: centroids = 8 smallest portable-id-hashes; candidates in the
+        # nearest cell; queries probe 3 cells; exact-cosine top-3
+        "q32_ivf_topk": (
+            "WITH cents AS (SELECT row_number() OVER (ORDER BY h) AS cell, "
+            "embedding AS cv FROM (SELECT vec_id, embedding, "
+            + _ph_sql("vec_id::VARCHAR") + " AS h FROM embeddings "
+            "ORDER BY h LIMIT 8)), "
+            "ca AS (SELECT cand_id, cell FROM (SELECT e.vec_id AS cand_id, "
+            "c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            "list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC, "
+            "c.cell ASC) AS crk FROM embeddings e, cents c) WHERE crk = 1), "
+            "qa AS (SELECT query_id, cell FROM (SELECT e.vec_id AS query_id, "
+            "c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            "list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC, "
+            "c.cell ASC) AS crk FROM embeddings e, cents c "
+            "WHERE e.vec_id % 50 = 0) WHERE crk <= 3), "
+            "p AS (SELECT DISTINCT qa.query_id, ca.cand_id FROM qa "
+            "JOIN ca USING (cell)), "
+            "scored AS (SELECT p.query_id, p.cand_id, "
+            "list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) "
+            "AS c FROM p "
+            "JOIN embeddings qe ON qe.vec_id = p.query_id "
+            "JOIN embeddings ce ON ce.vec_id = p.cand_id), "
+            "r AS (SELECT query_id, cand_id, c, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY c DESC, cand_id ASC) AS rk FROM scored) "
+            "SELECT query_id, cand_id, round(c, 4) AS cos, rk FROM r WHERE rk <= 3"
+        ),
+        # rows-only by design: ONLY q20 (JW composite) — DuckDB's
+        # jaro_winkler gates the prefix boost at 0.7 AND its
+        # jaro_similarity uses a different matching rule (verified
+        # 0.70 vs the reference's 0.6722 on 'hot plate'/'blue plate').
     }

@@ -73,6 +73,9 @@ class BlockingConfig:
     minhash_column: str | None = None
     minhash_num_hashes: int = 64
     minhash_bands: int = 16  # rows per band = num_hashes // bands
+    # "fast" (numpy siphash) or "portable" (md5-derived, DuckDB-checkable
+    # — see functions/hashing.py)
+    minhash_hash_impl: str = "fast"
     # skew control: blocks larger than max_block_size switch from full
     # O(n^2) pairing to sorted-neighborhood pairing with this window;
     # blocks larger than prune_block_size are PURGED entirely (a key

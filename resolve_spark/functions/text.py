@@ -123,15 +123,25 @@ def rolling_window_fingerprints(col: Column, window: int = 64, stride: int = 32)
     return F.transform(starts, lambda i: F.xxhash64(F.substring(normalized, i, window)))
 
 
-def simhash64(col: Column) -> Column:
-    """64-bit SimHash over token xxhash64s — native implementation.
+def simhash64(col: Column, hash_impl: str = "fast") -> Column:
+    """64-bit SimHash over per-token hashes — native implementation.
 
     For each bit b: sum over tokens of (+1 if bit set else -1); the
     sign vector packs into one long. Expressed as an aggregate over the
     token array per bit, folded with bit arithmetic (no Python).
+
+    ``hash_impl``: "fast" = xxhash64 (production default); "portable" =
+    the md5-prefix hash (functions/hashing.py) that a DuckDB oracle can
+    recompute bit-identically (60 effective bits; bits 60-62 are then
+    always 0 on both sides — a slightly narrower but still-valid
+    fingerprint).
     """
+    from resolve_spark.functions.hashing import check_hash_impl, portable_hash60
+
+    check_hash_impl(hash_impl)
+    token_hash = F.xxhash64 if hash_impl == "fast" else portable_hash60
     toks = F.array_distinct(_tokens(col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: token_hash(t))
     bits = F.sequence(F.lit(0), F.lit(62))  # bit 63 kept 0 (sign-safe under ANSI)
     # ONE aggregate with an array accumulator: per-bit set-bit counts.
     # (63 independent per-bit aggregates would re-embed the hash subtree

@@ -50,14 +50,45 @@ def _hyperplanes(dim: int, planes: int, seed: int) -> np.ndarray:
     return rng.normal(size=(planes, dim)).astype(np.float64)
 
 
-def signature_udf(planes: int = 16, seed: int = 42):
+#: fixed-point scale for the portable signature: embeddings quantize to
+#: floor(v * 1e6) so the plane dot products are exact INTEGER arithmetic
+#: — bit-identical between numpy int64 and a SQL engine's BIGINT, with
+#: no float-summation-order divergence. |v|<~1e3 and |w|<=1000 keep
+#: every 64-dim dot far below 2^63.
+PORTABLE_QUANT = 1_000_000
+
+
+def _portable_hyperplanes(dim: int, planes: int, seed: int) -> np.ndarray:
+    """Integer hyperplanes in [-1000, 1000], each entry derived from the
+    md5-prefix hash of 'hp:{seed}:{plane}:{d}' — recomputable in SQL."""
+    from resolve_spark.functions.hashing import portable_hash60_py
+
+    return np.array(
+        [
+            [portable_hash60_py(f"hp:{seed}:{p}:{d}") % 2001 - 1000 for d in range(dim)]
+            for p in range(planes)
+        ],
+        dtype=np.int64,
+    )
+
+
+def signature_udf(planes: int = 16, seed: int = 42, hash_impl: str = "fast"):
     """vector -> int64 SRP signature; one numpy matmul per Arrow batch.
 
     The hyperplane matrix is derived lazily (and deterministically) from
     (seed, vector dim) inside the UDF on first batch, so building the
     plan triggers NO Spark jobs — every executor regenerates the same
     planes from the same seed.
+
+    ``hash_impl="portable"`` switches to md5-derived INTEGER hyperplanes
+    over fixed-point-quantized vectors: the bucket assignment becomes
+    exact integer arithmetic a DuckDB oracle reproduces bit-identically
+    (float hyperplanes would diverge on summation order at the sign
+    boundary). Same (1 - theta/pi)^planes collision geometry.
     """
+    from resolve_spark.functions.hashing import check_hash_impl
+
+    check_hash_impl(hash_impl)
     weights = (1 << np.arange(planes)).astype(np.int64)
     planes_cache: dict[int, np.ndarray] = {}
 
@@ -67,9 +98,17 @@ def signature_udf(planes: int = 16, seed: int = 42):
         dim = m.shape[1]
         H = planes_cache.get(dim)
         if H is None:
-            H = _hyperplanes(dim, planes, seed)
+            H = (
+                _portable_hyperplanes(dim, planes, seed)
+                if hash_impl == "portable"
+                else _hyperplanes(dim, planes, seed)
+            )
             planes_cache[dim] = H
-        bits = (m @ H.T) > 0
+        if hash_impl == "portable":
+            mq = np.floor(m * PORTABLE_QUANT).astype(np.int64)
+            bits = (mq @ H.T) > 0
+        else:
+            bits = (m @ H.T) > 0
         return pd.Series(bits.astype(np.int64) @ weights)
 
     return sig
@@ -77,23 +116,25 @@ def signature_udf(planes: int = 16, seed: int = 42):
 
 def add_hyperplane_bucket(
     df: DataFrame, vec_col: str, planes: int = 16, seed: int = 42,
-    bucket_col: str = "bucket",
+    bucket_col: str = "bucket", hash_impl: str = "fast",
 ) -> DataFrame:
     """Pure plan builder — no driver-side actions (no dim probe)."""
-    return df.withColumn(bucket_col, signature_udf(planes, seed)(F.col(vec_col)))
+    return df.withColumn(
+        bucket_col, signature_udf(planes, seed, hash_impl)(F.col(vec_col))
+    )
 
 
 def lsh_topk(
     queries: DataFrame, candidates: DataFrame, k: int = 10,
     query_id: str = "query_id", cand_id: str = "cand_id", vec: str = "embedding",
-    planes: int = 12, tables: int = 4, seed: int = 42,
+    planes: int = 12, tables: int = 4, seed: int = 42, hash_impl: str = "fast",
 ) -> DataFrame:
     """Approximate cosine top-k: union of ``tables`` independent SRP
     bucket joins, exact cosine re-rank inside the matched buckets."""
     out = None
     for t in range(tables):
-        qb = add_hyperplane_bucket(queries, vec, planes, seed + 101 * t)
-        cb = add_hyperplane_bucket(candidates, vec, planes, seed + 101 * t)
+        qb = add_hyperplane_bucket(queries, vec, planes, seed + 101 * t, hash_impl=hash_impl)
+        cb = add_hyperplane_bucket(candidates, vec, planes, seed + 101 * t, hash_impl=hash_impl)
         j = qb.select(query_id, F.col(vec).alias("_qv"), "bucket").join(
             cb.select(cand_id, F.col(vec).alias("_cv"), "bucket"), "bucket"
         ).drop("bucket")
@@ -111,23 +152,42 @@ def lsh_topk(
 def ivf_topk(
     queries: DataFrame, candidates: DataFrame, k: int = 10,
     query_id: str = "query_id", cand_id: str = "cand_id", vec: str = "embedding",
-    ncells: int = 16, nprobe: int = 4, seed: int = 42,
+    ncells: int = 16, nprobe: int = 4, seed: int = 42, hash_impl: str = "fast",
 ) -> DataFrame:
     """IVF coarse search: deterministic sampled centroids; candidates
     live in their nearest cell; queries probe the ``nprobe`` nearest
-    cells and re-rank exactly within them."""
+    cells and re-rank exactly within them.
+
+    ``hash_impl="portable"`` picks centroids by the md5-prefix hash of
+    the candidate id and labels cells by hash-order row_number, so a SQL
+    oracle selects the identical centroid set with identical labels.
+    """
+    from resolve_spark.functions.hashing import check_hash_impl, portable_hash60
+
+    check_hash_impl(hash_impl)
     # deterministic pseudo-random centroid pick. orderBy+limit compiles
     # to TakeOrderedAndProject (per-partition top-k heap + driver merge
     # of ncells rows per partition), NOT a global sort — scale-safe.
+    id_hash = (
+        portable_hash60(F.col("_cid").cast("string"))
+        if hash_impl == "portable"
+        else F.xxhash64(F.col("_cid"))
+    )
     cents = (
         candidates.select(F.col(cand_id).alias("_cid"), F.col(vec).alias("_cv"))
-        .withColumn("_h", F.xxhash64(F.col("_cid")))
+        .withColumn("_h", id_hash)
         .orderBy("_h")
         .limit(ncells)
-        .withColumn("cell", F.monotonically_increasing_id())
-        .select("cell", F.col("_cv").alias("_centroid"))
     )
-    cents = F.broadcast(cents)
+    if hash_impl == "portable":
+        # ncells rows: a global row_number window is trivially cheap and
+        # gives SQL-reproducible cell labels
+        cents = cents.withColumn(
+            "cell", F.row_number().over(Window.orderBy("_h"))
+        )
+    else:
+        cents = cents.withColumn("cell", F.monotonically_increasing_id())
+    cents = F.broadcast(cents.select("cell", F.col("_cv").alias("_centroid")))
 
     def nearest_cells(side: DataFrame, id_col: str, n: int) -> DataFrame:
         w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cell"))

@@ -187,15 +187,84 @@ def _token_hashes(text: str, shingle: int) -> np.ndarray:
     return np.unique(combined)
 
 
-def minhash_band_keys_udf(num_hashes: int = 64, bands: int = 16, shingle: int = 3, seed: int = 42):
+def _portable_shingle_hashes(text: str, shingle: int) -> np.ndarray:
+    """Distinct shingle hashes under the engine-portable md5 scheme:
+    shingles are the space-joined token windows AS STRINGS (so a SQL
+    oracle can rebuild them), hashed with the 60-bit md5 prefix."""
+    from resolve_spark.functions.hashing import portable_hash60_py
+
+    toks = text.lower().split()
+    if not toks:
+        return np.empty(0, dtype=np.int64)
+    if len(toks) < shingle:
+        shingles = [" ".join(toks)]
+    else:
+        shingles = {
+            " ".join(toks[j : j + shingle])
+            for j in range(len(toks) - shingle + 1)
+        }
+    return np.fromiter(
+        (portable_hash60_py(s) for s in shingles), dtype=np.int64, count=len(shingles)
+    )
+
+
+def minhash_band_keys_udf(
+    num_hashes: int = 64, bands: int = 16, shingle: int = 3, seed: int = 42,
+    hash_impl: str = "fast",
+):
     """text -> array<string> of LSH band keys.
 
-    Signature h_i = min((a_i * x + b_i) mod p) over shingle hashes x;
+    Signature h_i = min over shingle hashes x of a universal hash;
     band key = md5(band_idx || sig slice)[:12]. Rows per band
     r = num_hashes // bands sets the similarity knee (~(1/bands)^(1/r)).
+
+    ``hash_impl``:
+    - "fast": pandas siphash shingles + seeded (a*x+b) mod p in uint64 —
+      the production path.
+    - "portable": md5-prefix shingle hashes + the split-30 overflow-free
+      universal family + md5 band digests over decimal-string signatures
+      (functions/hashing.py) — every step recomputable by the DuckDB
+      oracle. Same banding semantics, ~same selectivity, slower.
     """
+    from resolve_spark.functions.hashing import (
+        check_hash_impl, portable_hash60_py, universal_hash_split30_py,
+    )
+
     assert num_hashes % bands == 0
+    check_hash_impl(hash_impl)
     rows_per_band = num_hashes // bands
+
+    if hash_impl == "portable":
+        pa = np.array(
+            [portable_hash60_py(f"mh:a:{seed}:{i}") + 1 for i in range(num_hashes)],
+            dtype=np.int64,
+        )
+        pb = np.array(
+            [portable_hash60_py(f"mh:b:{seed}:{i}") for i in range(num_hashes)],
+            dtype=np.int64,
+        )
+
+        @pandas_udf(ArrayType(StringType()))
+        def portable_keys(text: pd.Series) -> pd.Series:
+            out = []
+            for t in text:
+                x = _portable_shingle_hashes("" if t is None else t, shingle)
+                if x.size == 0:
+                    out.append([])
+                    continue
+                hv = universal_hash_split30_py(pa[:, None], pb[:, None], x[None, :])
+                sig = hv.min(axis=1)
+                row_keys = []
+                for band in range(bands):
+                    chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                    payload = f"{band}|" + "|".join(str(int(v)) for v in chunk)
+                    digest = hashlib.md5(payload.encode()).hexdigest()[:12]
+                    row_keys.append(f"m{band}:{digest}")
+                out.append(row_keys)
+            return pd.Series(out)
+
+        return portable_keys
+
     a, b = _minhash_params(num_hashes, seed)
 
     @pandas_udf(ArrayType(StringType()))
@@ -248,7 +317,10 @@ def add_blocking_keys(df: DataFrame, cfg: BlockingConfig) -> DataFrame:
             qgram_keys(F.col(cfg.qgram_column), cfg.qgram_q, cfg.qgram_keys_per_record)
         )
     if cfg.minhash_column is not None:
-        mh = minhash_band_keys_udf(cfg.minhash_num_hashes, cfg.minhash_bands)
+        mh = minhash_band_keys_udf(
+            cfg.minhash_num_hashes, cfg.minhash_bands,
+            hash_impl=cfg.minhash_hash_impl,
+        )
         passes.append(mh(F.col(cfg.minhash_column)))
     if not passes:
         raise ValueError("BlockingConfig enables no blocking pass")

@@ -83,12 +83,13 @@ def ngram_jaccard_pairs(
 
 def minhash_duplicates(
     df: DataFrame, id_col: str, content_col: str, jaccard_threshold: float = 0.7,
-    num_hashes: int = 64, bands: int = 16,
+    num_hashes: int = 64, bands: int = 16, hash_impl: str = "fast",
 ) -> DataFrame:
     """MinHash-LSH candidates verified by true token Jaccard -> CC."""
     cfg = BlockingConfig(
         enable_canopy=False, minhash_column=content_col,
         minhash_num_hashes=num_hashes, minhash_bands=bands,
+        minhash_hash_impl=hash_impl,
     )
     blocked = B.add_blocking_keys(df, cfg)
     pairs, _ = candidate_pairs(blocked, id_col, cfg, with_stats=False)
@@ -103,7 +104,8 @@ def minhash_duplicates(
 
 
 def simhash_duplicates(
-    df: DataFrame, id_col: str, content_col: str, max_hamming: int = 7
+    df: DataFrame, id_col: str, content_col: str, max_hamming: int = 7,
+    hash_impl: str = "fast",
 ) -> DataFrame:
     """SimHash near-dup clustering.
 
@@ -116,7 +118,8 @@ def simhash_duplicates(
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
     fp = df.select(
-        F.col(id_col).alias("rid"), TX.simhash64(F.col(content_col)).alias("sim"),
+        F.col(id_col).alias("rid"),
+        TX.simhash64(F.col(content_col), hash_impl=hash_impl).alias("sim"),
     )
     bands = fp.select(
         "rid", "sim",
