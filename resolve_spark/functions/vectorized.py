@@ -386,7 +386,14 @@ def apply_distinct(batch_fn, a: list[str], b: list[str]) -> np.ndarray:
 
     Sides factorize separately (C string hashing), the pair becomes one
     int64 code — no per-row python tuples.
+
+    NUL guard: pandas' string hash table is C-string based, so a NUL
+    byte TRUNCATES the key ('\\x00' factorizes equal to '') and the
+    gather would return the wrong pair's score. NUL-bearing batches
+    (vanishingly rare in real text) skip the dedup and score directly.
     """
+    if any("\x00" in s for s in a) or any("\x00" in s for s in b):
+        return np.asarray(batch_fn(a, b), np.float64)
     ca, ua = pd.factorize(pd.Series(a, dtype=object))
     cb, ub = pd.factorize(pd.Series(b, dtype=object))
     combo = ca.astype(np.int64) * len(ub) + cb
