@@ -4,19 +4,20 @@
                scoring -> connected components) on sf0.001.
 ``queries``  — one entry per implemented operator family from
                SURVEY.md §2 (IDs noted per query).
-``oracle_sql`` — DuckDB-equivalent SQL for every SQL-expressible query
-               (41 of 42). The randomized operators (MinHash q19/q28,
-               SimHash q27, SRP-LSH q30, IVF q32) run here under
+``oracle_sql`` — DuckDB-equivalent SQL for ALL 42 queries.
+               The randomized operators (MinHash q19/q28, SimHash q27,
+               SRP-LSH q30, IVF q32) run here under
                ``hash_impl="portable"`` — an md5-derived hash family
                (resolve_spark/functions/hashing.py) computable
                bit-identically in Spark, numpy and DuckDB, so the full
                banding/bucketing/clustering dataflow is SQL-checkable
                (xxhash64/siphash stays the fast default elsewhere).
-               The one remaining rows-only query is q20: DuckDB's
-               jaro_winkler gates the prefix boost at 0.7 AND its
-               jaro_similarity uses a different matching rule (verified:
-               0.70 vs the reference's 0.6722 on 'hot plate'/'blue
-               plate'), so no faithful SQL oracle exists for it.
+               q20's composite needs the reference's exact Jaro-Winkler;
+               DuckDB's builtin is semantically different (it gates the
+               prefix boost at 0.7 AND uses a different matching rule —
+               verified 0.70 vs the reference's 0.6722 on 'hot plate'/
+               'blue plate'), so the oracle implements the reference
+               algorithm itself as a recursive CTE (_q20_oracle_sql).
 """
 
 from __future__ import annotations
@@ -737,6 +738,86 @@ def _srp_sig_cte(planes: int = 10, tables: int = 4, seed: int = 42,
     )
 
 
+def _q20_oracle_sql() -> str:
+    """Full F1 NameSimilarity oracle in pure SQL — including the exact
+    reference Jaro-Winkler (similarity.go:48-157: greedy byte-window
+    matching, transposition halving, UNCONDITIONAL prefix boost), which
+    DuckDB's built-in jaro_winkler does NOT implement (it gates the
+    boost at 0.7 and uses a different matching rule). The greedy match
+    loop runs as a recursive CTE stepping one character of the shorter
+    string per round, carrying the used-position list; validated 0-diff
+    against the scalar kernel on 300+ randomized pairs."""
+    legal = _LEGAL_SUFFIX_SQL
+    pre = (
+        "trim(regexp_replace(regexp_replace(lower({x}), '" + legal + "', ''), "
+        "'\\s+', ' ', 'g'))"
+    )
+    toks_pa = _TOKENS_SQL.format(c="pa")
+    toks_pb = _TOKENS_SQL.format(c="pb")
+    return (
+        "WITH RECURSIVE "
+        "q20p AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, "
+        "a.p_name AS na, b.p_name AS nb, "
+        + pre.format(x="a.p_name") + " AS pa, " + pre.format(x="b.p_name") + " AS pb "
+        "FROM part a JOIN part b ON a.p_brand = b.p_brand "
+        "AND a.p_partkey < b.p_partkey "
+        "WHERE a.p_partkey % 20 = 0 AND b.p_partkey % 20 = 0), "
+        # jaro operands: s = shorter preprocessed, l = longer
+        "dims AS (SELECT id_a, id_b, "
+        "CASE WHEN len(pa) > len(pb) THEN pb ELSE pa END AS s, "
+        "CASE WHEN len(pa) > len(pb) THEN pa ELSE pb END AS l "
+        "FROM q20p WHERE na <> nb AND na <> '' AND nb <> '' AND pa <> pb), "
+        "dims2 AS (SELECT id_a, id_b, s, l, len(s) AS ls, len(l) AS ll, "
+        "greatest(len(l) // 2 - 1, 0) AS md FROM dims WHERE len(s) > 0), "
+        # greedy match walk: i steps over s; used = matched positions in l
+        "walk(id_a, id_b, i, used, ma) AS ("
+        "SELECT id_a, id_b, 0::BIGINT, []::BIGINT[], '' FROM dims2 "
+        "UNION ALL "
+        "SELECT id_a, id_b, i + 1, "
+        "CASE WHEN j IS NULL THEN used ELSE list_append(used, j) END, "
+        "CASE WHEN j IS NULL THEN ma ELSE ma || substr(s, (i + 1)::INT, 1) END "
+        "FROM (SELECT w.id_a, w.id_b, w.i, w.used, w.ma, d.s, d.ls, "
+        "list_filter(range(greatest(0, w.i - d.md), least(w.i + d.md + 1, d.ll)), "
+        "j -> substr(d.l, (j + 1)::INT, 1) = substr(d.s, (w.i + 1)::INT, 1) "
+        "AND NOT list_contains(w.used, j))[1] AS j "
+        "FROM walk w JOIN dims2 d USING (id_a, id_b) WHERE w.i < d.ls)), "
+        "matched AS (SELECT w.id_a, w.id_b, len(w.used) AS m, w.ma, "
+        "array_to_string(list_transform(list_sort(w.used), "
+        "j -> substr(d.l, (j + 1)::INT, 1)), '') AS mb, d.ls, d.ll "
+        "FROM walk w JOIN dims2 d USING (id_a, id_b) WHERE w.i = d.ls), "
+        "jarod AS (SELECT id_a, id_b, CASE WHEN m = 0 THEN 0.0 ELSE "
+        "(m::DOUBLE / ls + m::DOUBLE / ll + "
+        "(m - len(list_filter(range(1, m + 1), "
+        "p -> substr(ma, p::INT, 1) <> substr(mb, p::INT, 1))) / 2.0) / m) / 3.0 "
+        "END AS jaro FROM matched), "
+        # jw over preprocessed strings: unconditional Winkler boost
+        "jwd AS (SELECT q.id_a, q.id_b, CASE "
+        "WHEN q.pa = '' OR q.pb = '' THEN 0.0 "
+        "ELSE coalesce(j.jaro, 0.0) + len(list_filter("
+        "range(1, least(4, len(q.pa), len(q.pb)) + 1), "
+        "p -> substr(q.pa, 1, p::INT) = substr(q.pb, 1, p::INT))) "
+        "* 0.1 * (1.0 - coalesce(j.jaro, 0.0)) END AS jw "
+        "FROM q20p q LEFT JOIN jarod j USING (id_a, id_b)), "
+        "parts3 AS (SELECT q.id_a, q.id_b, q.na, q.nb, q.pa, q.pb, w.jw, "
+        f"{toks_pa} AS ta, {toks_pb} AS tb "
+        "FROM q20p q JOIN jwd w USING (id_a, id_b)), "
+        "scored AS (SELECT id_a, id_b, CASE "
+        "WHEN na = nb THEN 1.0 "
+        "WHEN na = '' OR nb = '' THEN 0.0 "
+        "WHEN pa = pb THEN 1.0 "
+        "ELSE 0.6 * jw + 0.3 * (CASE WHEN pa = '' OR pb = '' THEN 0.0 "
+        "WHEN len(list_distinct(list_concat(ta, tb))) = 0 THEN 0.0 "
+        "ELSE len(list_intersect(ta, tb))::DOUBLE / "
+        "len(list_distinct(list_concat(ta, tb))) END) "
+        "+ 0.1 * (CASE WHEN pa = '' OR pb = '' THEN 0.0 "
+        "WHEN position(pa IN pb) > 0 OR position(pb IN pa) > 0 "
+        "THEN least(len(pa), len(pb))::DOUBLE / greatest(len(pa), len(pb)) "
+        "ELSE 0.0 END) END AS name_sim FROM parts3) "
+        "SELECT id_a, id_b, round(name_sim, 6) AS name_sim FROM scored "
+        "WHERE round(name_sim, 6) >= 0.5"
+    )
+
+
 # recursive-CTE connected components over e(id_a, id_b): comp(rid, cluster_id)
 _CC_CTE = (
     "sym AS (SELECT id_a AS s, id_b AS d FROM e UNION SELECT id_b, id_a FROM e), "
@@ -1111,8 +1192,8 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY query_id ORDER BY c DESC, cand_id ASC) AS rk FROM scored) "
             "SELECT query_id, cand_id, round(c, 4) AS cos, rk FROM r WHERE rk <= 3"
         ),
-        # rows-only by design: ONLY q20 (JW composite) — DuckDB's
-        # jaro_winkler gates the prefix boost at 0.7 AND its
-        # jaro_similarity uses a different matching rule (verified
-        # 0.70 vs the reference's 0.6722 on 'hot plate'/'blue plate').
+        # F1 composite incl. the reference's exact Jaro-Winkler as a
+        # recursive CTE (DuckDB's builtin jaro_winkler is semantically
+        # different, so the oracle implements the algorithm itself)
+        "q20_name_similarity": _q20_oracle_sql(),
     }
