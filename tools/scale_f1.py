@@ -1,0 +1,76 @@
+"""Data-scale evidence run: the full ER pipeline + the BASELINE.json F1
+gate at an arbitrary record count (the BENCH.md scale-growth table rows).
+
+Runs exactly what tests/test_pipeline.py::test_pairwise_f1_gate runs —
+datagen.synth_files -> ResolvePipeline.run -> pairwise_f1 over labeled
+pairs at the shared blocking key — just bigger, and prints one JSON line.
+
+Usage: python tools/scale_f1.py [--records N] [--cpus C]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--records", type=int, default=4_000_000,
+                    help="n_base for datagen.synth_files (output is ~n_base incl. duplicates)")
+    ap.add_argument("--cpus", type=int, default=os.cpu_count() or 8)
+    ap.add_argument("--skip-f1", action="store_true",
+                    help="time the pipeline only (no F1/invariant evaluation)")
+    args = ap.parse_args()
+
+    from resolve_spark import datagen
+    from resolve_spark.plans import pipeline as P
+    from resolve_spark.session import build_session
+
+    spark = build_session(
+        app_name=f"resolve_scale_{args.records}",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=max(args.cpus, 32),
+    )
+    files = datagen.with_record_id(
+        datagen.synth_files(spark, n_base=args.records, dup_rate=0.2)
+    ).persist()
+    n_records = files.count()
+
+    pipe = P.ResolvePipeline(
+        spark, P.files_pipeline_config(), checkpoint_dir=tempfile.mkdtemp()
+    )
+    t0 = time.time()
+    run = pipe.run(files)
+    run.clusters.where("cluster_size > 1").count()
+    wall = time.time() - t0
+
+    out = {
+        "metric": "scale_pipeline",
+        "records": n_records,
+        "pipeline_sec": round(wall, 1),
+        "pairs_scored": run.counters.get("pairs_generated", 0),
+        "cpus": args.cpus,
+    }
+    if not args.skip_f1:
+        labeled = datagen.labeled_pairs(files)
+        m = P.pairwise_f1(run.clusters, labeled, run.pairs)
+        out.update(
+            f1=round(m["f1"], 6), precision=round(m["precision"], 6),
+            recall=round(m["recall"], 6), tp=m["tp"], fp=m["fp"], fn=m["fn"],
+            blocking_recall=round(m["blocking_recall"], 6),
+        )
+        checked = P.assert_sha256_invariant(run, files, "record_id")
+        out["sha256_rows_checked"] = checked
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
