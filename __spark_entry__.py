@@ -611,6 +611,32 @@ def _q42_user_sessions(spark, sf_dir):  # gap-based sessionization (30 min)
     )
 
 
+def _q43_decontamination(spark, sf_dir):  # benchmark n-gram decontamination
+    from resolve_spark.operators.decontaminate import ngram_contamination
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 29 == 0)
+    corpus = d.where(F.col("doc_id") % 29 != 0)
+    return ngram_contamination(corpus, bench, "doc_id", "text", n=4,
+                               hash_impl="portable")
+
+
+def _q44_stratified_sample(spark, sf_dir):  # deterministic hash-threshold sample
+    from resolve_spark.operators.sampling import stratified_sample
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, "doc_id", {"en": 0.4, "de": 0.8, "zh": 0.25},
+        strata_col="lang", salt="s44", hash_impl="portable",
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def _q45_quota_sample(spark, sf_dir):  # exact per-stratum quota (n hash-smallest)
+    from resolve_spark.operators.sampling import quota_sample
+    d = _t(spark, sf_dir, "documents")
+    out = quota_sample(d, "doc_id", "lang", n=25, hash_impl="portable")
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -655,6 +681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_windowed_events": _q40_windowed_events,
         "q41_json_props": _q41_json_props,
         "q42_user_sessions": _q42_user_sessions,
+        "q43_decontamination": _q43_decontamination,
+        "q44_stratified_sample": _q44_stratified_sample,
+        "q45_quota_sample": _q45_quota_sample,
     }
 
 
@@ -1196,4 +1225,43 @@ def oracle_sql() -> dict[str, str]:
         # recursive CTE (DuckDB's builtin jaro_winkler is semantically
         # different, so the oracle implements the algorithm itself)
         "q20_name_similarity": _q20_oracle_sql(),
+        # benchmark n-gram decontamination (4-token shingles, portable hash)
+        "q43_decontamination": (
+            "WITH tok AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "gr AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN []::VARCHAR[] "
+            "WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')] "
+            "ELSE list_distinct(list_transform(range(1, len(toks) - 2), "
+            "j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3])) "
+            "END AS grams FROM tok), "
+            "bench AS (SELECT DISTINCT " + _ph_sql("g") + " AS h FROM "
+            "(SELECT unnest(grams) AS g FROM gr WHERE doc_id % 29 = 0)), "
+            "corp AS (SELECT doc_id, grams FROM gr WHERE doc_id % 29 <> 0), "
+            "hits AS (SELECT doc_id, count(*) AS n_hit FROM "
+            "(SELECT doc_id, " + _ph_sql("g") + " AS h FROM "
+            "(SELECT doc_id, unnest(grams) AS g FROM corp)) cg "
+            "JOIN bench USING (h) GROUP BY 1) "
+            "SELECT c.doc_id, len(c.grams)::BIGINT AS n_ngrams, "
+            "coalesce(h.n_hit, 0)::BIGINT AS n_hit, "
+            "CASE WHEN len(c.grams) > 0 THEN "
+            "round(coalesce(h.n_hit, 0)::DOUBLE / len(c.grams), 6) "
+            "ELSE 0.0 END AS contamination "
+            "FROM corp c LEFT JOIN hits h USING (doc_id)"
+        ),
+        # deterministic hash-threshold stratified sample (portable hash)
+        "q44_stratified_sample": (
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE (" + _ph_sql("'s44:' || doc_id") + ") % 1000000 < "
+            "CASE lang WHEN 'en' THEN 400000 WHEN 'de' THEN 800000 "
+            "WHEN 'zh' THEN 250000 ELSE -1 END"
+        ),
+        # exact per-stratum quota: 25 hash-smallest docs per lang
+        "q45_quota_sample": (
+            "WITH h AS (SELECT doc_id, lang, n_chars, "
+            + _ph_sql("'qs:' || doc_id") + " AS c FROM documents), "
+            "r AS (SELECT doc_id, lang, n_chars, row_number() OVER ("
+            "PARTITION BY lang ORDER BY c, doc_id) AS rk FROM h) "
+            "SELECT doc_id, lang, n_chars FROM r WHERE rk <= 25"
+        ),
     }

@@ -1,0 +1,118 @@
+"""Benchmark decontamination: flag training documents that share long
+token n-grams with an evaluation/benchmark set.
+
+The standard pretraining-hygiene operator (cf. GPT-3 appx. C / Dolma /
+RedPajama): a training doc is contaminated when a sufficient share of
+its token n-grams also occur anywhere in the benchmark corpus.
+
+Dataflow (Spark-first):
+
+1. tokenize both sides once (native ``split``/``filter``),
+2. per-doc DISTINCT n-gram hashes (native ``transform(sequence)`` over
+   the token array — no Python, no explode yet),
+3. the benchmark's global distinct n-gram set — SMALL (eval sets are
+   thousands of docs), so it broadcasts,
+4. explode corpus n-grams → broadcast-semi-join against the benchmark
+   set → count hits per doc. The only shuffle is the per-doc hit count
+   (map-side combinable longs); the corpus is never self-joined and
+   nothing quadratic exists at any scale.
+
+``hash_impl="portable"`` makes the n-gram hashing reproducible in
+DuckDB for the correctness oracle (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from resolve_spark.functions.hashing import check_hash_impl, portable_hash60
+
+#: decontamination tokenizer: lowercase alnum runs (ASCII class — eval
+#: overlap checks run on normalized text; swap for \p{L}\p{N} corpora)
+TOKEN_RE = r"[^a-z0-9]+"
+
+
+def _ngram_hashes(text: Column, n: int, hash_impl: str) -> Column:
+    """array<long>: distinct hashes of the ``n``-token shingles of ``text``.
+    Docs with fewer than ``n`` tokens contribute a single all-token gram
+    (same convention as blocking.py's minhash shingles)."""
+    toks = F.filter(F.split(F.lower(text), TOKEN_RE), lambda t: t != "")
+    k = F.size(toks)
+    grams = (
+        F.when(k == 0, F.array().cast("array<string>"))
+        .when(k < n, F.array(F.array_join(toks, " ")))
+        .otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), k - n + 1),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                )
+            )
+        )
+    )
+    if check_hash_impl(hash_impl) == "portable":
+        return F.transform(grams, lambda g: portable_hash60(g))
+    return F.transform(grams, lambda g: F.xxhash64(g))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    hash_impl: str = "fast",
+) -> DataFrame:
+    """Per-corpus-doc contamination stats against ``benchmark``:
+    (id, n_ngrams, n_hit, contamination = n_hit / n_ngrams).
+
+    Docs with no n-grams (empty text) report contamination 0.0.
+    Threshold downstream (e.g. ``.where("contamination > 0.2")``) or
+    anti-join the flagged ids to produce the clean corpus.
+    """
+    bench_set = (
+        benchmark.select(F.explode(_ngram_hashes(F.col(text_col), n, hash_impl)).alias("g"))
+        .distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col), _ngram_hashes(F.col(text_col), n, hash_impl).alias("grams")
+    )
+    hits = (
+        doc_grams.select(id_col, F.explode("grams").alias("g"))
+        .join(F.broadcast(bench_set), "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        doc_grams.select(id_col, F.size("grams").cast("bigint").alias("n_ngrams"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_ngrams",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.when(F.col("n_ngrams") > 0,
+                   F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_ngrams"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("contamination"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_contamination: float = 0.0,
+    hash_impl: str = "fast",
+) -> DataFrame:
+    """The clean corpus: drop docs whose contamination exceeds
+    ``max_contamination`` (default: any shared n-gram drops the doc)."""
+    flagged = (
+        ngram_contamination(corpus, benchmark, id_col, text_col, n, hash_impl)
+        .where(F.col("contamination") > max_contamination)
+        .select(id_col)
+    )
+    return corpus.join(flagged, id_col, "left_anti")

@@ -1,0 +1,147 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Training-set curation needs samples that are (a) reproducible across
+runs and engines — no ``rand()`` — and (b) cheap at 100 TB. Both
+operators key off a hash of the record id, so the sample is a pure
+function of the data:
+
+- :func:`stratified_sample` — keep a per-stratum FRACTION via a hash
+  threshold. A pure filter: no shuffle, no sort, pushes down to the
+  scan, trivially parallel at any scale.
+- :func:`quota_sample` — keep an exact per-stratum COUNT (the n
+  hash-smallest rows of each stratum). Two-phase at scale: a hash
+  cutoff prefilter shrinks each stratum to ~margin*n expected rows
+  BEFORE the per-stratum window sort, so the sort never sees the full
+  stratum; strata the prefilter undershoots (rare, bounded by the
+  margin) are re-ranked exactly from the full input.
+
+``hash_impl="portable"`` (functions/hashing.py) makes both operators
+bit-reproducible in DuckDB/numpy for the correctness oracle;
+``"fast"`` (xxhash64) is the production default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from resolve_spark.functions.hashing import check_hash_impl, portable_hash60
+
+#: hash-threshold resolution: fractions are quantized to 1/SCALE
+FRACTION_SCALE = 1_000_000
+
+
+def _sample_hash(id_col: Column, salt: str, hash_impl: str) -> Column:
+    """Non-negative int64 hash of (salt, id) — the sampling coin."""
+    tagged = F.concat(F.lit(salt + ":"), id_col.cast("string"))
+    if check_hash_impl(hash_impl) == "portable":
+        return portable_hash60(tagged)
+    return F.abs(F.xxhash64(tagged))
+
+
+def _threshold(fraction: float) -> int:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1]: {fraction}")
+    return int(round(fraction * FRACTION_SCALE))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    fractions: float | dict[str, float],
+    strata_col: str | None = None,
+    salt: str = "ss",
+    hash_impl: str = "fast",
+) -> DataFrame:
+    """Deterministic hash-threshold sample: keep a row iff
+    ``hash(salt, id) % SCALE < fraction * SCALE``.
+
+    ``fractions`` is a single fraction, or a per-stratum dict over
+    ``strata_col`` values (strata absent from the dict are dropped —
+    quota-style curation: "20% of en, 100% of fr, none of the rest").
+
+    Scale: a pure filter over native expressions — zero shuffle, zero
+    state; the same rows are kept regardless of partitioning, executor
+    count, or input order.
+    """
+    coin = _sample_hash(F.col(id_col), salt, hash_impl) % FRACTION_SCALE
+    if isinstance(fractions, dict):
+        if strata_col is None:
+            raise ValueError("per-stratum fractions need strata_col")
+        cut: Column = F.lit(-1)
+        for value, frac in sorted(fractions.items()):
+            cut = F.when(F.col(strata_col) == value, F.lit(_threshold(frac))).otherwise(cut)
+    else:
+        cut = F.lit(_threshold(float(fractions)))
+    return df.where(coin < cut)
+
+
+def quota_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    n: int,
+    salt: str = "qs",
+    hash_impl: str = "fast",
+    margin: float = 4.0,
+) -> DataFrame:
+    """Exactly the ``n`` hash-smallest rows of every stratum (all rows
+    of strata smaller than ``n``) — a deterministic per-stratum quota.
+
+    The result is a pure function of the data: the n winners per
+    stratum are fixed by ``hash(salt, id)`` (ties broken by id), never
+    by partition layout or timing.
+
+    Scale plan: ranking a whole stratum at 100 TB is a giant sort, so
+    the window only ever runs on a prefiltered slice. Phase 1 counts
+    each stratum (one map-side-combinable agg of tiny data) and derives
+    a hash cutoff admitting ~margin*n expected rows; phase 2 ranks the
+    survivors. Strata where the prefilter admitted fewer than ``n``
+    rows (probability bounded by the margin; Chernoff < 1e-9 at
+    margin=4, n>=32) are re-ranked from the full input — correctness
+    never depends on the margin.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive: {n}")
+    coin = _sample_hash(F.col(id_col), salt, hash_impl).alias("_coin")
+    hashed = df.select("*", coin)
+    counts = hashed.groupBy(strata_col).agg(F.count("*").alias("_stratum_n"))
+
+    # phase 1: hash cutoff that admits ~margin*n of each stratum.
+    # hashes are ~uniform on [0, 2^60) (portable) / [0, 2^63) (fast);
+    # estimate the range from the observed max to stay impl-agnostic.
+    hash_span = float(2**60 if hash_impl == "portable" else 2**63)
+    cutoff = F.least(
+        F.lit(hash_span),
+        F.lit(margin * n) / F.col("_stratum_n") * F.lit(hash_span),
+    ).alias("_cutoff")
+    pre = hashed.join(F.broadcast(counts.select(strata_col, cutoff)), strata_col)
+    survivors = pre.where((F.col("_coin") < F.col("_cutoff")) | (F.col("_cutoff") >= hash_span))
+
+    w_rank = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(F.col("_coin"), F.col(id_col))
+    )
+    ranked = survivors.withColumn("_rk", w_rank)
+
+    # strata the prefilter undershot: admitted < n although the stratum
+    # itself has >= n rows — re-rank those from the full input
+    admitted = ranked.groupBy(strata_col).agg(F.max("_rk").alias("_adm"))
+    short = (
+        counts.join(admitted, strata_col, "left")  # left: a stratum may have 0 survivors
+        .withColumn("_adm", F.coalesce("_adm", F.lit(0)))
+        .where((F.col("_adm") < n) & (F.col("_stratum_n") > F.col("_adm")))
+        .select(strata_col)
+    )
+    short_vals = [r[0] for r in short.collect()]  # bounded by #strata, tiny
+    out = ranked.where(F.col("_rk") <= n)
+    if short_vals:
+        rescued = (
+            hashed.where(F.col(strata_col).isin(short_vals))
+            .withColumn("_rk", w_rank)
+            .where(F.col("_rk") <= n)
+        )
+        out = out.where(~F.col(strata_col).isin(short_vals)).unionByName(
+            rescued, allowMissingColumns=True
+        )
+    return out.select(*df.columns)

@@ -1,0 +1,172 @@
+"""Sampling + decontamination operators (training-data curation).
+
+- stratified_sample: deterministic, order/partitioning-independent,
+  per-stratum fractions honored, strata absent from the dict dropped
+- quota_sample: EXACTLY the n hash-smallest rows per stratum — verified
+  against a brute-force full ranking, including with a sabotaged
+  prefilter margin (the rescue path must keep the result identical)
+- ngram_contamination / decontaminate: planted benchmark overlap is
+  flagged, clean docs are not, empty docs report 0.0
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from resolve_spark.operators import decontaminate as DC
+from resolve_spark.operators import sampling as SM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    langs = ["en", "de", "fr", "zh", "es"]
+    rows = [
+        (i, f"word{i % 37} alpha beta gamma delta token{i % 11} epsilon zeta",
+         langs[i % 5])
+        for i in range(1000)
+    ]
+    return spark.createDataFrame(rows, "id bigint, text string, lang string").persist()
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+def test_stratified_deterministic_and_order_independent(docs):
+    a = SM.stratified_sample(docs, "id", 0.3, salt="t", hash_impl="portable")
+    b = SM.stratified_sample(
+        docs.orderBy(F.desc("id")).repartition(7), "id", 0.3, salt="t",
+        hash_impl="portable",
+    )
+    assert sorted(r.id for r in a.collect()) == sorted(r.id for r in b.collect())
+    # ~binomial(1000, .3): far from the mean is a hash-quality failure
+    assert 230 <= a.count() <= 370
+
+
+def test_stratified_per_stratum_fractions(docs):
+    out = SM.stratified_sample(
+        docs, "id", {"en": 1.0, "de": 0.5, "fr": 0.0}, strata_col="lang",
+        hash_impl="fast",
+    )
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert got["en"] == 200          # fraction 1.0 keeps every row
+    assert "fr" not in got           # fraction 0.0
+    assert "zh" not in got           # absent from the dict -> dropped
+    assert 60 <= got.get("de", 0) <= 140
+
+    with pytest.raises(ValueError):
+        SM.stratified_sample(docs, "id", {"en": 0.5})  # dict needs strata_col
+    with pytest.raises(ValueError):
+        SM.stratified_sample(docs, "id", 1.5)
+
+
+def test_stratified_salt_changes_sample(docs):
+    a = {r.id for r in SM.stratified_sample(docs, "id", 0.3, salt="s1").collect()}
+    b = {r.id for r in SM.stratified_sample(docs, "id", 0.3, salt="s2").collect()}
+    assert a != b
+
+
+# ---------------------------------------------------------------------------
+# quota_sample
+# ---------------------------------------------------------------------------
+
+def _brute_quota(docs, n, salt, hash_impl):
+    coin = SM._sample_hash(F.col("id"), salt, hash_impl)
+    w = Window.partitionBy("lang").orderBy(coin, F.col("id"))
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n).select("id")
+    )
+
+
+@pytest.mark.parametrize("hash_impl", ["fast", "portable"])
+def test_quota_exactness(docs, hash_impl):
+    out = SM.quota_sample(docs, "id", "lang", 30, hash_impl=hash_impl)
+    assert all(r["count"] == 30 for r in out.groupBy("lang").count().collect())
+    brute = _brute_quota(docs, 30, "qs", hash_impl)
+    assert out.select("id").subtract(brute).count() == 0
+    assert brute.subtract(out.select("id")).count() == 0
+    assert out.columns == docs.columns  # helper columns dropped
+
+
+def test_quota_rescue_path_is_still_exact(docs):
+    """margin so small the prefilter undershoots every stratum — the
+    full-rank rescue must reproduce the exact answer anyway."""
+    out = SM.quota_sample(docs, "id", "lang", 50, margin=0.01)
+    brute = _brute_quota(docs, 50, "qs", "fast")
+    assert out.count() == 250
+    assert out.select("id").subtract(brute).count() == 0
+    assert brute.subtract(out.select("id")).count() == 0
+
+
+def test_quota_small_stratum_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(40)] + [(100 + i, "tiny") for i in range(3)],
+        "id bigint, lang string",
+    )
+    out = SM.quota_sample(df, "id", "lang", 10)
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert got == {"big": 10, "tiny": 3}
+    with pytest.raises(ValueError):
+        SM.quota_sample(df, "id", "lang", 0)
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+BENCH_SENT = "the quick brown fox jumps over the lazy dog tonight"
+
+
+@pytest.mark.parametrize("hash_impl", ["fast", "portable"])
+def test_contamination_planted(spark, hash_impl):
+    bench = spark.createDataFrame([(0, BENCH_SENT)], "id bigint, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words then " + BENCH_SENT + " and a tail"),  # planted
+            (2, "completely unrelated set of distinct vocabulary items here"),
+            (3, ""),                                                # empty
+            (4, BENCH_SENT),                                        # verbatim copy
+        ],
+        "id bigint, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in DC.ngram_contamination(
+            corpus, bench, "id", "text", n=5, hash_impl=hash_impl
+        ).collect()
+    }
+    assert out[1]["n_hit"] > 0 and out[1]["contamination"] > 0.3
+    assert out[2]["n_hit"] == 0 and out[2]["contamination"] == 0.0
+    assert out[3]["n_ngrams"] == 0 and out[3]["contamination"] == 0.0
+    assert out[4]["contamination"] == 1.0
+
+    clean = DC.decontaminate(corpus, bench, "id", "text", n=5,
+                             max_contamination=0.0, hash_impl=hash_impl)
+    assert sorted(r.id for r in clean.collect()) == [2, 3]
+
+
+def test_contamination_short_doc_single_gram(spark):
+    """docs shorter than n tokens fall back to one all-token gram."""
+    bench = spark.createDataFrame([(0, "alpha beta")], "id bigint, text string")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "id bigint, text string"
+    )
+    out = {r["id"]: r for r in
+           DC.ngram_contamination(corpus, bench, "id", "text", n=8).collect()}
+    assert out[1]["n_ngrams"] == 1 and out[1]["contamination"] == 1.0
+    assert out[2]["contamination"] == 0.0
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    """the benchmark n-gram set must join as a broadcast (no full shuffle
+    of the corpus n-grams against it)."""
+    bench = spark.range(10).select(F.col("id"), F.lit(BENCH_SENT).alias("text"))
+    corpus = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("doc body "), F.col("id").cast("string")).alias("text")
+    )
+    plan = DC.ngram_contamination(corpus, bench, "id", "text", n=3)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
