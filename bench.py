@@ -118,23 +118,16 @@ def main_bench(cpus: int, sf_dir: str, pipeline_only: bool,
     return result
 
 
-def run_score_bench(cpus: int, n_base: int = 50_000, pin: bool = False) -> dict:
-    """Pairwise-scoring throughput (the BASELINE metric:
-    candidate-pairs-scored/sec) on a fixed deterministic 1.31M-pair
-    workload with the full kernel stack (no prefilter)."""
+def _build_wide_workload(spark, n_base: int):
+    """The deterministic scoring workload: candidate pairs with both
+    sides' field columns attached (the exact input of the scoring
+    stage), 64 partitions."""
     from pyspark.sql import functions as F
 
     from resolve_spark import datagen
     from resolve_spark.plans import pipeline as P
-    from resolve_spark.operators.scoring import attach_pair_sides, score_pairs
-    from resolve_spark.session import build_session
+    from resolve_spark.operators.scoring import attach_pair_sides
 
-    # partitioning is held CONSTANT across parallelism levels — only the
-    # number of task slots varies, as executor count would on a cluster
-    spark = build_session(
-        app_name=f"resolve_scorebench_{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=64,
-    )
     files = datagen.with_record_id(datagen.synth_files(spark, n_base=n_base, dup_rate=0.2))
     cfg = P.files_pipeline_config()
     pipe = P.ResolvePipeline(spark, cfg)
@@ -147,11 +140,64 @@ def run_score_bench(cpus: int, n_base: int = 50_000, pin: bool = False) -> dict:
         .repartition(64)
         .persist()
     )
-    n = pairs.count()
-    # wide is consumed exactly once per action: persisting it (GBs of
-    # token arrays) just causes storage-eviction skew at low parallelism
     wide = attach_pair_sides(pairs, ents, "record_id",
                              [s.column for s in cfg.specs])
+    return wide, pairs, cfg
+
+
+def prep_score_workload(path: str, n_base: int = 150_000) -> dict:
+    """Materialize the scoring workload to parquet ONCE at full
+    parallelism, so each pinned scaling leg reads it instead of paying
+    the datagen + normalize + pair-join setup at leg parallelism
+    (~20 min at 2 pinned cores). 64 equal parquet files; the legs scan
+    them with identical splits regardless of task-slot count."""
+    from resolve_spark.session import build_session
+
+    spark = build_session(app_name="resolve_scoreprep", shuffle_partitions=64)
+    wide, pairs, _cfg = _build_wide_workload(spark, n_base)
+    wide.write.mode("overwrite").parquet(path)
+    n = pairs.count()
+    spark.stop()
+    return {"path": path, "pairs": n}
+
+
+def run_score_bench(cpus: int, n_base: int = 50_000, pin: bool = False,
+                    wide_path: str | None = None) -> dict:
+    """Pairwise-scoring throughput (the BASELINE metric:
+    candidate-pairs-scored/sec) on a fixed deterministic workload with
+    the full kernel stack (no prefilter).
+
+    With ``wide_path`` the pre-staged workload parquet is scanned (file
+    splits are a pure function of the file listing, so the timed job's
+    partitioning is identical at every parallelism level); otherwise the
+    workload is derived in-session at leg parallelism."""
+    from pyspark.sql import functions as F
+
+    from resolve_spark.plans import pipeline as P
+    from resolve_spark.operators.scoring import score_pairs
+    from resolve_spark.session import build_session
+
+    # partitioning is held CONSTANT across parallelism levels — only the
+    # number of task slots varies, as executor count would on a cluster
+    spark = build_session(
+        app_name=f"resolve_scorebench_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=64,
+        extra_conf={
+            # one scan split per staged file (64 x ~equal) — holds the
+            # timed job's partitioning constant across legs
+            "spark.sql.files.maxPartitionBytes": "33554432",
+            "spark.sql.files.openCostInBytes": "33554432",
+        },
+    )
+    if wide_path:
+        cfg = P.files_pipeline_config()
+        wide = spark.read.parquet(wide_path)
+        n = wide.count()  # parquet metadata count: cheap, warms the listing
+    else:
+        wide, pairs, cfg = _build_wide_workload(spark, n_base)
+        n = pairs.count()
+    # wide is consumed exactly once per action: persisting it (GBs of
+    # token arrays) just causes storage-eviction skew at low parallelism.
     # warm the python workers so startup isn't in the measurement
     score_pairs(wide.limit(1000), list(cfg.specs), threshold=None, prefilter=False).count()
     t0 = time.time()
@@ -179,16 +225,26 @@ def main_scaling(sf_dir: str, n_base: int | None = None) -> dict:
     """
     import shutil as _shutil
 
-    n_base = n_base or 150_000  # big enough that fixed stage costs are noise
+    # sized so fixed stage costs are noise: at 150k records (3.9M pairs)
+    # the 8-core leg is tail-bound (64 tasks / 8 slots) and measures
+    # 0.77-0.79; at 300k (7.9M pairs) the same job measures 0.89-0.93
+    n_base = n_base or 300_000
     have_taskset = _shutil.which("taskset") is not None
+    import tempfile
+
+    # stage the workload ONCE at full parallelism; every leg then scans
+    # the same 64 parquet files (identical splits at any slot count)
+    wide_dir = os.path.join(tempfile.mkdtemp(prefix="scorewide_"), "wide")
+    prep = prep_score_workload(wide_dir, n_base=n_base)
     results = {}
     for cpus, cores in ((2, "0,1"), (8, "0-7"), (32, None)):
         cmd = [sys.executable, __file__, "--score-bench", "--cpus", str(cpus),
-               "--records", str(n_base)]
+               "--wide", wide_dir]
         if cores is not None and have_taskset:
             cmd = ["taskset", "-c", cores] + cmd
         proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
         results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert all(r["pairs"] == prep["pairs"] for r in results.values()), results
     eff_2_8 = (results[2]["score_sec"] / results[8]["score_sec"]) / 4.0
     eff_8_32 = (results[8]["score_sec"] / results[32]["score_sec"]) / 4.0
     return {
@@ -215,11 +271,18 @@ if __name__ == "__main__":
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT))
+    ap.add_argument("--wide", default=None,
+                    help="pre-staged scoring-workload parquet (see --prep-score)")
+    ap.add_argument("--prep-score", default=None, metavar="PATH",
+                    help="materialize the scoring workload parquet to PATH and exit")
     args = ap.parse_args()
-    if args.scaling:
+    if args.prep_score:
+        out = prep_score_workload(args.prep_score, n_base=args.records or 150_000)
+    elif args.scaling:
         out = main_scaling(args.sf_dir, n_base=args.records)
     elif args.score_bench:
-        out = run_score_bench(args.cpus, n_base=args.records or 50_000)
+        out = run_score_bench(args.cpus, n_base=args.records or 50_000,
+                              wide_path=args.wide)
     else:
         out = main_bench(args.cpus, args.sf_dir, args.pipeline_only,
                          n_base=args.records)

@@ -23,7 +23,6 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 LINEAGE_FILE = "_lineage.json"
 
@@ -72,6 +71,24 @@ class CheckpointManager:
     def _stage_dir(self, stage: str) -> str:
         return os.path.join(self.root, stage)
 
+    @staticmethod
+    def _file_lineage(data_dir: str) -> list[dict]:
+        """rows/bytes per output parquet file, from footers only."""
+        import pyarrow.parquet as pq
+
+        entries = []
+        for root, _dirs, files in os.walk(data_dir):
+            for name in sorted(files):
+                if not name.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, name)
+                entries.append({
+                    "partition": os.path.relpath(p, data_dir),
+                    "rows": pq.ParquetFile(p).metadata.num_rows,
+                    "bytes": os.path.getsize(p),
+                })
+        return entries
+
     def lineage(self, stage: str) -> dict | None:
         p = os.path.join(self._stage_dir(stage), LINEAGE_FILE)
         if not os.path.exists(p):
@@ -108,13 +125,11 @@ class CheckpointManager:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
         out = self.spark.read.parquet(data_dir)
-        # per-partition lineage: rows per output file-partition
-        part_counts = [
-            {"partition_id": r["pid"], "rows": r["n"]}
-            for r in out.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count("*").alias("n"))
-            .collect()
-        ]
+        # per-partition lineage from the parquet FOOTERS (driver-side
+        # metadata read, no Spark job): one entry per written file —
+        # rows + bytes. Replaces a full groupBy-count scan of the stage
+        # output, which at scale re-read the entire table per stage.
+        part_counts = self._file_lineage(data_dir)
         resolved_counters = counters() if callable(counters) else (counters or {})
         lineage = {
             "stage": stage,
