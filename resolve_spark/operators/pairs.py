@@ -82,12 +82,20 @@ def candidate_pairs(
     cfg: BlockingConfig,
     keys_col: str = "block_keys",
     with_stats: bool = True,
+    count_pairs: bool = True,
 ) -> tuple[DataFrame, PairGenStats | None]:
     """(record, array-of-keys) -> deduplicated candidate pairs.
 
     Returns (pairs, stats): pairs has columns (id_a, id_b, block_key)
     with id_a < id_b; block_key is the smallest key that produced the
     pair. Stats trigger two small aggregate jobs when requested.
+
+    ``count_pairs=False`` reports ``pairs_generated = -1`` instead of
+    counting: the count action would execute the whole pair-generation
+    plan, which a caller that immediately materializes the result (the
+    pipeline's stage checkpoint) would then execute a SECOND time.
+    Such callers backfill the exact count from the materialization
+    (checkpoint footer lineage / persisted count).
     """
     # no (rid, key) dedup shuffle needed: each blocking pass emits
     # distinct keys per record (array_distinct / single key) and passes
@@ -154,7 +162,7 @@ def candidate_pairs(
                 .otherwise(0)
             ).alias("dropped_est"),
         ).collect()[0]
-        n_pairs = deduped.count()
+        n_pairs = deduped.count() if count_pairs else -1
         stats = PairGenStats(
             n_records=df.count(),
             n_block_keys=agg["n_keys"] or 0,

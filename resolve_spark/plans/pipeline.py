@@ -232,7 +232,11 @@ class ResolvePipeline:
         pair_stats: dict = {}
 
         def compute_pairs():
-            pairs, stats = candidate_pairs(blocked, cfg.id_col, cfg.blocking)
+            # count_pairs=False: the stage materialization right below is
+            # the count (checkpoint footer lineage / persisted count) —
+            # an eager count here would execute pair generation twice
+            pairs, stats = candidate_pairs(blocked, cfg.id_col, cfg.blocking,
+                                           count_pairs=False)
             if stats:
                 pair_stats.update(
                     n_block_keys=stats.n_block_keys,
@@ -245,6 +249,12 @@ class ResolvePipeline:
 
         pairs, fp3 = stage("pairs", fingerprint(fp2, "pairs"), compute_pairs,
                            stage_counters=lambda: pair_stats)
+        if counters.get("pairs_generated", 0) is None or counters.get("pairs_generated", 0) < 0:
+            # exact count from the materialization, not a second execution
+            if self.ckpt is not None:
+                counters["pairs_generated"] = self.ckpt.lineage("pairs")["rows_out"]
+            else:
+                counters["pairs_generated"] = pairs.count()  # persisted above
         edges, fp4 = stage("edges", fingerprint(fp3, "edges"),
                            lambda: self.score(pairs, normalized))
         cluster_input = self.cluster_edges(edges)
