@@ -133,15 +133,15 @@ def quota_sample(
         .where((F.col("_adm") < n) & (F.col("_stratum_n") > F.col("_adm")))
         .select(strata_col)
     )
-    short_vals = [r[0] for r in short.collect()]  # bounded by #strata, tiny
-    out = ranked.where(F.col("_rk") <= n)
-    if short_vals:
-        rescued = (
-            hashed.where(F.col(strata_col).isin(short_vals))
-            .withColumn("_rk", w_rank)
-            .where(F.col("_rk") <= n)
-        )
-        out = out.where(~F.col(strata_col).isin(short_vals)).unionByName(
-            rescued, allowMissingColumns=True
-        )
-    return out.select(*df.columns)
+    # fully lazy (no plan-build collect): `short` is bounded by the
+    # stratum count, so both corrective joins broadcast; the rescue
+    # window re-ranks ONLY the semi-joined (short) strata
+    out = ranked.where(F.col("_rk") <= n).join(
+        F.broadcast(short), strata_col, "left_anti"
+    )
+    rescued = (
+        hashed.join(F.broadcast(short), strata_col, "left_semi")
+        .withColumn("_rk", w_rank)
+        .where(F.col("_rk") <= n)
+    )
+    return out.unionByName(rescued, allowMissingColumns=True).select(*df.columns)
