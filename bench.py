@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "q20_name_similarity",
     "q40_windowed_events",
     "q42_user_sessions",
+    "q43_decontamination",
+    "q45_quota_sample",
 ]
 
 
