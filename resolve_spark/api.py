@@ -201,6 +201,8 @@ class ResolveEngine:
             "limit": limit,
             "field_weights": req.get("field_weights") or None,
             "field_type_mappings": req.get("field_type_mappings") or None,
+            # match.go:56,312-318 — listed fields score with the exact kernel
+            "force_exact_match_fields": req.get("force_exact_match_fields") or None,
         }
 
     @staticmethod
@@ -241,7 +243,8 @@ class ResolveEngine:
         queries = qdf.withColumnRenamed("id", "query_id")
         fields = [f for f in ENTITY_FIELDS if (entity.get(f) or "") != ""]
         specs = specs_from_options(
-            fields, opts["field_type_mappings"], None, opts["field_weights"]
+            fields, opts["field_type_mappings"],
+            opts["force_exact_match_fields"], opts["field_weights"],
         )
         with self._lock:
             store = self.store.read()

@@ -186,3 +186,27 @@ def test_default_match_plan_is_equijoin(spark, tmp_path):
                       block_key=None, limit=5, threshold=0.1)
     explan = ex._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" in explan or "NestedLoopJoin" in explan, explan
+
+
+def test_match_force_exact_fields_over_http(api):
+    """ForceExactMatchFields (match.go:56, :312-318): listed fields score
+    with the exact kernel, overriding the inferred fuzzy kernel."""
+    ent = {"name": "Vertex Analytic", "zip": "62704"}  # name off by one char
+    code, fuzzy = _req(api, "POST", "/match", {"entity": ent, "threshold": 0.6})
+    assert code == 200 and "e-001" in {m["id"] for m in fuzzy["matches"]}
+
+    code, forced = _req(api, "POST", "/match", {
+        "entity": ent, "threshold": 0.6, "force_exact_match_fields": ["name"]})
+    assert code == 200
+    forced_ids = {m["id"] for m in forced["matches"]}
+    # exact name mismatch drops that field to 0 -> (0 + 1.0)/2 < 0.6
+    assert "e-001" not in forced_ids
+
+    # a verbatim-name query still passes under force_exact — and ONLY
+    # for the entity whose stored name is byte-identical (e-002;
+    # e-001 is "Vertex Analytics Inc.")
+    code, same = _req(api, "POST", "/match", {
+        "entity": {"name": "Vertex Analytics", "zip": "62704"},
+        "threshold": 0.6, "force_exact_match_fields": ["name"]})
+    same_ids = {m["id"] for m in same["matches"]}
+    assert "e-002" in same_ids and "e-001" not in same_ids
