@@ -4,7 +4,7 @@
                scoring -> connected components) on sf0.001.
 ``queries``  — one entry per implemented operator family from
                SURVEY.md §2 (IDs noted per query).
-``oracle_sql`` — DuckDB-equivalent SQL for ALL 42 queries.
+``oracle_sql`` — DuckDB-equivalent SQL for ALL 45 queries.
                The randomized operators (MinHash q19/q28, SimHash q27,
                SRP-LSH q30, IVF q32) run here under
                ``hash_impl="portable"`` — an md5-derived hash family

@@ -236,17 +236,23 @@ def main_scaling(sf_dir: str, n_base: int | None = None) -> dict:
 
     # stage the workload ONCE at full parallelism; every leg then scans
     # the same 64 parquet files (identical splits at any slot count)
-    wide_dir = os.path.join(tempfile.mkdtemp(prefix="scorewide_"), "wide")
-    prep = prep_score_workload(wide_dir, n_base=n_base)
-    results = {}
-    for cpus, cores in ((2, "0,1"), (8, "0-7"), (32, None)):
-        cmd = [sys.executable, __file__, "--score-bench", "--cpus", str(cpus),
-               "--wide", wide_dir]
-        if cores is not None and have_taskset:
-            cmd = ["taskset", "-c", cores] + cmd
-        proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
-        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert all(r["pairs"] == prep["pairs"] for r in results.values()), results
+    import shutil
+
+    tmp_root = tempfile.mkdtemp(prefix="scorewide_")
+    wide_dir = os.path.join(tmp_root, "wide")
+    try:
+        prep = prep_score_workload(wide_dir, n_base=n_base)
+        results = {}
+        for cpus, cores in ((2, "0,1"), (8, "0-7"), (32, None)):
+            cmd = [sys.executable, __file__, "--score-bench", "--cpus", str(cpus),
+                   "--wide", wide_dir]
+            if cores is not None and have_taskset:
+                cmd = ["taskset", "-c", cores] + cmd
+            proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
+            results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert all(r["pairs"] == prep["pairs"] for r in results.values()), results
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)  # multi-GB staging dir
     eff_2_8 = (results[2]["score_sec"] / results[8]["score_sec"]) / 4.0
     eff_8_32 = (results[8]["score_sec"] / results[32]["score_sec"]) / 4.0
     return {

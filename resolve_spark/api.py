@@ -141,6 +141,8 @@ class ResolveEngine:
 
     def get_entity(self, entity_id: str) -> dict | None:
         with self._lock:
+            if not self.store.exists():  # e.g. every entity deleted
+                return None
             # bucket-pruned point read: only the id's partition dir is
             # scanned (same pruning the upsert/delete paths use)
             rows = self.store.read_for_ids([entity_id]).collect()
@@ -160,18 +162,40 @@ class ResolveEngine:
         if existing:
             payload["created_at"] = existing.get("created_at")
             # PUT merges over the stored record (reference updates
-            # provided properties, weaviate.go:549-601). The stored
-            # vector survives too: re-embedding a partial update with
-            # the mock embedder would silently swap embedding spaces
-            # for entities added with client-supplied vectors.
+            # provided properties, weaviate.go:549-601).
             for f in ENTITY_FIELDS:
                 payload.setdefault(f, existing.get(f))
             payload.setdefault("metadata", existing.get("metadata"))
-            payload.setdefault("vector", existing.get("vector"))
+            # Vector on a vector-less PUT: a CLIENT-supplied vector must
+            # survive (re-embedding would silently swap embedding
+            # spaces), but an ENGINE-computed mock embedding must be
+            # recomputed from the merged fields — freezing it would
+            # leave a stale embedding after field updates, hiding the
+            # entity from the ANN match path. Provenance is decidable:
+            # the stored vector is engine-computed iff it equals the
+            # mock embedding of the stored (normalized) field text.
+            if payload.get("vector") is None:
+                old_vec = existing.get("vector")
+                combined_old = " ".join(
+                    str(existing.get(f) or "") for f in ENTITY_FIELDS
+                )
+                if old_vec is not None and list(old_vec) != self._mock_vec(combined_old):
+                    payload["vector"] = old_vec  # client-supplied: preserve
         df, _ = self._prepare([payload])
         with self._lock:
             self.store.upsert(df)
             self._edges_stale = True
+
+    def _mock_vec(self, text: str) -> list[float]:
+        """Driver-side replica of mock_embedding_udf (embed.go:233-242)."""
+        import numpy as np
+
+        raw = text.encode("utf-8")
+        n = min(self.embedding_dim, len(raw))
+        vec = np.zeros(self.embedding_dim, dtype=np.float32)
+        if n:
+            vec[:n] = np.frombuffer(raw[:n], dtype=np.uint8).astype(np.float32) / 255.0
+        return [float(x) for x in vec]
 
     def delete_entity(self, entity_id: str) -> None:
         ids = self.spark.createDataFrame([(entity_id,)], ["id"])
@@ -247,6 +271,8 @@ class ResolveEngine:
             opts["force_exact_match_fields"], opts["field_weights"],
         )
         with self._lock:
+            if not self.store.exists():  # nothing stored -> no matches
+                return []
             store = self.store.read()
             if req.get("use_clustering"):
                 block_key, candidates = "block_key", None
@@ -293,6 +319,14 @@ class ResolveEngine:
         from resolve_spark.operators.scoring import attach_pair_sides, score_pairs
 
         with self._lock:
+            if not self.store.exists():  # nothing stored -> no edges
+                empty = self.spark.createDataFrame(
+                    [], "id_a string, id_b string, score double")
+                if self._edges is not None:
+                    self._edges.unpersist()
+                self._edges = empty
+                self._edges_stale = False
+                return empty
             store = self.store.read()
             blocked = B.add_blocking_keys(store, self.cfg.blocking)
             pairs, _ = candidate_pairs(blocked, "id", self.cfg.blocking,
@@ -319,12 +353,17 @@ class ResolveEngine:
         strategy = opts.get("strategy") or DEFAULT_GROUP_STRATEGY
         hops = int(opts.get("hops_limit") or 0) or DEFAULT_HOPS_LIMIT
         max_size = int(opts.get("max_size") or 0) or DEFAULT_MAX_GROUP_SIZE
-        edges = self._scored_edges()
-        seeds = self.spark.createDataFrame([(entity_id,)], ["seed"])
-        members = C.match_groups(
-            edges, seeds, threshold=threshold, strategy=strategy,
-            hops_limit=hops, max_group_size=max_size,
-        ).orderBy("rank").collect()
+        # the whole walk holds the engine lock: match_groups runs Spark
+        # jobs over the cached edges DataFrame, and a concurrent
+        # recompute/upsert could unpersist it mid-collect and re-trigger
+        # the half-rewritten-bucket read race the lock exists to close
+        with self._lock:
+            edges = self._scored_edges()
+            seeds = self.spark.createDataFrame([(entity_id,)], ["seed"])
+            members = C.match_groups(
+                edges, seeds, threshold=threshold, strategy=strategy,
+                hops_limit=hops, max_group_size=max_size,
+            ).orderBy("rank").collect()
         ents = [
             {"id": r["rid"], "score": float(r["score"]),
              "hop_distance": int(r["hop_distance"])}

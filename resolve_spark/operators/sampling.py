@@ -116,7 +116,12 @@ def quota_sample(
         F.lit(hash_span),
         F.lit(margin * n) / F.col("_stratum_n") * F.lit(hash_span),
     ).alias("_cutoff")
-    pre = hashed.join(F.broadcast(counts.select(strata_col, cutoff)), strata_col)
+    # every internal join is NULL-SAFE on the stratum key (eqNullSafe):
+    # a NULL stratum is a real stratum (groupBy/window already treat it
+    # as one) and plain equi-joins would silently drop all its rows
+    sk = F.col(strata_col).eqNullSafe(F.col("_sc"))
+    cnt = counts.select(F.col(strata_col).alias("_sc"), cutoff)
+    pre = hashed.join(F.broadcast(cnt), sk).drop("_sc")
     survivors = pre.where((F.col("_coin") < F.col("_cutoff")) | (F.col("_cutoff") >= hash_span))
 
     w_rank = F.row_number().over(
@@ -126,21 +131,20 @@ def quota_sample(
 
     # strata the prefilter undershot: admitted < n although the stratum
     # itself has >= n rows — re-rank those from the full input
-    admitted = ranked.groupBy(strata_col).agg(F.max("_rk").alias("_adm"))
+    admitted = ranked.groupBy(strata_col).agg(F.max("_rk").alias("_adm")) \
+        .withColumnRenamed(strata_col, "_sc")
     short = (
-        counts.join(admitted, strata_col, "left")  # left: a stratum may have 0 survivors
+        counts.join(admitted, sk, "left")  # left: a stratum may have 0 survivors
         .withColumn("_adm", F.coalesce("_adm", F.lit(0)))
         .where((F.col("_adm") < n) & (F.col("_stratum_n") > F.col("_adm")))
-        .select(strata_col)
+        .select(F.col(strata_col).alias("_sc"))
     )
     # fully lazy (no plan-build collect): `short` is bounded by the
     # stratum count, so both corrective joins broadcast; the rescue
     # window re-ranks ONLY the semi-joined (short) strata
-    out = ranked.where(F.col("_rk") <= n).join(
-        F.broadcast(short), strata_col, "left_anti"
-    )
+    out = ranked.where(F.col("_rk") <= n).join(F.broadcast(short), sk, "left_anti")
     rescued = (
-        hashed.join(F.broadcast(short), strata_col, "left_semi")
+        hashed.join(F.broadcast(short), sk, "left_semi")
         .withColumn("_rk", w_rank)
         .where(F.col("_rk") <= n)
     )

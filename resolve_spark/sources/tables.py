@@ -129,7 +129,16 @@ class EntityStore:
         )
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path)
+        """True iff the store holds DATA. The root dir alone is not
+        enough: deleting every entity rmtree's the emptied bucket dirs
+        but leaves the root (sidecar/_SUCCESS), and spark.read.parquet
+        on a parquet-less dir raises instead of returning empty."""
+        if not os.path.isdir(self.path):
+            return False
+        for _root, _dirs, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).drop(self.BUCKET_COL)

@@ -210,3 +210,44 @@ def test_match_force_exact_fields_over_http(api):
         "threshold": 0.6, "force_exact_match_fields": ["name"]})
     same_ids = {m["id"] for m in same["matches"]}
     assert "e-002" in same_ids and "e-001" not in same_ids
+
+
+def test_put_reembeds_engine_vector_but_preserves_client_vector(api):
+    """A field update must refresh an ENGINE-computed (mock) embedding —
+    freezing it would leave a stale vector that hides the entity from
+    the ANN match path — while a CLIENT-supplied vector must survive
+    a vector-less PUT untouched."""
+    # engine-embedded entity: vector follows the fields
+    _req(api, "POST", "/entities", {"id": "e-emb", "name": "Acme Corp"})
+    code, before = _req(api, "GET", "/entities/e-emb")
+    _req(api, "PUT", "/entities/e-emb", {"name": "Zenith Widgets"})
+    code, after = _req(api, "GET", "/entities/e-emb")
+    assert after["vector"] != before["vector"], "stale mock embedding kept"
+
+    # client-vectored entity: vector survives a field-only PUT
+    _req(api, "POST", "/entities", {"id": "e-cli", "name": "Acme Corp",
+                                    "vector": [0.25] * 16})
+    _req(api, "PUT", "/entities/e-cli", {"name": "Zenith Widgets"})
+    code, cli = _req(api, "GET", "/entities/e-cli")
+    assert cli["vector"] == [0.25] * 16
+    for rid in ("e-emb", "e-cli"):
+        _req(api, "DELETE", f"/entities/{rid}")
+
+
+def test_empty_store_after_full_deletion(spark, tmp_path_factory):
+    """Deleting every entity must leave a working engine (count 0,
+    404 point reads, empty matches) — not 500s from reading a
+    parquet-less store dir. A fresh engine on the same path must also
+    recover (re-init instead of failing)."""
+    engine = ResolveEngine(
+        spark, str(tmp_path_factory.mktemp("apidel") / "store"), n_buckets=2)
+    engine.add_entities([{"id": "a", "name": "Solo Entity", "zip": "11111"}])
+    assert engine.count() == 1
+    engine.delete_entity("a")
+    assert engine.count() == 0
+    assert engine.get_entity("a") is None
+    assert engine.match_entity({"entity": {"name": "Solo Entity"}}) == []
+    # restart on the same (emptied) path: add must re-init, not 500
+    engine2 = ResolveEngine(spark, engine.store.path, n_buckets=2)
+    engine2.add_entities([{"id": "b", "name": "Back Again", "zip": "22222"}])
+    assert engine2.count() == 1 and engine2.get_entity("b")["name"]

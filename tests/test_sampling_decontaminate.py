@@ -170,3 +170,19 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     plan = DC.ngram_contamination(corpus, bench, "id", "text", n=3)._jdf \
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_quota_null_stratum_is_a_real_stratum(spark):
+    """NULL strata must be sampled like any other (equi-joins would
+    silently drop them; the operator joins null-safely)."""
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(30)] + [(100 + i, None) for i in range(30)],
+        "id bigint, lang string",
+    )
+    out = SM.quota_sample(df, "id", "lang", 10)
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert got == {"en": 10, None: 10}
+    # and exactness holds for the NULL stratum too
+    brute = _brute_quota(df, 10, "qs", "fast")
+    assert out.select("id").subtract(brute).count() == 0
+    assert brute.subtract(out.select("id")).count() == 0

@@ -44,6 +44,11 @@ def main() -> int:
     ap.add_argument("--evaluate", action="store_true",
                     help="score pairwise F1 + sha256 invariant (synthetic input only)")
     args = ap.parse_args()
+    if args.evaluate and args.input:
+        # reject BEFORE any Spark work: discovering this after a
+        # multi-hour cluster run would waste the whole job
+        raise SystemExit("--evaluate needs the synthetic ground truth "
+                         "(omit --input)")
 
     spark = (
         SparkSession.builder.appName("resolve_submit")
@@ -79,8 +84,6 @@ def main() -> int:
         "master": spark.sparkContext.master,
     }
     if args.evaluate:
-        if args.input:
-            raise SystemExit("--evaluate needs the synthetic ground truth")
         m = P.pairwise_f1(run.clusters, datagen.labeled_pairs(files), run.pairs)
         out.update(f1=round(m["f1"], 6), blocking_recall=round(m["blocking_recall"], 6))
         out["sha256_rows_checked"] = P.assert_sha256_invariant(run, files, "record_id")
