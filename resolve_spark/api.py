@@ -56,6 +56,35 @@ from resolve_spark.functions.kernels import parse_query_fields
 from resolve_spark.operators.matching import find_matches
 from resolve_spark.operators.scoring import specs_from_options
 from resolve_spark.plans.pipeline import entities_pipeline_config
+
+#: the scored-edge cache keeps everything down to this score so group
+#: ThresholdOverride can go BELOW the match default (group.go:26-40);
+#: overrides under the floor are rejected (weighted scores < 0.5 are
+#: noise on the [0,1] kernels). The floor is evaluated under DEFAULT
+#: weights; per-request re-weighting cannot resurrect a pair whose
+#: default-weighted score fell below it (documented approximation).
+MIN_EDGE_THRESHOLD = 0.5
+
+
+def _reweight_edges(edges, field_weights: dict):
+    """Reference computeWeightedScore over the stored field_scores map
+    (match.go:470-492, applied to groups via group.go:32,105,225):
+    weight = FieldWeights[field] else 1.0; score = Σw·s / Σw. A pure
+    column expression — no re-scoring pass over the store."""
+    wmap = F.create_map(
+        *[F.lit(x) for k, v in sorted(field_weights.items())
+          for x in (k, float(v))]
+    )
+    entries = F.map_entries("field_scores")
+
+    def _w(e):
+        return F.coalesce(F.element_at(wmap, e["key"]), F.lit(1.0))
+
+    num = F.aggregate(entries, F.lit(0.0), lambda a, e: a + e["value"] * _w(e))
+    den = F.aggregate(entries, F.lit(0.0), lambda a, e: a + _w(e))
+    return edges.withColumn(
+        "score", F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    )
 from resolve_spark.sources.tables import EntityStore
 
 ENTITY_FIELDS = ("name", "address", "city", "state", "zip", "phone", "email")
@@ -321,7 +350,8 @@ class ResolveEngine:
         with self._lock:
             if not self.store.exists():  # nothing stored -> no edges
                 empty = self.spark.createDataFrame(
-                    [], "id_a string, id_b string, score double")
+                    [], "id_a string, id_b string, score double, "
+                        "field_scores map<string,double>")
                 if self._edges is not None:
                     self._edges.unpersist()
                 self._edges = empty
@@ -333,9 +363,15 @@ class ResolveEngine:
                                        with_stats=False)
             wide = attach_pair_sides(pairs, store, "id",
                                      [s.column for s in self.cfg.specs])
+            # edges keep scores down to MIN_EDGE_THRESHOLD (not the match
+            # default): the group routes' ThresholdOverride may LOWER the
+            # membership threshold (group.go:26-40), which an edge set
+            # pruned at 0.85 could never serve. field_scores ride along
+            # so per-request FieldWeights re-weighting (group.go:32) is
+            # a column expression, not a re-scoring pass.
             scored = score_pairs(wide, list(self.cfg.specs),
-                                 threshold=self.cfg.threshold)
-            edges = scored.select("id_a", "id_b", "score").persist()
+                                 threshold=MIN_EDGE_THRESHOLD)
+            edges = scored.select("id_a", "id_b", "score", "field_scores").persist()
             edges.count()
             if self._edges is not None:
                 self._edges.unpersist()
@@ -353,12 +389,20 @@ class ResolveEngine:
         strategy = opts.get("strategy") or DEFAULT_GROUP_STRATEGY
         hops = int(opts.get("hops_limit") or 0) or DEFAULT_HOPS_LIMIT
         max_size = int(opts.get("max_size") or 0) or DEFAULT_MAX_GROUP_SIZE
+        field_weights = opts.get("field_weights") or None
         # the whole walk holds the engine lock: match_groups runs Spark
         # jobs over the cached edges DataFrame, and a concurrent
         # recompute/upsert could unpersist it mid-collect and re-trigger
         # the half-rewritten-bucket read race the lock exists to close
         with self._lock:
             edges = self._scored_edges()
+            if field_weights and "field_scores" in edges.columns:
+                edges = _reweight_edges(edges, field_weights)
+            # sub-floor overrides can't be served from the cached edge
+            # set (pruned at MIN_EDGE_THRESHOLD after any re-weighting)
+            if threshold < MIN_EDGE_THRESHOLD:
+                raise ValueError(
+                    f"group threshold must be >= {MIN_EDGE_THRESHOLD}")
             seeds = self.spark.createDataFrame([(entity_id,)], ["seed"])
             members = C.match_groups(
                 edges, seeds, threshold=threshold, strategy=strategy,
@@ -463,6 +507,8 @@ def _make_handler(engine: ResolveEngine):
                     self._error(404, "route not found")
             except KeyError:
                 self._error(404, "Entity not found")
+            except ValueError as e:
+                self._error(400, str(e))
             except Exception as e:  # noqa: BLE001
                 self._error(500, str(e))
 

@@ -251,3 +251,43 @@ def test_empty_store_after_full_deletion(spark, tmp_path_factory):
     engine2 = ResolveEngine(spark, engine.store.path, n_buckets=2)
     engine2.add_entities([{"id": "b", "name": "Back Again", "zip": "22222"}])
     assert engine2.count() == 1 and engine2.get_entity("b")["name"]
+
+
+def test_group_field_weights_and_threshold_override(spark, tmp_path_factory):
+    """MatchGroupOptions parity (group.go:26-40): ThresholdOverride may
+    go BELOW the match default (edges cached down to MIN_EDGE_THRESHOLD,
+    not 0.85), and FieldWeights re-weight membership from the stored
+    field_scores without a re-scoring pass (computeWeightedScore,
+    match.go:470-492)."""
+    engine = ResolveEngine(
+        spark, str(tmp_path_factory.mktemp("apigw") / "store"), n_buckets=2)
+    # shared canopy (name[:3] + zip); name sim ~0.6, empty fields 1.0,
+    # default blended pair score ~0.84 — between the 0.5 edge floor and
+    # the 0.85 default group threshold
+    engine.add_entities([
+        {"id": "g1", "name": "Orion Dynamics", "zip": "62704"},
+        {"id": "g2", "name": "Orion Dynamical Systems Group", "zip": "62704"},
+    ])
+    hi = engine.match_group("g1", {"strategy": "direct"})
+    assert {e["id"] for e in hi["entities"]} == {"g1"}
+    # ThresholdOverride below the default sees the weaker edge
+    lo = engine.match_group("g1", {"strategy": "direct", "threshold": 0.6})
+    assert {e["id"] for e in lo["entities"]} == {"g1", "g2"}
+
+    # zip-dominated weights lift the pair ((50*1 + 5*1 + 0.6)/56 ~ 0.99)
+    # above even the DEFAULT threshold...
+    zw = engine.match_group("g1", {
+        "strategy": "direct", "field_weights": {"zip": 50.0}})
+    assert {e["id"] for e in zw["entities"]} == {"g1", "g2"}
+    # ...name-dominated weights drag it to (50*0.6 + 6*1)/56 ~ 0.64,
+    # below a 0.7 override that default weights (~0.84) would pass
+    nw = engine.match_group("g1", {
+        "strategy": "direct", "threshold": 0.7,
+        "field_weights": {"name": 50.0}})
+    assert {e["id"] for e in nw["entities"]} == {"g1"}
+    dflt = engine.match_group("g1", {"strategy": "direct", "threshold": 0.7})
+    assert {e["id"] for e in dflt["entities"]} == {"g1", "g2"}
+
+    # sub-floor overrides are rejected, not silently truncated
+    with pytest.raises(ValueError):
+        engine.match_group("g1", {"threshold": 0.3})
