@@ -637,6 +637,221 @@ def _q45_quota_sample(spark, sf_dir):  # exact per-stratum quota (n hash-smalles
     return out.select("doc_id", "lang", "n_chars")
 
 
+def _pair_customers(spark, sf_dir, max_gap: int = 2):
+    """Deterministic customer self-pairs: same nation, custkey gap <= max_gap.
+    Shared scaffold for the composite-kernel queries q46/q47/q50/q51."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(F.col("c_custkey").alias("id_a"),
+                 F.col("c_mktsegment").alias("seg_a"),
+                 F.col("c_nationkey").alias("nk"))
+    c2 = _t(spark, sf_dir, "customer")
+    b = c2.select(F.col("c_custkey").alias("id_b"),
+                  F.col("c_mktsegment").alias("seg_b"),
+                  F.col("c_nationkey").alias("nk"))
+    return a.join(b, "nk").where(
+        (F.col("id_b") > F.col("id_a")) & (F.col("id_b") - F.col("id_a") <= max_gap)
+    )
+
+
+def _q46_address_similarity(spark, sf_dir):  # F2 composite (oracled, new r4)
+    """AddressSimilarity (fields.go:89-256): (0.5*jaccard + 0.2*JW +
+    0.3*contained) * house-number penalty, with unit-clause removal and
+    street-type/directional abbreviation in the preprocess. Addresses are
+    synthesized from customer columns so the DuckDB oracle can rebuild
+    the exact inputs; the oracle replicates the preprocess and runs the
+    reference JW as a recursive CTE (shared _JW_CHAIN_SQL)."""
+    p = _pair_customers(spark, sf_dir)
+    addr_a = F.concat((F.col("id_a") % 150).cast("string"), F.lit(" "),
+                      F.lower(F.col("seg_a")), F.lit(" Street"))
+    addr_b = (
+        F.when(F.col("id_b") % 3 == 0,
+               F.concat((F.col("id_a") % 150).cast("string"), F.lit(" "),
+                        F.lower(F.col("seg_a")), F.lit(" Street")))
+        .when(F.col("id_b") % 3 == 1,
+              F.concat((F.col("id_b") % 150).cast("string"), F.lit(" "),
+                       F.lower(F.col("seg_b")), F.lit(" St Apt "),
+                       (F.col("id_b") % 20).cast("string")))
+        .otherwise(F.concat((F.col("id_a") % 150).cast("string"), F.lit(" North "),
+                            F.lower(F.col("seg_b")), F.lit(" Avenue")))
+    )
+    return p.select(
+        "id_a", "id_b",
+        F.round(FD.similarity_column("address", addr_a, addr_b), 6).alias("addr_sim"),
+    )
+
+
+def _q47_email_similarity(spark, sf_dir):  # F4 composite (oracled, new r4)
+    """EmailSimilarity (fields.go:335-406): exact 1.0 / case-fold 0.99 /
+    unparseable -> JW on full strings / domain mismatch -> 0.0 /
+    else 0.4*JW(users) + 0.6."""
+    p = _pair_customers(spark, sf_dir)
+    ea = F.concat(F.lit("User"), F.col("id_a").cast("string"), F.lit("@"),
+                  F.lower(F.col("seg_a")), F.lit(".example.com"))
+    eb = (
+        F.when(F.col("id_b") % 11 == 0, ea)
+        .when(F.col("id_b") % 7 == 0, F.upper(ea))
+        .when(F.col("id_b") % 13 == 0,
+              F.concat(F.lit("invalid-email-"), F.col("id_b").cast("string")))
+        .otherwise(F.concat(F.lit("User"), F.col("id_b").cast("string"), F.lit("@"),
+                            F.lower(F.col("seg_b")), F.lit(".example.com")))
+    )
+    return p.select(
+        "id_a", "id_b",
+        F.round(FD.similarity_column("email", ea, eb), 6).alias("email_sim"),
+    )
+
+
+def _q48_normalize_multi(spark, sf_dir):  # N3/N4/N5/N6/N7 in one projection
+    """Address/phone/email/state/zip normalization (normalize.go:180-294)
+    over synthesized inputs covering every branch: E.164 passthrough and
+    conversion, invalid passthrough, domain lowercasing, full-state map,
+    2-letter upper, zip+4 truncation, letter-led postcode passthrough."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    street = F.element_at(
+        F.array(F.lit("Street"), F.lit("Avenue"), F.lit("Boulevard")),
+        (k % 3 + 1).cast("int"),
+    )
+    addr_in = F.concat(
+        (k % 999).cast("string"), F.lit(" Main "), street,
+        F.when(k % 5 == 0, F.lit(".")).otherwise(F.lit("")),
+        F.when(k % 4 == 0,
+               F.concat(F.lit(" Apt "), (k % 50).cast("string"))
+               ).otherwise(F.lit("")),
+    )
+    phone_in = (
+        F.when(k % 7 == 0, F.lit("not a phone"))
+        .when(k % 10 == 0, F.lit("+15551234567"))
+        .otherwise(F.concat(F.lit("("), F.lpad((k * 7 % 1000).cast("string"), 3, "0"),
+                            F.lit(") 555-"), F.lpad((k % 10000).cast("string"), 4, "0")))
+    )
+    email_in = (
+        F.when(k % 13 == 0, F.lit("not-an-email"))
+        .otherwise(F.concat(F.lit("User"), k.cast("string"), F.lit("@EXAMPLE"),
+                            (k % 5).cast("string"), F.lit(".COM")))
+    )
+    state_in = F.element_at(
+        F.array(F.lit("california"), F.lit("New York"), F.lit("tx"), F.lit("WA"),
+                F.lit("rhode island"), F.lit(""), F.lit("atlantis")),
+        (k % 7 + 1).cast("int"),
+    )
+    zip5 = F.lpad((k % 100000).cast("string"), 5, "0")
+    zip_in = (
+        F.when(k % 4 == 0, zip5)
+        .when(k % 4 == 1, F.concat(zip5, F.lit("-"),
+                                   F.lpad((k % 10000).cast("string"), 4, "0")))
+        .when(k % 4 == 2, F.lit("A1B 2C3"))
+        .otherwise(F.lit("123"))
+    )
+    return c.select(
+        "c_custkey",
+        N.normalize_address(addr_in).alias("addr_norm"),
+        N.normalize_phone(phone_in).alias("phone_norm"),
+        N.normalize_email(email_in).alias("email_norm"),
+        N.normalize_state(state_in).alias("state_norm"),
+        N.normalize_zip(zip_in).alias("zip_norm"),
+    )
+
+
+def _q49_combine_embed(spark, sf_dir):  # E1 combineFields + E4 mock embedding
+    """combine_fields drops null/empty fields then joins with ' '
+    (match.go:656-664); mock embedding emb[i] = byte(text[i])/255.0,
+    zero-padded (embed.go:233-242). Byte values are recovered as
+    round(emb[i]*255) so the float32 array is integer-checkable; e0
+    pins the /255.0 scale at 4 decimals (float32 error ~3e-8 is far
+    inside the rounding boundary)."""
+    from resolve_spark.functions import embedding as E
+    c = _t(spark, sf_dir, "customer")
+    combined = E.combine_fields([
+        F.col("c_name"), F.lit(""), F.col("c_mktsegment"),
+        F.lit(None).cast("string"),
+    ])
+    d = c.select(
+        "c_custkey", combined.alias("combined"),
+        E.mock_embedding_udf(16)(combined).alias("emb"),
+        # 3-char input: indices >= 3 must zero-pad
+        E.mock_embedding_udf(16)(F.substring(F.col("c_mktsegment"), 1, 3)).alias("emb2"),
+    )
+    def _byte(col, i):  # widen float32 -> double BEFORE the multiply:
+        # 255 * halfulp(float32 b/255) sits exactly on the float32
+        # rounding boundary, so float32 math could land on b +- 1
+        return F.round(F.element_at(col, i).cast("double") * 255).cast("int")
+
+    return d.select(
+        "c_custkey", "combined",
+        _byte(F.col("emb"), 1).alias("b0"),
+        _byte(F.col("emb"), 6).alias("b5"),
+        _byte(F.col("emb"), 16).alias("b15"),
+        F.round(F.element_at(F.col("emb"), 1).cast("double"), 4).alias("e0"),
+        _byte(F.col("emb2"), 11).alias("pad_b10"),
+    )
+
+
+def _q50_vector_blend(spark, sf_dir):  # M5 (vec + weighted)/2 blend (match.go:378-384)
+    """score_pairs with vector_col: weighted field score, cosine vector
+    score, and the reference blend. Vectors are native double arrays
+    (ascii(name[i])/255.0) so DuckDB recomputes them exactly."""
+    from resolve_spark.operators.scoring import FieldSpec, score_pairs
+    c = _t(spark, sf_dir, "customer")
+    vec_expr = F.expr(
+        "transform(sequence(0, 15), i -> CASE WHEN i < length(c_name) "
+        "THEN ascii(substring(c_name, i + 1, 1)) / 255.0 ELSE 0.0 END)"
+    )
+    base = c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+                    F.col("c_mktsegment").alias("segment"),
+                    F.col("c_nationkey").alias("nk"), vec_expr.alias("vec"))
+    a = base.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"),
+                    F.col("segment").alias("segment_a"),
+                    F.col("vec").alias("vec_a"), "nk")
+    b = base.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"),
+                    F.col("segment").alias("segment_b"),
+                    F.col("vec").alias("vec_b"), "nk")
+    wide = a.join(b, "nk").where(
+        (F.col("id_b") > F.col("id_a")) & (F.col("id_b") - F.col("id_a") <= 3)
+    )
+    specs = [FieldSpec("name", "name", "levenshtein", 1.0),
+             FieldSpec("segment", "segment", "exact", 1.0)]
+    out = score_pairs(wide, specs, vector_col="vec", blend_with_vector=True)
+    return out.select(
+        "id_a", "id_b",
+        F.round("weighted_score", 6).alias("w_score"),
+        F.round("vec_score", 6).alias("v_score"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q51_explanation(spark, sf_dir):  # M9 explanation bands (match.go:643-653)
+    """Banded confidence + formatted explanation string. Scores are
+    0.5001 + k/1000 (k integer) — 4-decimal values ending in 1, so the
+    %.2f formatting never hits a round-half tie where Java (HALF_UP)
+    and C (half-even) printf semantics diverge."""
+    p = _pair_customers(spark, sf_dir, max_gap=3)
+    score = F.lit(0.5001) + (F.col("id_b") % 450) / F.lit(1000.0)
+    matched_on = F.when(
+        F.col("id_b") % 2 == 0,
+        F.array(F.lit("name"), F.lit("segment")),
+    ).otherwise(F.array(F.lit("name")))
+    return p.select(
+        "id_a", "id_b",
+        F.round(score, 6).alias("score"),
+        FD.explanation_column(score, matched_on).alias("explanation"),
+    )
+
+
+def _q52_case_insensitive(spark, sf_dir):  # K2 (similarity.go:33-44)
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    other = (
+        F.when(k % 3 == 0, F.upper(F.col("c_name")))
+        .when(k % 3 == 1, F.concat(F.col("c_name"), F.lit("X")))
+        .otherwise(F.col("c_name"))
+    )
+    return c.select(
+        "c_custkey",
+        S.case_insensitive_match(F.col("c_name"), other).alias("ci_match"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -684,6 +899,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_decontamination": _q43_decontamination,
         "q44_stratified_sample": _q44_stratified_sample,
         "q45_quota_sample": _q45_quota_sample,
+        "q46_address_similarity": _q46_address_similarity,
+        "q47_email_similarity": _q47_email_similarity,
+        "q48_normalize_multi": _q48_normalize_multi,
+        "q49_combine_embed": _q49_combine_embed,
+        "q50_vector_blend": _q50_vector_blend,
+        "q51_explanation": _q51_explanation,
+        "q52_case_insensitive": _q52_case_insensitive,
     }
 
 
@@ -767,6 +989,55 @@ def _srp_sig_cte(planes: int = 10, tables: int = 4, seed: int = 42,
     )
 
 
+def _jw_chain_sql() -> str:
+    """Shared CTE fragment computing ``jwd(id_a, id_b, jw)`` — the
+    reference Jaro-Winkler (similarity.go:48-157: greedy byte-window
+    matching over the shorter string, transposition halving,
+    UNCONDITIONAL prefix boost) over the (pa, pb) string pair columns of
+    a prior CTE ``jwp(id_a, id_b, pa, pb)`` with unique (id_a, id_b).
+    Splice inside a WITH RECURSIVE. Used by q20/q46/q47; validated
+    0-diff against the scalar kernel on 300+ randomized pairs."""
+    return (
+        # jaro operands: s = shorter string, l = longer
+        "jw_dims AS (SELECT id_a, id_b, "
+        "CASE WHEN len(pa) > len(pb) THEN pb ELSE pa END AS s, "
+        "CASE WHEN len(pa) > len(pb) THEN pa ELSE pb END AS l "
+        "FROM jwp WHERE pa <> '' AND pb <> '' AND pa <> pb), "
+        "jw_d2 AS (SELECT id_a, id_b, s, l, len(s) AS ls, len(l) AS ll, "
+        "greatest(len(l) // 2 - 1, 0) AS md FROM jw_dims WHERE len(s) > 0), "
+        # greedy match walk: i steps over s; used = matched positions in l
+        "jw_walk(id_a, id_b, i, used, ma) AS ("
+        "SELECT id_a, id_b, 0::BIGINT, []::BIGINT[], '' FROM jw_d2 "
+        "UNION ALL "
+        "SELECT id_a, id_b, i + 1, "
+        "CASE WHEN j IS NULL THEN used ELSE list_append(used, j) END, "
+        "CASE WHEN j IS NULL THEN ma ELSE ma || substr(s, (i + 1)::INT, 1) END "
+        "FROM (SELECT w.id_a, w.id_b, w.i, w.used, w.ma, d.s, d.ls, "
+        "list_filter(range(greatest(0, w.i - d.md), least(w.i + d.md + 1, d.ll)), "
+        "j -> substr(d.l, (j + 1)::INT, 1) = substr(d.s, (w.i + 1)::INT, 1) "
+        "AND NOT list_contains(w.used, j))[1] AS j "
+        "FROM jw_walk w JOIN jw_d2 d USING (id_a, id_b) WHERE w.i < d.ls)), "
+        "jw_m AS (SELECT w.id_a, w.id_b, len(w.used) AS m, w.ma, "
+        "array_to_string(list_transform(list_sort(w.used), "
+        "j -> substr(d.l, (j + 1)::INT, 1)), '') AS mb, d.ls, d.ll "
+        "FROM jw_walk w JOIN jw_d2 d USING (id_a, id_b) WHERE w.i = d.ls), "
+        "jw_jaro AS (SELECT id_a, id_b, CASE WHEN m = 0 THEN 0.0 ELSE "
+        "(m::DOUBLE / ls + m::DOUBLE / ll + "
+        "(m - len(list_filter(range(1, m + 1), "
+        "p -> substr(ma, p::INT, 1) <> substr(mb, p::INT, 1))) / 2.0) / m) / 3.0 "
+        "END AS jaro FROM jw_m), "
+        # winkler over (pa, pb): unconditional boost; pa = pb short-cuts to 1
+        "jwd AS (SELECT q.id_a, q.id_b, CASE "
+        "WHEN q.pa = '' OR q.pb = '' THEN 0.0 "
+        "WHEN q.pa = q.pb THEN 1.0 "
+        "ELSE coalesce(j.jaro, 0.0) + len(list_filter("
+        "range(1, least(4, len(q.pa), len(q.pb)) + 1), "
+        "p -> substr(q.pa, 1, p::INT) = substr(q.pb, 1, p::INT))) "
+        "* 0.1 * (1.0 - coalesce(j.jaro, 0.0)) END AS jw "
+        "FROM jwp q LEFT JOIN jw_jaro j USING (id_a, id_b))"
+    )
+
+
 def _q20_oracle_sql() -> str:
     """Full F1 NameSimilarity oracle in pure SQL — including the exact
     reference Jaro-Winkler (similarity.go:48-157: greedy byte-window
@@ -791,42 +1062,8 @@ def _q20_oracle_sql() -> str:
         "FROM part a JOIN part b ON a.p_brand = b.p_brand "
         "AND a.p_partkey < b.p_partkey "
         "WHERE a.p_partkey % 20 = 0 AND b.p_partkey % 20 = 0), "
-        # jaro operands: s = shorter preprocessed, l = longer
-        "dims AS (SELECT id_a, id_b, "
-        "CASE WHEN len(pa) > len(pb) THEN pb ELSE pa END AS s, "
-        "CASE WHEN len(pa) > len(pb) THEN pa ELSE pb END AS l "
-        "FROM q20p WHERE na <> nb AND na <> '' AND nb <> '' AND pa <> pb), "
-        "dims2 AS (SELECT id_a, id_b, s, l, len(s) AS ls, len(l) AS ll, "
-        "greatest(len(l) // 2 - 1, 0) AS md FROM dims WHERE len(s) > 0), "
-        # greedy match walk: i steps over s; used = matched positions in l
-        "walk(id_a, id_b, i, used, ma) AS ("
-        "SELECT id_a, id_b, 0::BIGINT, []::BIGINT[], '' FROM dims2 "
-        "UNION ALL "
-        "SELECT id_a, id_b, i + 1, "
-        "CASE WHEN j IS NULL THEN used ELSE list_append(used, j) END, "
-        "CASE WHEN j IS NULL THEN ma ELSE ma || substr(s, (i + 1)::INT, 1) END "
-        "FROM (SELECT w.id_a, w.id_b, w.i, w.used, w.ma, d.s, d.ls, "
-        "list_filter(range(greatest(0, w.i - d.md), least(w.i + d.md + 1, d.ll)), "
-        "j -> substr(d.l, (j + 1)::INT, 1) = substr(d.s, (w.i + 1)::INT, 1) "
-        "AND NOT list_contains(w.used, j))[1] AS j "
-        "FROM walk w JOIN dims2 d USING (id_a, id_b) WHERE w.i < d.ls)), "
-        "matched AS (SELECT w.id_a, w.id_b, len(w.used) AS m, w.ma, "
-        "array_to_string(list_transform(list_sort(w.used), "
-        "j -> substr(d.l, (j + 1)::INT, 1)), '') AS mb, d.ls, d.ll "
-        "FROM walk w JOIN dims2 d USING (id_a, id_b) WHERE w.i = d.ls), "
-        "jarod AS (SELECT id_a, id_b, CASE WHEN m = 0 THEN 0.0 ELSE "
-        "(m::DOUBLE / ls + m::DOUBLE / ll + "
-        "(m - len(list_filter(range(1, m + 1), "
-        "p -> substr(ma, p::INT, 1) <> substr(mb, p::INT, 1))) / 2.0) / m) / 3.0 "
-        "END AS jaro FROM matched), "
-        # jw over preprocessed strings: unconditional Winkler boost
-        "jwd AS (SELECT q.id_a, q.id_b, CASE "
-        "WHEN q.pa = '' OR q.pb = '' THEN 0.0 "
-        "ELSE coalesce(j.jaro, 0.0) + len(list_filter("
-        "range(1, least(4, len(q.pa), len(q.pb)) + 1), "
-        "p -> substr(q.pa, 1, p::INT) = substr(q.pb, 1, p::INT))) "
-        "* 0.1 * (1.0 - coalesce(j.jaro, 0.0)) END AS jw "
-        "FROM q20p q LEFT JOIN jarod j USING (id_a, id_b)), "
+        "jwp AS (SELECT id_a, id_b, pa, pb FROM q20p), "
+        + _jw_chain_sql() + ", "
         "parts3 AS (SELECT q.id_a, q.id_b, q.na, q.nb, q.pa, q.pb, w.jw, "
         f"{toks_pa} AS ta, {toks_pb} AS tb "
         "FROM q20p q JOIN jwd w USING (id_a, id_b)), "
@@ -844,6 +1081,155 @@ def _q20_oracle_sql() -> str:
         "ELSE 0.0 END) END AS name_sim FROM parts3) "
         "SELECT id_a, id_b, round(name_sim, 6) AS name_sim FROM scored "
         "WHERE round(name_sim, 6) >= 0.5"
+    )
+
+
+_PAIR_SQL = (
+    "FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey "
+    "AND b.c_custkey > a.c_custkey AND b.c_custkey - a.c_custkey <= {gap}"
+)
+
+
+def _addr_pre_sql(x: str) -> str:
+    """DuckDB replica of kernels._address_preprocess for the q46 inputs:
+    lower -> drop unit clauses -> street-type + directional abbreviation
+    (only the words the synthesized addresses contain) -> collapse ws."""
+    y = f"lower({x})"
+    y = ("regexp_replace(" + y +
+         ", '(\\s+)(apt|apartment|ste|suite|unit|#)\\.?\\s+[a-z0-9-]+', '', 'g')")
+    y = f"regexp_replace({y}, '\\bstreet\\b', 'st', 'g')"
+    y = f"regexp_replace({y}, '\\bavenue\\b', 'ave', 'g')"
+    y = f"regexp_replace({y}, '\\bnorth\\b', 'n', 'g')"
+    return f"regexp_replace(trim({y}), '\\s+', ' ', 'g')"
+
+
+def _q46_oracle_sql() -> str:
+    ra = ("cast(a.c_custkey % 150 as varchar) || ' ' || "
+          "lower(a.c_mktsegment) || ' Street'")
+    rb = (
+        "CASE WHEN b.c_custkey % 3 = 0 THEN cast(a.c_custkey % 150 as varchar) "
+        "|| ' ' || lower(a.c_mktsegment) || ' Street' "
+        "WHEN b.c_custkey % 3 = 1 THEN cast(b.c_custkey % 150 as varchar) "
+        "|| ' ' || lower(b.c_mktsegment) || ' St Apt ' "
+        "|| cast(b.c_custkey % 20 as varchar) "
+        "ELSE cast(a.c_custkey % 150 as varchar) || ' North ' "
+        "|| lower(b.c_mktsegment) || ' Avenue' END"
+    )
+    ta = _TOKENS_SQL.format(c="t.pa")
+    tb = _TOKENS_SQL.format(c="t.pb")
+    jac = ("(CASE WHEN len(list_distinct(list_concat(ta, tb))) = 0 THEN 0.0 "
+           "ELSE len(list_intersect(ta, tb))::DOUBLE / "
+           "len(list_distinct(list_concat(ta, tb))) END)")
+    cont = ("(CASE WHEN position(pa IN pb) > 0 OR position(pb IN pa) > 0 "
+            "THEN least(len(pa), len(pb))::DOUBLE / greatest(len(pa), len(pb)) "
+            "ELSE 0.0 END)")
+    pen = ("(CASE WHEN num_a <> '' AND num_b <> '' AND num_a <> num_b "
+           "THEN 0.3 ELSE 1.0 END)")
+    return (
+        "WITH RECURSIVE "
+        f"p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, {ra} AS ra, "
+        f"{rb} AS rb " + _PAIR_SQL.format(gap=2) + "), "
+        "pre AS (SELECT id_a, id_b, ra, rb, " + _addr_pre_sql("ra") + " AS pa, "
+        + _addr_pre_sql("rb") + " AS pb FROM p), "
+        "jwp AS (SELECT id_a, id_b, pa, pb FROM pre), "
+        + _jw_chain_sql() + ", "
+        "sc AS (SELECT t.id_a, t.id_b, t.ra, t.rb, t.pa, t.pb, j.jw, "
+        f"{ta} AS ta, {tb} AS tb, "
+        "regexp_extract(t.pa, '[0-9]+') AS num_a, "
+        "regexp_extract(t.pb, '[0-9]+') AS num_b "
+        "FROM pre t JOIN jwd j USING (id_a, id_b)) "
+        "SELECT id_a, id_b, round(CASE WHEN ra = rb THEN 1.0 "
+        "WHEN pa = pb THEN 1.0 "
+        f"ELSE (0.5 * {jac} + 0.2 * jw + 0.3 * {cont}) * {pen} END, 6) "
+        "AS addr_sim FROM sc"
+    )
+
+
+def _q47_oracle_sql() -> str:
+    ea = ("'User' || cast(a.c_custkey as varchar) || '@' || "
+          "lower(a.c_mktsegment) || '.example.com'")
+    eb = (
+        f"CASE WHEN b.c_custkey % 11 = 0 THEN {ea} "
+        f"WHEN b.c_custkey % 7 = 0 THEN upper({ea}) "
+        "WHEN b.c_custkey % 13 = 0 THEN 'invalid-email-' || "
+        "cast(b.c_custkey as varchar) "
+        "ELSE 'User' || cast(b.c_custkey as varchar) || '@' || "
+        "lower(b.c_mktsegment) || '.example.com' END"
+    )
+    return (
+        "WITH RECURSIVE "
+        f"p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, {ea} AS ea, "
+        f"{eb} AS eb " + _PAIR_SQL.format(gap=2) + "), "
+        # JW operands: full strings when unparseable, user parts otherwise
+        "jwp AS (SELECT id_a, id_b, "
+        "CASE WHEN position('@' IN eb) = 0 THEN ea "
+        "ELSE split_part(ea, '@', 1) END AS pa, "
+        "CASE WHEN position('@' IN eb) = 0 THEN eb "
+        "ELSE split_part(eb, '@', 1) END AS pb FROM p), "
+        + _jw_chain_sql() + " "
+        "SELECT p.id_a, p.id_b, round(CASE "
+        "WHEN p.ea = p.eb THEN 1.0 "
+        "WHEN lower(p.ea) = lower(p.eb) THEN 0.99 "
+        "WHEN position('@' IN p.eb) = 0 THEN j.jw "
+        "WHEN lower(split_part(p.ea, '@', 2)) <> lower(split_part(p.eb, '@', 2)) "
+        "THEN 0.0 "
+        "ELSE 0.4 * j.jw + 0.6 END, 6) AS email_sim "
+        "FROM p JOIN jwd j USING (id_a, id_b)"
+    )
+
+
+_PHONE_NORM_RE = (
+    r"^(?:\+?(\d{1,3}))?[-. (]*(\d{3})[-. )]*(\d{3})[-. ]*(\d{4})$"
+)
+
+
+def _q48_oracle_sql() -> str:
+    k = "c_custkey"
+    addr_in = (
+        f"cast({k} % 999 as varchar) || ' Main ' || "
+        f"CASE ({k} % 3) WHEN 0 THEN 'Street' WHEN 1 THEN 'Avenue' "
+        "ELSE 'Boulevard' END || "
+        f"CASE WHEN {k} % 5 = 0 THEN '.' ELSE '' END || "
+        f"CASE WHEN {k} % 4 = 0 THEN ' Apt ' || cast({k} % 50 as varchar) "
+        "ELSE '' END"
+    )
+    a0 = f"regexp_replace(trim(lower({addr_in})), '\\s+', ' ', 'g')"
+    a1 = f"regexp_replace({a0}, '\\bstreet\\b\\.?', 'st', 'g')"
+    a2 = f"regexp_replace({a1}, '\\bavenue\\b\\.?', 'ave', 'g')"
+    a3 = f"regexp_replace({a2}, '\\bboulevard\\b\\.?', 'blvd', 'g')"
+    a4 = ("regexp_replace(" + a3 +
+          ", '(\\s+)(apt|apartment|ste|suite|unit|#)\\.?\\s+[a-z0-9-]+', '', 'g')")
+    addr_norm = f"trim({a4})"
+    ph = (f"'(' || lpad(cast({k} * 7 % 1000 as varchar), 3, '0') || ') 555-' || "
+          f"lpad(cast({k} % 10000 as varchar), 4, '0')")
+    cc = f"regexp_extract({ph}, '{_PHONE_NORM_RE}', 1)"
+    phone_norm = (
+        f"CASE WHEN {k} % 7 = 0 THEN 'not a phone' "
+        f"WHEN {k} % 10 = 0 THEN '+15551234567' "
+        f"ELSE '+' || (CASE WHEN {cc} = '' THEN '1' ELSE {cc} END) || "
+        f"regexp_extract({ph}, '{_PHONE_NORM_RE}', 2) || "
+        f"regexp_extract({ph}, '{_PHONE_NORM_RE}', 3) || "
+        f"regexp_extract({ph}, '{_PHONE_NORM_RE}', 4) END"
+    )
+    email_norm = (
+        f"CASE WHEN {k} % 13 = 0 THEN 'not-an-email' "
+        f"ELSE 'User' || cast({k} as varchar) || '@example' || "
+        f"cast({k} % 5 as varchar) || '.com' END"
+    )
+    state_norm = (
+        f"CASE ({k} % 7) WHEN 0 THEN 'CA' WHEN 1 THEN 'NY' WHEN 2 THEN 'TX' "
+        "WHEN 3 THEN 'WA' WHEN 4 THEN 'RI' WHEN 5 THEN '' ELSE 'atlantis' END"
+    )
+    zip5 = f"lpad(cast({k} % 100000 as varchar), 5, '0')"
+    zip_norm = (
+        f"CASE WHEN {k} % 4 = 0 THEN {zip5} "
+        f"WHEN {k} % 4 = 1 THEN {zip5} "
+        f"WHEN {k} % 4 = 2 THEN 'A1B2C3' ELSE '123' END"
+    )
+    return (
+        f"SELECT {k}, {addr_norm} AS addr_norm, {phone_norm} AS phone_norm, "
+        f"{email_norm} AS email_norm, {state_norm} AS state_norm, "
+        f"{zip_norm} AS zip_norm FROM customer"
     )
 
 
@@ -1263,5 +1649,62 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT doc_id, lang, n_chars, row_number() OVER ("
             "PARTITION BY lang ORDER BY c, doc_id) AS rk FROM h) "
             "SELECT doc_id, lang, n_chars FROM r WHERE rk <= 25"
+        ),
+        # F2 address composite incl. reference JW (shared recursive CTE)
+        "q46_address_similarity": _q46_oracle_sql(),
+        # F4 email composite incl. reference JW on user parts
+        "q47_email_similarity": _q47_oracle_sql(),
+        # N3-N7 normalizations in one projection
+        "q48_normalize_multi": _q48_oracle_sql(),
+        # E1 combineFields + E4 mock embedding (bytes recovered as ints)
+        "q49_combine_embed": (
+            "WITH d AS (SELECT c_custkey, c_name || ' ' || c_mktsegment AS "
+            "combined, substr(c_mktsegment, 1, 3) AS s3 FROM customer) "
+            "SELECT c_custkey, combined, "
+            "ascii(substr(combined, 1, 1)) AS b0, "
+            "ascii(substr(combined, 6, 1)) AS b5, "
+            "ascii(substr(combined, 16, 1)) AS b15, "
+            "round(ascii(substr(combined, 1, 1)) / 255.0, 4) AS e0, "
+            "CASE WHEN length(s3) > 10 THEN ascii(substr(s3, 11, 1)) "
+            "ELSE 0 END AS pad_b10 FROM d"
+        ),
+        # M5 (vec + weighted)/2 blend over native double vectors
+        "q50_vector_blend": (
+            "WITH v AS (SELECT c_custkey AS id, c_name AS name, "
+            "c_mktsegment AS seg, c_nationkey AS nk, "
+            "list_transform(range(0, 16), i -> CASE WHEN i < length(c_name) "
+            "THEN ascii(substr(c_name, (i + 1)::INT, 1)) / 255.0 "
+            "ELSE 0.0 END) AS vec FROM customer), "
+            "p AS (SELECT a.id AS id_a, b.id AS id_b, a.name AS na, "
+            "b.name AS nb, a.seg AS sa, b.seg AS sb, a.vec AS va, b.vec AS vb "
+            "FROM v a JOIN v b ON a.nk = b.nk AND b.id > a.id "
+            "AND b.id - a.id <= 3), "
+            "s AS (SELECT id_a, id_b, "
+            "((1.0 - levenshtein(na, nb)::DOUBLE / "
+            "greatest(length(na), length(nb))) * 1.0 + "
+            "(CASE WHEN sa = sb THEN 1.0 ELSE 0.0 END) * 1.0) / 2.0 AS ws, "
+            "list_cosine_similarity(va, vb) AS vs FROM p) "
+            "SELECT id_a, id_b, round(ws, 6) AS w_score, "
+            "round(vs, 6) AS v_score, round((vs + ws) / 2, 6) AS score FROM s"
+        ),
+        # M9 explanation bands + formatted string
+        "q51_explanation": (
+            "WITH p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b "
+            + _PAIR_SQL.format(gap=3) + "), "
+            "s AS (SELECT id_a, id_b, 0.5001 + (id_b % 450) / 1000.0 AS score "
+            "FROM p) "
+            "SELECT id_a, id_b, round(score, 6) AS score, "
+            "printf('Matched with %s confidence (%.2f) on fields: %s', "
+            "CASE WHEN score >= 0.9 THEN 'high' WHEN score < 0.7 THEN 'low' "
+            "ELSE 'medium' END, score, "
+            "CASE WHEN id_b % 2 = 0 THEN 'name, segment' ELSE 'name' END) "
+            "AS explanation FROM s"
+        ),
+        # K2 case-insensitive match
+        "q52_case_insensitive": (
+            "SELECT c_custkey, CASE WHEN lower(c_name) = lower("
+            "CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) "
+            "WHEN c_custkey % 3 = 1 THEN c_name || 'X' "
+            "ELSE c_name END) THEN 1.0 ELSE 0.0 END AS ci_match FROM customer"
         ),
     }

@@ -41,11 +41,18 @@ def find_matches(
     limit: int = 10,
     threshold: float = 0.85,
     vector_col: str | None = None,
+    blend_with_vector: bool | None = None,
     carry: list[str] | None = None,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, match_id, score, field_scores, matched_on,
     explanation, rank) — top-``limit`` matches >= threshold per query.
+
+    ``blend_with_vector`` (only meaningful with ``vector_col``): True ->
+    score = (vec + weighted)/2 (match.go:378-384, weights supplied);
+    False -> score = vec score alone (match.go:229-235, the reference
+    default); None -> blend (engine default, kept for callers that
+    predate the flag).
 
     ``queries`` and ``entities`` must already carry the spec columns
     (and ``block_key`` unless block_key=None).
