@@ -211,7 +211,8 @@ def run_score_bench(cpus: int, n_base: int = 50_000, pin: bool = False,
             "pairs_scored_per_sec": round(n / wall, 1)}
 
 
-def main_scaling(sf_dir: str, n_base: int | None = None) -> dict:
+def main_scaling(sf_dir: str, n_base: int | None = None,
+                 samples: int = 3) -> dict:
     """Pinned strong-scaling evidence (north rule N->4N): the scoring
     job at 2 vs 8 DEDICATED cores (taskset), fresh JVM each, constant
     partitioning (64), tmpfs shuffle scratch.
@@ -224,8 +225,16 @@ def main_scaling(sf_dir: str, n_base: int | None = None) -> dict:
     unpinned) is reported for context; at 32 slots every pandas-UDF task
     needs a JVM thread AND a python worker, which oversubscribes a
     single box in a way a multi-executor cluster does not.
+
+    Sampling: the box throttle-degrades under sustained load (measured
+    4x on the last leg of a back-to-back composite run), so legs are
+    INTERLEAVED round-robin (2, 8, 32, 2, 8, 32, ...) for ``samples``
+    rounds and each leg reports its MEDIAN — drift hits every leg
+    equally instead of whichever ran last, and the committed artifact
+    matches what standalone legs measure.
     """
     import shutil as _shutil
+    import statistics
 
     # sized so fixed stage costs are noise: at 150k records (3.9M pairs)
     # the 8-core leg is tail-bound (64 tasks / 8 slots) and measures
@@ -240,31 +249,44 @@ def main_scaling(sf_dir: str, n_base: int | None = None) -> dict:
 
     tmp_root = tempfile.mkdtemp(prefix="scorewide_")
     wide_dir = os.path.join(tmp_root, "wide")
+    legs = ((2, "0,1"), (8, "0-7"), (32, None))
+    runs: dict[int, list[dict]] = {c: [] for c, _ in legs}
     try:
         prep = prep_score_workload(wide_dir, n_base=n_base)
-        results = {}
-        for cpus, cores in ((2, "0,1"), (8, "0-7"), (32, None)):
-            cmd = [sys.executable, __file__, "--score-bench", "--cpus", str(cpus),
-                   "--wide", wide_dir]
-            if cores is not None and have_taskset:
-                cmd = ["taskset", "-c", cores] + cmd
-            proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
-            results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
-        assert all(r["pairs"] == prep["pairs"] for r in results.values()), results
+        for _round in range(samples):
+            for cpus, cores in legs:
+                cmd = [sys.executable, __file__, "--score-bench",
+                       "--cpus", str(cpus), "--wide", wide_dir]
+                if cores is not None and have_taskset:
+                    cmd = ["taskset", "-c", cores] + cmd
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      check=True)
+                runs[cpus].append(json.loads(proc.stdout.strip().splitlines()[-1]))
+        assert all(r["pairs"] == prep["pairs"]
+                   for rs in runs.values() for r in rs), runs
     finally:
         shutil.rmtree(tmp_root, ignore_errors=True)  # multi-GB staging dir
-    eff_2_8 = (results[2]["score_sec"] / results[8]["score_sec"]) / 4.0
-    eff_8_32 = (results[8]["score_sec"] / results[32]["score_sec"]) / 4.0
+    med = {c: statistics.median(r["score_sec"] for r in rs)
+           for c, rs in runs.items()}
+    eff_2_8 = (med[2] / med[8]) / 4.0
+    eff_8_32 = (med[8] / med[32]) / 4.0
     return {
         "metric": "scaling_efficiency_2_to_8",
         "value": round(eff_2_8, 3),
         "unit": "ratio",
         "pinned": have_taskset,
         "records": n_base,
+        "samples": samples,
+        "sampling": "interleaved round-robin legs, median per leg",
         "scaling_efficiency_8_to_32": round(eff_8_32, 3),
-        "pairs": results[2]["pairs"],
-        "throughput": {str(c): results[c]["pairs_scored_per_sec"] for c in results},
-        "score_sec": {str(c): results[c]["score_sec"] for c in results},
+        "pairs": prep["pairs"],
+        "throughput": {
+            str(c): round(prep["pairs"] / med[c], 1) for c in med
+        },
+        "score_sec": {str(c): round(med[c], 2) for c in med},
+        "score_sec_samples": {
+            str(c): [r["score_sec"] for r in rs] for c, rs in runs.items()
+        },
     }
 
 
@@ -283,11 +305,14 @@ if __name__ == "__main__":
                     help="pre-staged scoring-workload parquet (see --prep-score)")
     ap.add_argument("--prep-score", default=None, metavar="PATH",
                     help="materialize the scoring workload parquet to PATH and exit")
+    ap.add_argument("--samples", type=int, default=3,
+                    help="interleaved rounds per scaling leg (median reported)")
     args = ap.parse_args()
     if args.prep_score:
         out = prep_score_workload(args.prep_score, n_base=args.records or 150_000)
     elif args.scaling:
-        out = main_scaling(args.sf_dir, n_base=args.records)
+        out = main_scaling(args.sf_dir, n_base=args.records,
+                           samples=args.samples)
     elif args.score_bench:
         out = run_score_bench(args.cpus, n_base=args.records or 50_000,
                               wide_path=args.wide)

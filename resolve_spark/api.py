@@ -30,6 +30,7 @@ in-engine here rather than a sidecar.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import re
 import threading
@@ -57,13 +58,60 @@ from resolve_spark.operators.matching import find_matches
 from resolve_spark.operators.scoring import specs_from_options
 from resolve_spark.plans.pipeline import entities_pipeline_config
 
-#: the scored-edge cache keeps everything down to this score so group
-#: ThresholdOverride can go BELOW the match default (group.go:26-40);
-#: overrides under the floor are rejected (weighted scores < 0.5 are
-#: noise on the [0,1] kernels). The floor is evaluated under DEFAULT
-#: weights; per-request re-weighting cannot resurrect a pair whose
-#: default-weighted score fell below it (documented approximation).
+#: the scored-edge cache keeps every pair whose max field score reaches
+#: this floor, so group ThresholdOverride can go BELOW the match default
+#: (group.go:26-40) and per-request FieldWeights can resurrect pairs the
+#: DEFAULT weighting scored under 0.5 (weighted mean <= max, so
+#: max-based pruning is an upper bound valid under ANY weights).
+#: Overrides below even the floor fall back to an on-demand re-score at
+#: the requested threshold (slow path — group.go:38 accepts any
+#: positive override).
 MIN_EDGE_THRESHOLD = 0.5
+
+
+class _RWLock:
+    """Writer-preferring reader-writer lock: concurrent GET/match/group
+    reads share; upsert/delete/recompute writes are exclusive (the
+    reference's server serves reads concurrently; a single mutex here
+    would queue every match behind every other request). NOT reentrant —
+    engine methods are structured so no thread nests acquisitions."""
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer_active = False
+        self._writers_waiting = 0
+
+    @contextlib.contextmanager
+    def read(self):
+        with self._cond:
+            # writer preference: queued writers block NEW readers, so a
+            # steady GET stream cannot starve an upsert
+            while self._writer_active or self._writers_waiting:
+                self._cond.wait()
+            self._readers += 1
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._readers -= 1
+                if self._readers == 0:
+                    self._cond.notify_all()
+
+    @contextlib.contextmanager
+    def write(self):
+        with self._cond:
+            self._writers_waiting += 1
+            while self._writer_active or self._readers:
+                self._cond.wait()
+            self._writers_waiting -= 1
+            self._writer_active = True
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._writer_active = False
+                self._cond.notify_all()
 
 
 def _reweight_edges(edges, field_weights: dict):
@@ -114,11 +162,12 @@ class ResolveEngine:
         self.embedding_dim = embedding_dim
         self._edges = None            # scored edges cache for group routes
         self._edges_stale = True
-        # re-entrant: ThreadingHTTPServer serves concurrently, and
-        # _rewrite_touched dynamic-overwrites bucket dirs — a concurrent
-        # read collecting from a half-rewritten bucket would hit
-        # FileNotFound. All store-backed reads AND writes hold this lock.
-        self._lock = threading.RLock()
+        # ThreadingHTTPServer serves concurrently, and _rewrite_touched
+        # dynamic-overwrites bucket dirs — a concurrent read collecting
+        # from a half-rewritten bucket would hit FileNotFound, and a
+        # recompute() unpersisting the edges cache mid-walk would break
+        # a group collect. Reads share; mutations are exclusive.
+        self._rw = _RWLock()
         self._initialized = False
 
     # -- entity CRUD --------------------------------------------------------
@@ -159,8 +208,10 @@ class ResolveEngine:
 
     def add_entities(self, rows: list[dict]) -> list[str]:
         df, ids = self._prepare(rows)
-        with self._lock:
-            if not self._initialized and self.count() == 0:
+        with self._rw.write():
+            # exists() (not count()==0): the probe must not pay a full
+            # store read while holding the exclusive lock
+            if not self._initialized and not self.store.exists():
                 self.store.init(df)
             else:
                 self.store.upsert(df)
@@ -169,7 +220,7 @@ class ResolveEngine:
         return ids
 
     def get_entity(self, entity_id: str) -> dict | None:
-        with self._lock:
+        with self._rw.read():
             if not self.store.exists():  # e.g. every entity deleted
                 return None
             # bucket-pruned point read: only the id's partition dir is
@@ -211,7 +262,7 @@ class ResolveEngine:
                 if old_vec is not None and list(old_vec) != self._mock_vec(combined_old):
                     payload["vector"] = old_vec  # client-supplied: preserve
         df, _ = self._prepare([payload])
-        with self._lock:
+        with self._rw.write():
             self.store.upsert(df)
             self._edges_stale = True
 
@@ -228,7 +279,7 @@ class ResolveEngine:
 
     def delete_entity(self, entity_id: str) -> None:
         ids = self.spark.createDataFrame([(entity_id,)], ["id"])
-        with self._lock:
+        with self._rw.write():
             self.store.delete(ids)
             self._edges_stale = True
 
@@ -237,7 +288,7 @@ class ResolveEngine:
         # files) must surface, not masquerade as "0 entities"
         if not self.store.exists():
             return 0
-        with self._lock:
+        with self._rw.read():
             return self.store.read().count()
 
     # -- matching -----------------------------------------------------------
@@ -299,7 +350,7 @@ class ResolveEngine:
             fields, opts["field_type_mappings"],
             opts["force_exact_match_fields"], opts["field_weights"],
         )
-        with self._lock:
+        with self._rw.read():
             if not self.store.exists():  # nothing stored -> no matches
                 return []
             store = self.store.read()
@@ -311,10 +362,18 @@ class ResolveEngine:
             else:
                 block_key = None
                 candidates = self._ann_candidates(queries, store, opts["limit"])
+            # Reference score semantics (match.go:229-235, :378-384): the
+            # headline score is the VECTOR similarity (1 - cosine
+            # distance); when FieldWeights are supplied it blends
+            # (vec + weighted)/2. Divergence (documented): the reference
+            # thresholds on the vector score even when blending; we
+            # threshold on the final (blended) score.
             out = find_matches(
                 queries, store, specs, entity_id="id", block_key=block_key,
                 candidates=candidates,
                 limit=opts["limit"], threshold=opts["threshold"],
+                vector_col="vector",
+                blend_with_vector=bool(opts["field_weights"]),
             )
             return self._match_rows(out)
 
@@ -334,44 +393,52 @@ class ResolveEngine:
 
     # -- groups -------------------------------------------------------------
 
-    def _scored_edges(self):
-        with self._lock:
-            if self._edges is not None and not self._edges_stale:
-                return self._edges
-            return self.recompute()
+    def _score_edges(self, floor: float):
+        """Blocking keys -> candidate pairs -> scored pairs over the
+        whole store, keeping every pair whose MAX field score reaches
+        ``floor``. Max-based pruning (not the default-weighted score) is
+        an upper bound valid under ANY per-request FieldWeights —
+        weighted mean <= max — so re-weighting can resurrect pairs the
+        default weighting scored low. Caller must hold a lock."""
+        from resolve_spark.operators.pairs import candidate_pairs
+        from resolve_spark.operators.scoring import attach_pair_sides, score_pairs
+
+        store = self.store.read()
+        blocked = B.add_blocking_keys(store, self.cfg.blocking)
+        pairs, _ = candidate_pairs(blocked, "id", self.cfg.blocking,
+                                   with_stats=False)
+        wide = attach_pair_sides(pairs, store, "id",
+                                 [s.column for s in self.cfg.specs])
+        scored = score_pairs(wide, list(self.cfg.specs), threshold=None)
+        scored = scored.where(
+            F.array_max(F.map_values(F.col("field_scores"))) >= floor
+        )
+        return scored.select("id_a", "id_b", "score", "field_scores")
+
+    def _empty_edges(self):
+        return self.spark.createDataFrame(
+            [], "id_a string, id_b string, score double, "
+                "field_scores map<string,double>")
 
     def recompute(self):
         """POST /clusters/recompute — re-derive blocking keys and scored
         edges over the whole store (B3 + the batch analog of the
         reference's cluster recompute)."""
-        from resolve_spark.operators.pairs import candidate_pairs
-        from resolve_spark.operators.scoring import attach_pair_sides, score_pairs
-
-        with self._lock:
+        with self._rw.write():
             if not self.store.exists():  # nothing stored -> no edges
-                empty = self.spark.createDataFrame(
-                    [], "id_a string, id_b string, score double, "
-                        "field_scores map<string,double>")
+                empty = self._empty_edges()
                 if self._edges is not None:
                     self._edges.unpersist()
                 self._edges = empty
                 self._edges_stale = False
                 return empty
-            store = self.store.read()
-            blocked = B.add_blocking_keys(store, self.cfg.blocking)
-            pairs, _ = candidate_pairs(blocked, "id", self.cfg.blocking,
-                                       with_stats=False)
-            wide = attach_pair_sides(pairs, store, "id",
-                                     [s.column for s in self.cfg.specs])
-            # edges keep scores down to MIN_EDGE_THRESHOLD (not the match
+            # edges keep pairs down to MIN_EDGE_THRESHOLD (not the match
             # default): the group routes' ThresholdOverride may LOWER the
             # membership threshold (group.go:26-40), which an edge set
             # pruned at 0.85 could never serve. field_scores ride along
             # so per-request FieldWeights re-weighting (group.go:32) is
             # a column expression, not a re-scoring pass.
-            scored = score_pairs(wide, list(self.cfg.specs),
-                                 threshold=MIN_EDGE_THRESHOLD)
-            edges = scored.select("id_a", "id_b", "score", "field_scores").persist()
+            edges = self._score_edges(MIN_EDGE_THRESHOLD).persist()
             edges.count()
             if self._edges is not None:
                 self._edges.unpersist()
@@ -380,34 +447,49 @@ class ResolveEngine:
             return edges
 
     def match_group(self, entity_id: str, opts: dict) -> dict:
-        seed = self.get_entity(entity_id)
-        if seed is None:
-            raise KeyError(entity_id)
+        # validate EVERYTHING before any edge work: a bad request must
+        # 400 without triggering a store-wide recompute
         threshold = float(opts.get("threshold") or 0)
         if threshold <= 0:
             threshold = DEFAULT_SIMILARITY_THRESHOLD
         strategy = opts.get("strategy") or DEFAULT_GROUP_STRATEGY
         hops = int(opts.get("hops_limit") or 0) or DEFAULT_HOPS_LIMIT
         max_size = int(opts.get("max_size") or 0) or DEFAULT_MAX_GROUP_SIZE
-        field_weights = opts.get("field_weights") or None
-        # the whole walk holds the engine lock: match_groups runs Spark
-        # jobs over the cached edges DataFrame, and a concurrent
-        # recompute/upsert could unpersist it mid-collect and re-trigger
-        # the half-rewritten-bucket read race the lock exists to close
-        with self._lock:
-            edges = self._scored_edges()
+        field_weights = self._parse_field_weights(opts.get("field_weights"))
+        seed = self.get_entity(entity_id)
+        if seed is None:
+            raise KeyError(entity_id)
+
+        def _walk(edges):
             if field_weights and "field_scores" in edges.columns:
                 edges = _reweight_edges(edges, field_weights)
-            # sub-floor overrides can't be served from the cached edge
-            # set (pruned at MIN_EDGE_THRESHOLD after any re-weighting)
-            if threshold < MIN_EDGE_THRESHOLD:
-                raise ValueError(
-                    f"group threshold must be >= {MIN_EDGE_THRESHOLD}")
             seeds = self.spark.createDataFrame([(entity_id,)], ["seed"])
-            members = C.match_groups(
+            return C.match_groups(
                 edges, seeds, threshold=threshold, strategy=strategy,
                 hops_limit=hops, max_group_size=max_size,
             ).orderBy("rank").collect()
+
+        # the whole walk holds a READ lock: match_groups runs Spark jobs
+        # over the cached edges DataFrame, and a concurrent
+        # recompute/upsert could unpersist it mid-collect or rewrite a
+        # bucket mid-read. Reads share, so concurrent group/match/GET
+        # requests proceed in parallel.
+        if threshold < MIN_EDGE_THRESHOLD:
+            # sub-floor override (group.go:38 accepts any positive
+            # threshold): the cached edge set is pruned at the floor, so
+            # re-score on demand at the requested threshold. Slow path,
+            # uncached — documented.
+            with self._rw.read():
+                edges = (self._score_edges(threshold)
+                         if self.store.exists() else self._empty_edges())
+                members = _walk(edges)
+        else:
+            while True:
+                with self._rw.read():
+                    if self._edges is not None and not self._edges_stale:
+                        members = _walk(self._edges)
+                        break
+                self.recompute()  # exclusive; then retry the read
         ents = [
             {"id": r["rid"], "score": float(r["score"]),
              "hop_distance": int(r["hop_distance"])}
@@ -423,6 +505,25 @@ class ResolveEngine:
             "sample_fields": self._sample_fields([e["id"] for e in ents], avg),
         }
 
+    @staticmethod
+    def _parse_field_weights(raw) -> dict | None:
+        """Query-param or JSON-body FieldWeights -> {field: float}.
+        A GET route delivers the value as a string — JSON-decode it;
+        anything that is not a mapping of field -> number is a 400."""
+        if not raw:
+            return None
+        if isinstance(raw, str):
+            try:
+                raw = json.loads(raw)
+            except json.JSONDecodeError as e:
+                raise ValueError(f"field_weights must be a JSON object: {e}")
+        if not isinstance(raw, dict):
+            raise ValueError("field_weights must be an object of field -> weight")
+        try:
+            return {str(k): float(v) for k, v in raw.items()}
+        except (TypeError, ValueError):
+            raise ValueError("field_weights values must be numbers")
+
     def _sample_fields(self, member_ids: list[str], group_score: float) -> dict:
         """Per-field {value, agreement, confidence} over group members
         (MatchGroup.SampleFields, group.go:18-23, computed at :358-403):
@@ -432,7 +533,7 @@ class ResolveEngine:
         one bucket-pruned point read."""
         if not member_ids:
             return {}
-        with self._lock:
+        with self._rw.read():
             rows = (
                 self.store.read_for_ids(member_ids)
                 .select("id", *ENTITY_FIELDS).collect()

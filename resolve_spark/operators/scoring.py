@@ -120,7 +120,11 @@ def score_pairs(
                 F.col(f"{s.column}_a"), F.col(f"{s.column}_b")
             ),
         )
-    if prefilter and threshold is not None and native:
+    # vector-only scoring (blend_with_vector=False): the final score is
+    # the cosine similarity alone, so a field-score upper bound is NOT a
+    # bound on it — skip the prefilter entirely
+    vector_only = vector_col is not None and blend_with_vector is False
+    if prefilter and threshold is not None and native and not vector_only:
         total_w = sum(s.weight for s in specs) or 1.0
         ub_num = None
         for s in specs:
@@ -131,7 +135,7 @@ def score_pairs(
             )
             ub_num = term if ub_num is None else ub_num + term
         ub = ub_num / F.lit(total_w)
-        if vector_col is not None and (blend_with_vector is None or blend_with_vector):
+        if vector_col is not None:
             ub = (F.lit(1.0) + ub) / 2
         df = df.where(ub >= threshold)
     # decomposed composites: when the wide rows carry record-level

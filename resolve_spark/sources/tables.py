@@ -114,6 +114,11 @@ class EntityStore:
         self.path = path
         self.id_col = id_col
         self.n_buckets = n_buckets
+        # exists() walk result keyed on the root dir mtime: every
+        # data-presence transition (first bucket dir created, last
+        # emptied bucket removed) adds/removes a root entry and bumps
+        # it; in-place bucket rewrites don't change presence
+        self._exists_cache: tuple[int | None, bool] | None = None
 
     def _bucketed(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -132,13 +137,25 @@ class EntityStore:
         """True iff the store holds DATA. The root dir alone is not
         enough: deleting every entity rmtree's the emptied bucket dirs
         but leaves the root (sidecar/_SUCCESS), and spark.read.parquet
-        on a parquet-less dir raises instead of returning empty."""
+        on a parquet-less dir raises instead of returning empty.
+
+        The os.walk result is cached keyed on the root dir mtime: any
+        presence transition creates or removes a bucket dir entry under
+        the root, which bumps the root mtime — so per-request serve
+        paths don't pay a full tree walk."""
         if not os.path.isdir(self.path):
+            self._exists_cache = None
             return False
+        token = os.stat(self.path).st_mtime_ns
+        if self._exists_cache is not None and self._exists_cache[0] == token:
+            return self._exists_cache[1]
+        found = False
         for _root, _dirs, files in os.walk(self.path):
             if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+                found = True
+                break
+        self._exists_cache = (token, found)
+        return found
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).drop(self.BUCKET_COL)

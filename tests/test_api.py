@@ -190,16 +190,28 @@ def test_default_match_plan_is_equijoin(spark, tmp_path):
 
 def test_match_force_exact_fields_over_http(api):
     """ForceExactMatchFields (match.go:56, :312-318): listed fields score
-    with the exact kernel, overriding the inferred fuzzy kernel."""
-    ent = {"name": "Vertex Analytic", "zip": "62704"}  # name off by one char
-    code, fuzzy = _req(api, "POST", "/match", {"entity": ent, "threshold": 0.6})
+    with the exact kernel, overriding the inferred fuzzy kernel. Since
+    the headline score is the vector score unless FieldWeights are
+    supplied (match.go:229-235, :378-384), the forced-exact effect on
+    the SCORE shows through the blend — so these cases pass weights."""
+    # name off by one char; weights trigger the (vec+weighted)/2 blend
+    ent = {"name": "Vertex Analytic", "zip": "62704"}
+    fw = {"name": 1.0}
+    code, fuzzy = _req(api, "POST", "/match", {
+        "entity": ent, "threshold": 0.8, "field_weights": fw})
     assert code == 200 and "e-001" in {m["id"] for m in fuzzy["matches"]}
+    # field_scores expose the kernel swap even without weights
+    code, forced_nw = _req(api, "POST", "/match", {
+        "entity": ent, "threshold": 0.8, "force_exact_match_fields": ["name"]})
+    for m in forced_nw["matches"]:
+        assert m["field_scores"]["name"] in (0.0, 1.0)
 
     code, forced = _req(api, "POST", "/match", {
-        "entity": ent, "threshold": 0.6, "force_exact_match_fields": ["name"]})
+        "entity": ent, "threshold": 0.8, "field_weights": fw,
+        "force_exact_match_fields": ["name"]})
     assert code == 200
     forced_ids = {m["id"] for m in forced["matches"]}
-    # exact name mismatch drops that field to 0 -> (0 + 1.0)/2 < 0.6
+    # exact name mismatch: weighted = (0 + 1.0)/2, blend ~0.75 < 0.8
     assert "e-001" not in forced_ids
 
     # a verbatim-name query still passes under force_exact — and ONLY
@@ -207,9 +219,53 @@ def test_match_force_exact_fields_over_http(api):
     # e-001 is "Vertex Analytics Inc.")
     code, same = _req(api, "POST", "/match", {
         "entity": {"name": "Vertex Analytics", "zip": "62704"},
-        "threshold": 0.6, "force_exact_match_fields": ["name"]})
+        "threshold": 0.8, "field_weights": fw,
+        "force_exact_match_fields": ["name"]})
     same_ids = {m["id"] for m in same["matches"]}
     assert "e-002" in same_ids and "e-001" not in same_ids
+
+
+def _mock_vec16(text: str) -> list[float]:
+    """Test-side replica of the mock embedding (embed.go:233-242)."""
+    import numpy as np
+    raw = text.encode("utf-8")[:16]
+    v = np.zeros(16, dtype=np.float32)
+    v[: len(raw)] = np.frombuffer(raw, dtype=np.uint8).astype(np.float32) / 255.0
+    return [float(x) for x in v]
+
+
+def _cos(a, b) -> float:
+    import math
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(y * y for y in b))
+    return 0.0 if na == 0 or nb == 0 else dot / (na * nb)
+
+
+def test_match_score_vector_parity(api):
+    """Reference score semantics (match.go:229-235, :378-384): with no
+    FieldWeights the returned score IS the cosine similarity between the
+    query and stored vectors; with FieldWeights it is the hand-computable
+    (vec + weighted)/2 blend."""
+    ent = {"name": "Vertex Analytics", "zip": "62704"}
+    # query combined text: concat_ws over all 7 fields (5 empty)
+    q_combined = "Vertex Analytics    62704  "
+    qvec = _mock_vec16(q_combined)
+    _, stored = _req(api, "GET", "/entities/e-002")
+    expected_vec = _cos(qvec, stored["vector"])
+
+    code, resp = _req(api, "POST", "/match", {"entity": ent, "threshold": 0.5})
+    m = {r["id"]: r for r in resp["matches"]}
+    assert "e-002" in m
+    assert m["e-002"]["score"] == pytest.approx(expected_vec, rel=1e-5)
+
+    fw = {"name": 2.0}
+    code, resp2 = _req(api, "POST", "/match", {
+        "entity": ent, "threshold": 0.5, "field_weights": fw})
+    r = next(x for x in resp2["matches"] if x["id"] == "e-002")
+    fs = r["field_scores"]
+    weighted = (2.0 * fs["name"] + 1.0 * fs["zip"]) / 3.0
+    assert r["score"] == pytest.approx((expected_vec + weighted) / 2, rel=1e-5)
 
 
 def test_put_reembeds_engine_vector_but_preserves_client_vector(api):
@@ -288,6 +344,97 @@ def test_group_field_weights_and_threshold_override(spark, tmp_path_factory):
     dflt = engine.match_group("g1", {"strategy": "direct", "threshold": 0.7})
     assert {e["id"] for e in dflt["entities"]} == {"g1", "g2"}
 
-    # sub-floor overrides are rejected, not silently truncated
-    with pytest.raises(ValueError):
-        engine.match_group("g1", {"threshold": 0.3})
+    # sub-floor overrides (group.go:38 accepts ANY positive threshold)
+    # are served by the on-demand re-score slow path and must return the
+    # same members a fresh full re-score at that threshold returns
+    sub = engine.match_group("g1", {"strategy": "direct", "threshold": 0.3})
+    fresh = {
+        (r["id_a"], r["id_b"])
+        for r in engine._score_edges(0.3).collect()
+        if r["score"] >= 0.3 and "g1" in (r["id_a"], r["id_b"])
+    }
+    expect = {"g1"} | {x for pair in fresh for x in pair}
+    assert {e["id"] for e in sub["entities"]} == expect
+    assert {"g1", "g2"} <= {e["id"] for e in sub["entities"]}
+
+
+def test_group_reweight_resurrects_subfloor_pair(spark, tmp_path_factory):
+    """A pair whose DEFAULT-weighted score is under the 0.5 edge floor
+    but whose max field score reaches it must stay in the cache (pruning
+    on max(field_scores) — an upper bound valid under any weights), so
+    per-request FieldWeights can resurrect it (group.go:32)."""
+    engine = ResolveEngine(
+        spark, str(tmp_path_factory.mktemp("apirw") / "store"), n_buckets=2)
+    # same canopy (name prefix + zip); zip identical, everything else
+    # mismatched -> default-weighted score sinks below 0.5
+    engine.add_entities([
+        {"id": "r1", "name": "Quartz Mining", "address": "1 Alpha Road",
+         "city": "Springfield", "phone": "555-0101",
+         "email": "ops@quartz.example.com", "zip": "73301"},
+        {"id": "r2", "name": "Quartz Mineral Exchange Partners Worldwide",
+         "address": "99 Omega Boulevard", "city": "Shelbyville",
+         "phone": "555-9999", "email": "info@qmx.example.org",
+         "zip": "73301"},
+    ])
+    edges = engine.recompute().collect()
+    pair = [r for r in edges if {r["id_a"], r["id_b"]} == {"r1", "r2"}]
+    assert pair, "pair must survive max-based pruning"
+    assert pair[0]["score"] < 0.5, "fixture must sit below the default floor"
+    # default weights: not a group member even at the floor
+    base = engine.match_group("r1", {"strategy": "direct", "threshold": 0.5})
+    assert {e["id"] for e in base["entities"]} == {"r1"}
+    # zip-dominated weights resurrect the pair
+    zw = engine.match_group("r1", {
+        "strategy": "direct", "threshold": 0.5,
+        "field_weights": {"zip": 100.0}})
+    assert {e["id"] for e in zw["entities"]} == {"r1", "r2"}
+
+
+def test_group_field_weights_as_query_param(api):
+    """GET /entities/{id}/group?field_weights=<json> must JSON-decode
+    the string (a raw dict repr previously 500'd), and a malformed value
+    must 400 without triggering an edge recompute."""
+    import urllib.parse
+    fw = urllib.parse.quote(json.dumps({"zip": 5.0}))
+    code, grp = _req(
+        api, "GET",
+        f"/entities/e-001/group?threshold=0.5&field_weights={fw}")
+    assert code == 200 and grp["size"] >= 1
+
+    with pytest.raises(HTTPError) as err:
+        _req(api, "GET", "/entities/e-001/group?field_weights=notjson")
+    assert err.value.code == 400
+
+
+def test_concurrent_matches_share_engine_with_put(api):
+    """Reader-writer split: concurrent match requests proceed in
+    parallel (shared read lock) while an interleaved PUT (exclusive)
+    serializes against them — every response must still be correct."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _req(api, "POST", "/entities", {
+        "id": "e-conc", "name": "Concurrent Test Co", "zip": "90210"})
+
+    def do_match(i):
+        code, resp = _req(api, "POST", "/match", {
+            "entity": {"name": "Vertex Analytics", "zip": "62704"},
+            "threshold": 0.5})
+        assert code == 200
+        return {m["id"] for m in resp["matches"][:2]}
+
+    def do_put(_):
+        code, resp = _req(api, "PUT", "/entities/e-conc",
+                          {"name": "Concurrent Test Company"})
+        assert code == 200
+        return "put"
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futures = [pool.submit(do_match, i) for i in range(6)]
+        futures.insert(3, pool.submit(do_put, 0))
+        results = [f.result(timeout=300) for f in futures]
+    for r in results:
+        if r != "put":
+            assert r == {"e-001", "e-002"}
+    _, after = _req(api, "GET", "/entities/e-conc")
+    assert after["name"] == "Concurrent Test Company"
+    _req(api, "DELETE", "/entities/e-conc")

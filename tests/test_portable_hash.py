@@ -165,3 +165,102 @@ def test_portable_hyperplanes_are_integer_and_deterministic():
 def test_bad_hash_impl_rejected(spark, docs):
     with pytest.raises(ValueError, match="hash_impl"):
         dedup.simhash_duplicates(docs, "rid", "content", hash_impl="nope")
+
+
+# ---------------------------------------------------------------------------
+# Adversarial cross-engine property tests: multibyte UTF-8, 1-char
+# strings, >64-token shingle sets — Spark SQL, python/numpy and DuckDB
+# must agree BIT-EXACTLY (hypothesis generates, one engine pass checks a
+# whole batch). NUL is excluded from the alphabets: DuckDB VARCHAR
+# cannot carry \x00 and no tokenizer in the tree emits it.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# ASCII + 2/3/4-byte UTF-8: accented latin, CJK, Cyrillic, emoji
+# (UTF-16 surrogate pair — stresses any UTF-16-length confusion), and a
+# combining mark. Multibyte chars are lowercase-stable so python
+# .lower() and DuckDB lower() cannot diverge on case folding.
+_ADV_ALPHABET = (
+    "abz09 .|:-@AB"
+    "éüß"
+    "中文日"
+    "жя"
+    "\U0001f600\U0001f680"
+    "́"
+)
+
+_adv_text = st.text(alphabet=_ADV_ALPHABET, min_size=1, max_size=40)
+
+
+@settings(max_examples=10, deadline=None)
+@given(strings=st.lists(_adv_text, min_size=6, max_size=12, unique=True))
+def test_portable_hash60_adversarial_three_engines(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", H.portable_hash60(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in strings:
+        expect = H.portable_hash60_py(s)
+        assert got[s] == expect, repr(s)
+        duck = con.execute(
+            "SELECT " + H.portable_hash60_sql("?"), [s]).fetchone()[0]
+        assert duck == expect, repr(s)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1),
+                min_size=70, max_size=90),
+    label=st.integers(min_value=0, max_value=255),
+)
+def test_universal_hash_split30_adversarial(xs, label):
+    """numpy int64, unbounded-python-int ground truth, and DuckDB BIGINT
+    agree on the split-30 family over full-range 60-bit inputs (>64
+    values per example — the size class of a long shingle set)."""
+    a = H.portable_hash60_py(f"t:a:{label}") + 1
+    b = H.portable_hash60_py(f"t:b:{label}")
+    arr = np.array(xs, dtype=np.int64)
+    ours = [int(v) for v in H.universal_hash_split30_py(a, b, arr)]
+    ground = [
+        ((a & H.M30) * (x & H.M30) + (a >> 30) * (x >> 30) + b) % H.P61
+        for x in xs
+    ]
+    rows = ",".join(f"({x})" for x in xs)
+    duck = [
+        r[0] for r in duckdb.sql(
+            f"SELECT {H.universal_hash_split30_sql(str(a), str(b), 'x')} "
+            f"FROM (VALUES {rows}) t(x)"
+        ).fetchall()
+    ]
+    assert ours == ground == duck
+
+
+_word = st.text(alphabet="abcé中09", min_size=1, max_size=5)
+
+
+@settings(max_examples=6, deadline=None)
+@given(words=st.lists(_word, min_size=66, max_size=100))
+def test_minhash_band_keys_long_docs_match_duckdb(spark, words):
+    """The full portable MinHash chain (shingle -> 60-bit hash ->
+    split-30 signature -> banded md5 key) agrees between the Spark pUDF
+    and the driver's DuckDB CTE replica on >64-token multibyte docs."""
+    import __spark_entry__ as entry
+    from resolve_spark.operators.blocking import minhash_band_keys_udf
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    mh = minhash_band_keys_udf(num_hashes=64, bands=16, hash_impl="portable")
+    got = sorted(df.select(mh(F.col("text")).alias("k")).collect()[0]["k"])
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (0, ?)", [text])
+    cte = entry._minhash_keys_cte(64, 16, 42)
+    duck = sorted(
+        r[0] for r in con.execute(
+            f"WITH {cte} SELECT band_key FROM keys").fetchall()
+    )
+    assert got == duck

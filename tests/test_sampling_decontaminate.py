@@ -169,7 +169,9 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     )
     plan = DC.ngram_contamination(corpus, bench, "id", "text", n=3)._jdf \
         .queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    # the benchmark n-gram set must actually broadcast (a SortMergeJoin
+    # here means a full shuffle of the corpus n-grams at scale)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
 def test_quota_null_stratum_is_a_real_stratum(spark):

@@ -15,6 +15,16 @@ come from spark-submit, exactly as on a real cluster:
 
 Prints one JSON line with counters (and F1/sha256 gate results when
 --evaluate is set on synthetic input).
+
+Checkpointing: when --checkpoint is omitted the pipeline runs
+UNCHECKPOINTED (single-pass, no resume) — the only mode that is correct
+on every master. A --checkpoint value must name a filesystem SHARED by
+the driver and all executors (NFS, or a local path under local[*]):
+stage parquet is written by executors but read back — and its lineage
+sidecar maintained — by driver-local file I/O (CheckpointManager), so a
+driver-only temp dir under --deploy-mode cluster would silently lose
+executor-written stage data. hdfs:// / s3:// URIs are rejected for the
+same reason.
 """
 
 from __future__ import annotations
@@ -22,7 +32,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import tempfile
 import time
 
 from pyspark.sql import SparkSession
@@ -39,7 +48,10 @@ def main() -> int:
     ap.add_argument("--records", type=int, default=5000,
                     help="synthesize this many records when --input is absent")
     ap.add_argument("--out", help="write clusters parquet here")
-    ap.add_argument("--checkpoint", help="resumable stage-checkpoint dir")
+    ap.add_argument("--checkpoint",
+                    help="resumable stage-checkpoint dir; MUST be a "
+                         "driver+executor-shared filesystem path (see "
+                         "module docstring). Omitted -> no checkpointing.")
     ap.add_argument("--threshold", type=float, default=None)
     ap.add_argument("--evaluate", action="store_true",
                     help="score pairwise F1 + sha256 invariant (synthetic input only)")
@@ -49,6 +61,16 @@ def main() -> int:
         # multi-hour cluster run would waste the whole job
         raise SystemExit("--evaluate needs the synthetic ground truth "
                          "(omit --input)")
+    if args.checkpoint and "://" in args.checkpoint and not (
+        args.checkpoint.startswith("file://")
+    ):
+        # CheckpointManager does driver-local open()/os.walk for lineage
+        # and read-back; an object-store URI would checkpoint nothing
+        raise SystemExit(
+            "--checkpoint must be a driver+executor-shared FILESYSTEM "
+            f"path, not {args.checkpoint.split('://', 1)[0]}:// "
+            "(run uncheckpointed or mount a shared fs)"
+        )
 
     spark = (
         SparkSession.builder.appName("resolve_submit")
@@ -68,9 +90,9 @@ def main() -> int:
 
     cfg = (P.files_pipeline_config(args.threshold) if args.threshold is not None
            else P.files_pipeline_config())
-    pipe = P.ResolvePipeline(
-        spark, cfg, checkpoint_dir=args.checkpoint or tempfile.mkdtemp()
-    )
+    # default: UNCHECKPOINTED — a driver-local mkdtemp would lose
+    # executor-written stage data under --deploy-mode cluster
+    pipe = P.ResolvePipeline(spark, cfg, checkpoint_dir=args.checkpoint or None)
     t0 = time.time()
     run = pipe.run(files)
     if args.out:
