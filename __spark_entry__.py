@@ -852,6 +852,39 @@ def _q52_case_insensitive(spark, sf_dir):  # K2 (similarity.go:33-44)
     )
 
 
+def _q53_ngram_dedup_pairs(spark, sf_dir):  # char-n-gram Jaccard near-dup
+    """Character-5-gram Jaccard over MinHash-blocked candidates (the
+    LLM-pipeline n-gram dedup operator) under the portable hash so the
+    candidate generation is the same chain q19/q28 oracle."""
+    d = _t(spark, sf_dir, "documents")
+    cfg = BlockingConfig(enable_canopy=False, minhash_column="text",
+                         minhash_hash_impl="portable")
+    out = DD.ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.7,
+                                 cfg=cfg)
+    return out.select("id_a", "id_b",
+                      F.round("ngram_jaccard", 6).alias("ngram_jaccard"))
+
+
+def _q54_embedding_dedup(spark, sf_dir):  # embedding-cosine near-dup -> CC
+    """SRP-bucketed cosine near-dup clustering (the LLM-pipeline
+    embedding dedup operator). Vectors are 16-dim centered-codepoint
+    doubles derived from documents.text natively, so DuckDB recomputes
+    them exactly (the driver's embeddings table has no planted near-dup
+    pairs at any cosine >= 0.6, so real clusters need text-derived
+    vectors — planted exact/near text dups land at cos 1.0)."""
+    d = _t(spark, sf_dir, "documents")
+    vec = F.expr(
+        "transform(sequence(0, 15), i -> CASE WHEN i < length(text) "
+        "THEN (ascii(substring(text, i + 1, 1)) - 100.0) / 10.0 "
+        "ELSE 0.0 END)"
+    )
+    base = d.select("doc_id", vec.alias("vec"))
+    out = DD.embedding_duplicates(base, "doc_id", "vec",
+                                  cosine_threshold=0.9, planes=8,
+                                  hash_impl="portable")
+    return out.select("rid", "cluster_id", "cluster_size")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -906,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_vector_blend": _q50_vector_blend,
         "q51_explanation": _q51_explanation,
         "q52_case_insensitive": _q52_case_insensitive,
+        "q53_ngram_dedup_pairs": _q53_ngram_dedup_pairs,
+        "q54_embedding_dedup": _q54_embedding_dedup,
     }
 
 
@@ -1706,5 +1741,57 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) "
             "WHEN c_custkey % 3 = 1 THEN c_name || 'X' "
             "ELSE c_name END) THEN 1.0 ELSE 0.0 END AS ci_match FROM customer"
+        ),
+        # char-5-gram Jaccard near-dup pairs over MinHash-blocked
+        # candidates (same portable banding chain as q19/q28)
+        "q53_ngram_dedup_pairs": (
+            "WITH " + _minhash_keys_cte(64, 16, 42) + ", "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM keys a JOIN keys b ON a.band_key = b.band_key "
+            "AND a.doc_id < b.doc_id), "
+            "g AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, greatest(len(text) - 4, 1) + 1), "
+            "i -> substr(text, i::INT, 5))) AS g FROM documents) "
+            "SELECT id_a, id_b, round(jac, 6) AS ngram_jaccard FROM ("
+            "SELECT c.id_a, c.id_b, "
+            "len(list_intersect(ga.g, gb.g))::DOUBLE / "
+            "(len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) AS jac "
+            "FROM cand c JOIN g ga ON ga.doc_id = c.id_a "
+            "JOIN g gb ON gb.doc_id = c.id_b) WHERE jac >= 0.7"
+        ),
+        # SRP-bucketed cosine near-dup -> CC over centered-codepoint
+        # vectors (8 portable integer hyperplanes, single table, seed 42)
+        "q54_embedding_dedup": (
+            "WITH RECURSIVE "
+            "v AS (SELECT doc_id, list_transform(range(0, 16), i -> "
+            "CASE WHEN i < length(text) THEN "
+            "(ascii(substr(text, (i + 1)::INT, 1)) - 100.0) / 10.0 "
+            "ELSE 0.0 END) AS vec FROM documents), "
+            "hp AS (SELECT p.p AS pl, d.d AS d, "
+            "(" + _ph_sql("'hp:42:' || p.p || ':' || d.d") + " % 2001 - 1000) "
+            "AS w FROM range(8) p(p), range(16) d(d)), "
+            "vq AS (SELECT doc_id, d.d AS d, "
+            "floor(vec[d.d + 1] * 1000000)::BIGINT AS q "
+            "FROM v, range(16) d(d)), "
+            "dt AS (SELECT vq.doc_id, hp.pl, sum(vq.q * hp.w) AS dot "
+            "FROM vq JOIN hp USING (d) GROUP BY 1, 2), "
+            "sig AS (SELECT doc_id, sum(CASE WHEN dot > 0 THEN "
+            "(1::BIGINT << pl) ELSE 0::BIGINT END) AS bucket "
+            "FROM dt GROUP BY 1), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sig a JOIN sig b ON a.bucket = b.bucket "
+            "AND a.doc_id < b.doc_id), "
+            "e AS (SELECT id_a, id_b FROM cand "
+            "JOIN v va ON va.doc_id = cand.id_a "
+            "JOIN v vb ON vb.doc_id = cand.id_b "
+            "WHERE list_cosine_similarity(va.vec, vb.vec) >= 0.9), "
+            + _CC_CTE + ", "
+            "assign AS (SELECT d.doc_id AS rid, coalesce(c.cluster_id, "
+            "d.doc_id) AS cluster_id FROM documents d "
+            "LEFT JOIN comp c ON c.rid = d.doc_id), "
+            "sizes AS (SELECT cluster_id, count(*) AS cluster_size "
+            "FROM assign GROUP BY 1) "
+            "SELECT a.rid, a.cluster_id, s.cluster_size "
+            "FROM assign a JOIN sizes s USING (cluster_id)"
         ),
     }

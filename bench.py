@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "q40_windowed_events",
     "q42_user_sessions",
     "q43_decontamination",
+    "q46_address_similarity",
+    "q50_vector_blend",
     "q45_quota_sample",
 ]
 

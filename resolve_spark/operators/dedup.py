@@ -147,14 +147,19 @@ def simhash_duplicates(
 
 def embedding_duplicates(
     df: DataFrame, id_col: str, vec_col: str, cosine_threshold: float = 0.95,
-    planes: int = 16, seed: int = 42,
+    planes: int = 16, seed: int = 42, hash_impl: str = "fast",
 ) -> DataFrame:
     """Embedding-cosine near-dup: random-hyperplane LSH buckets ->
-    in-bucket pairs -> exact cosine verify -> CC."""
+    in-bucket pairs -> exact cosine verify -> CC.
+
+    ``hash_impl="portable"`` uses the md5-derived integer hyperplanes
+    (functions/hashing.py) so the bucket assignment is DuckDB-checkable
+    (driver query q54)."""
     from resolve_spark.operators.ann import add_hyperplane_bucket
     from resolve_spark.functions.embedding import cosine_similarity_native
 
-    bucketed = add_hyperplane_bucket(df, vec_col, planes=planes, seed=seed)
+    bucketed = add_hyperplane_bucket(df, vec_col, planes=planes, seed=seed,
+                                     hash_impl=hash_impl)
     base = bucketed.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("v"), "bucket")
     a = base.selectExpr("bucket", "rid as id_a", "v as va")
     b = base.selectExpr("bucket", "rid as id_b", "v as vb")
