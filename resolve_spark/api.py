@@ -19,13 +19,22 @@ Route parity:
 
 Engine mapping: the entity store is a hash-bucketed parquet
 ``EntityStore`` (partition-pruned point updates — the Weaviate
-replacement); matching is ``find_matches``/``find_matches_text``;
-groups run the per-seed hop-limited ``match_groups`` BFS over scored
-edges derived from the store (recomputed lazily after mutations).
-Divergence from the reference (documented): the reference REQUIRES a
-client-supplied vector on add (server.go:154-163); this engine computes
-the deterministic mock embedding when absent, because embedding is
-in-engine here rather than a sidecar.
+replacement); matching is ``find_matches``/``find_matches_text`` with
+the reference score semantics — the headline score is the VECTOR
+cosine similarity (match.go:229-235), blended ``(vec + weighted)/2``
+when FieldWeights are supplied (match.go:378-384); groups run the
+per-seed hop-limited ``match_groups`` BFS over scored edges derived
+from the store (recomputed lazily after mutations; sub-floor
+ThresholdOverride falls back to an on-demand re-score).
+
+Divergences from the reference (documented):
+- the reference REQUIRES a client-supplied vector on add
+  (server.go:154-163); this engine computes the deterministic mock
+  embedding when absent, because embedding is in-engine here rather
+  than a sidecar.
+- the reference thresholds on the vector score even when blending;
+  this engine thresholds on the final (blended) score — the filter and
+  the returned number agree here.
 """
 
 from __future__ import annotations

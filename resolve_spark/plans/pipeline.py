@@ -51,9 +51,19 @@ class PipelineConfig:
     stat_fields: tuple[str, ...] = ()
 
 
-def files_pipeline_config(threshold: float = 0.85) -> PipelineConfig:
+def files_pipeline_config(threshold: float = 0.87) -> PipelineConfig:
     """Default config for the graft input shape (BASELINE.json):
-    (repo, path, commit, lang, content)."""
+    (repo, path, commit, lang, content).
+
+    Threshold 0.87 (was 0.85): fp-band analysis at 4M records (BENCH.md
+    round 4) shows every true edge scores >= 0.8867 across 1.23M true
+    pairs (the planted-variant transformations bound the score from
+    below, independent of scale) while false edges concentrate just
+    above 0.85 and COMPOUND with data density — 0.87 removes ~55% of
+    them at zero measured recall cost (fn = 0 before and after,
+    verified at 4M). The ENTITY config keeps the reference's 0.85
+    (parity); this is the tuning knob for the north-rule files job.
+    """
     return PipelineConfig(
         id_col="record_id",
         specs=(

@@ -57,7 +57,9 @@ def test_cluster_output_shape(run):
 
 
 def test_edges_schema_and_threshold(run):
-    assert run.edges.where(F.col("score") < 0.85).count() == 0
+    # files-pipeline default threshold (0.87 since the round-4 fp-band
+    # analysis; see files_pipeline_config docstring)
+    assert run.edges.where(F.col("score") < 0.87).count() == 0
     cols = set(run.edges.columns)
     assert {"id_a", "id_b", "block_key", "field_scores", "weighted_score",
             "score", "matched_on"} <= cols

@@ -27,6 +27,10 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=os.cpu_count() or 8)
     ap.add_argument("--skip-f1", action="store_true",
                     help="time the pipeline only (no F1/invariant evaluation)")
+    ap.add_argument("--fp-analysis", action="store_true",
+                    help="band false-edge scores vs the true-edge margin "
+                         "(diagnoses whether fp growth is threshold-"
+                         "adjacent and a bump would trade no recall)")
     args = ap.parse_args()
 
     from resolve_spark import datagen
@@ -68,6 +72,30 @@ def main() -> None:
         )
         checked = P.assert_sha256_invariant(run, files, "record_id")
         out["sha256_rows_checked"] = checked
+        if args.fp_analysis:
+            from pyspark.sql import functions as F
+            edges = run.edges.select("id_a", "id_b", "score")
+            truth = labeled.where("is_match").select("id_a", "id_b")
+            false_e = edges.join(truth, ["id_a", "id_b"], "left_anti")
+            true_e = edges.join(truth, ["id_a", "id_b"], "left_semi")
+            band = (
+                F.when(F.col("score") < 0.87, "0.85-0.87")
+                .when(F.col("score") < 0.90, "0.87-0.90")
+                .when(F.col("score") < 0.95, "0.90-0.95")
+                .otherwise("0.95+")
+            )
+            out["false_edge_bands"] = {
+                r["b"]: r["count"]
+                for r in false_e.groupBy(band.alias("b")).count().collect()
+            }
+            q = true_e.agg(
+                F.min("score").alias("mn"),
+                F.expr("percentile_approx(score, 0.001)").alias("p001"),
+                F.expr("percentile_approx(score, 0.01)").alias("p01"),
+            ).first()
+            out["true_edge_min"] = round(q["mn"], 6) if q["mn"] is not None else None
+            out["true_edge_p001"] = round(q["p001"], 6) if q["p001"] is not None else None
+            out["true_edge_p01"] = round(q["p01"], 6) if q["p01"] is not None else None
     print(json.dumps(out))
     spark.stop()
 
