@@ -49,6 +49,10 @@ class PipelineConfig:
     content_col: str | None = None  # sha256-invariant column
     cluster_strategy: str = "transitive"  # transitive | hybrid
     stat_fields: tuple[str, ...] = ()
+    # drop candidate pairs whose content-length ratio
+    # least(len)/greatest(len) falls below this BEFORE scoring — a
+    # native prefilter (needs content_col). None = off.
+    length_ratio_gate: float | None = None
 
 
 def files_pipeline_config(threshold: float = 0.87) -> PipelineConfig:
@@ -90,6 +94,12 @@ def files_pipeline_config(threshold: float = 0.87) -> PipelineConfig:
         derived_columns={"repo_path": "concat(repo, '|', path)"},
         content_col="content",
         stat_fields=("repo", "lang"),
+        # measured at 1M records (BENCH.md round 4): every true edge has
+        # content-length ratio >= 0.9279 (p05 0.984) while surviving
+        # false edges sit at median 0.71 — 0.9 kills nearly all residual
+        # fp at zero recall cost AND skips the scoring kernels for
+        # length-mismatched pairs
+        length_ratio_gate=0.9,
     )
 
 
@@ -197,7 +207,21 @@ class ResolvePipeline:
                     side_cols.append(extra)
         if cfg.use_vectors:
             side_cols = side_cols + ["vector"]
+        if cfg.length_ratio_gate and cfg.content_col:
+            entities = entities.withColumn(
+                "_clen", F.length(F.col(cfg.content_col))
+            )
+            side_cols = side_cols + ["_clen"]
         wide = attach_pair_sides(pairs, entities, cfg.id_col, side_cols)
+        if cfg.length_ratio_gate and cfg.content_col:
+            # native filter ahead of every scoring kernel (incl. the JW
+            # pUDF): grossly length-mismatched pairs can't be the same
+            # record — see files_pipeline_config for the measured margin
+            wide = wide.where(
+                F.least("_clen_a", "_clen_b")
+                / F.greatest("_clen_a", "_clen_b")
+                >= cfg.length_ratio_gate
+            )
         scored = score_pairs(
             wide,
             list(cfg.specs),
@@ -218,7 +242,8 @@ class ResolvePipeline:
         counters: dict = {}
         cfg_fp = fingerprint(cfg.specs, cfg.blocking, cfg.threshold,
                              cfg.use_vectors, cfg.cluster_strategy,
-                             getattr(cfg.embed_fn, "__qualname__", None))
+                             getattr(cfg.embed_fn, "__qualname__", None),
+                             cfg.length_ratio_gate)
 
         def stage(name, fp, compute, stage_counters=None, partition_by=None):
             if self.ckpt is None:

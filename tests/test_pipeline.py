@@ -174,3 +174,38 @@ def test_pluggable_embedder_through_pipeline(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="expected"):
         df.collect()
+
+
+def test_length_ratio_gate_prunes_before_scoring(spark):
+    """The files-config length-ratio gate (round-4) must drop grossly
+    length-mismatched candidate pairs BEFORE any scoring kernel and
+    keep near-equal-length pairs; gate=None scores everything."""
+    from resolve_spark import datagen
+
+    files = datagen.with_record_id(
+        datagen.synth_files(spark, n_base=400, dup_rate=0.5)
+    )
+    import dataclasses
+
+    gated_cfg = P.files_pipeline_config()
+    assert gated_cfg.length_ratio_gate == 0.9
+    run_gated = P.ResolvePipeline(spark, gated_cfg).run(files)
+    open_cfg = dataclasses.replace(gated_cfg, length_ratio_gate=None)
+    run_open = P.ResolvePipeline(spark, open_cfg).run(files)
+
+    lens = files.selectExpr("record_id", "length(content) AS L")
+    def ratios(run):
+        return (
+            run.edges.select("id_a", "id_b")
+            .join(lens.selectExpr("record_id as id_a", "L as la"), "id_a")
+            .join(lens.selectExpr("record_id as id_b", "L as lb"), "id_b")
+            .selectExpr("least(la, lb) / greatest(la, lb) AS r")
+        )
+    assert ratios(run_gated).where("r < 0.9").count() == 0
+    # the gate must not change the true-pair decisions: same F1 inputs
+    labeled = datagen.labeled_pairs(files)
+    mg = P.pairwise_f1(run_gated.clusters, labeled, run_gated.pairs)
+    mo = P.pairwise_f1(run_open.clusters, labeled, run_open.pairs)
+    assert mg["fn"] == mo["fn"] == 0
+    assert mg["tp"] == mo["tp"]
+    assert mg["fp"] <= mo["fp"]
