@@ -312,7 +312,7 @@ class ResolveEngine:
         return {
             "threshold": threshold,
             "limit": limit,
-            "field_weights": req.get("field_weights") or None,
+            "field_weights": self._parse_field_weights(req.get("field_weights")),
             "field_type_mappings": req.get("field_type_mappings") or None,
             # match.go:56,312-318 — listed fields score with the exact kernel
             "force_exact_match_fields": req.get("force_exact_match_fields") or None,

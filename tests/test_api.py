@@ -406,6 +406,21 @@ def test_group_field_weights_as_query_param(api):
     assert err.value.code == 400
 
 
+def test_match_field_weights_validation(api):
+    """POST /match with malformed field_weights must 400 (the same
+    validation the group route applies), not 500 on .items()."""
+    with pytest.raises(HTTPError) as err:
+        _req(api, "POST", "/match", {
+            "entity": {"name": "Vertex Analytics"},
+            "field_weights": "notjson"})
+    assert err.value.code == 400
+    # a JSON-string value (what a query-param-style client sends) works
+    code, resp = _req(api, "POST", "/match", {
+        "entity": {"name": "Vertex Analytics", "zip": "62704"},
+        "threshold": 0.5, "field_weights": json.dumps({"name": 2.0})})
+    assert code == 200 and resp["count"] >= 1
+
+
 def test_concurrent_matches_share_engine_with_put(api):
     """Reader-writer split: concurrent match requests proceed in
     parallel (shared read lock) while an interleaved PUT (exclusive)
