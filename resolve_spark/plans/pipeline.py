@@ -261,8 +261,22 @@ class ResolvePipeline:
 
         fp0 = fingerprint(input_fp, cfg_fp)
         normalized, fp1 = stage("normalized", fp0, lambda: self.normalized(raw))
-        blocked, fp2 = stage("blocked", fingerprint(fp1, "blocked"),
-                             lambda: self.blocked(normalized))
+
+        def compute_blocked():
+            # the ONLY downstream consumer of this stage is
+            # candidate_pairs, which reads (id, block_keys) — projecting
+            # here keeps ~1.5KB/record of content columns out of the
+            # stage checkpoint/persist (at 10.4M records the full-width
+            # blocked stage wrote ~15 GB to re-read ~2% of it; scoring
+            # re-attaches sides from `normalized`)
+            b = self.blocked(normalized)
+            keep = [cfg.id_col, "block_keys"]
+            if "block_key" in b.columns:
+                keep.append("block_key")
+            return b.select(*keep)
+
+        blocked, fp2 = stage("blocked", fingerprint(fp1, "blocked-slim"),
+                             compute_blocked)
 
         pair_stats: dict = {}
 

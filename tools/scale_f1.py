@@ -47,8 +47,9 @@ def main() -> None:
     ).persist()
     n_records = files.count()
 
+    ckdir = tempfile.mkdtemp(prefix="scale_ck_")
     pipe = P.ResolvePipeline(
-        spark, P.files_pipeline_config(), checkpoint_dir=tempfile.mkdtemp()
+        spark, P.files_pipeline_config(), checkpoint_dir=ckdir
     )
     t0 = time.time()
     run = pipe.run(files)
@@ -98,6 +99,10 @@ def main() -> None:
             out["true_edge_p01"] = round(q["p01"], 6) if q["p01"] is not None else None
     print(json.dumps(out))
     spark.stop()
+    # a 10M-record run leaves a ~16 GB stage-checkpoint tree; repeated
+    # notches filled the box once — always reclaim it
+    import shutil
+    shutil.rmtree(ckdir, ignore_errors=True)
 
 
 if __name__ == "__main__":
