@@ -48,6 +48,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="YAML/JSON engine config (reference config.go schema); "
                          "RESOLVE_* env vars override")
     ap.add_argument("--threshold", type=float, default=None)
+    ap.add_argument("--text", default=None,
+                    help="'field=value; ...' match query (the reference "
+                         "CLI's -match string form, match.go:427-468)")
     ap.add_argument("--limit", type=int, default=10)
     ap.add_argument("--checkpoint")
     ap.add_argument("--master", default=None)
@@ -73,7 +76,13 @@ def main(argv: list[str] | None = None) -> int:
         return df
 
     if args.verb == "ingest":
-        df = spark.read.parquet(args.input)
+        if args.input.endswith(".json"):
+            # the reference CLI's -ingest file shape
+            # (cmd/resolve/main.go:131-156, testdata/sample-entities.json)
+            from resolve_spark.sources.tables import read_entities_json
+            df = read_entities_json(spark, args.input)
+        else:
+            df = spark.read.parquet(args.input)
         prepared = _with_block_key(pipe.blocked(pipe.normalized(df)))
         prepared.write.mode("append").parquet(args.store)
         print(json.dumps({"ingested": prepared.count(), "store": args.store}))
@@ -89,6 +98,20 @@ def main(argv: list[str] | None = None) -> int:
         if run.stats is not None:
             run.stats.write.mode("overwrite").parquet(f"{args.out}/stats")
         print(json.dumps({"clusters": run.clusters.count(), **run.counters}))
+
+    elif args.verb == "match" and args.text:
+        # the reference CLI's string form: resolve -match "name=X; city=Y"
+        from resolve_spark.operators.matching import find_matches_text
+        store = _with_block_key(spark.read.parquet(args.store))
+        out = find_matches_text(
+            spark, args.text, store, entity_id=cfg.id_col,
+            block_key=None, limit=args.limit, threshold=threshold,
+        )
+        rows = [r.asDict(recursive=True) for r in out.collect()]
+        for d in rows:
+            d.pop("field_scores", None)
+        print(json.dumps({"matches": len(rows), "results": rows[:args.limit]},
+                         default=str))
 
     elif args.verb == "match":
         from resolve_spark.operators.matching import find_matches

@@ -36,6 +36,53 @@ def load_testdata(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPC
     return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
 
 
+#: the reference's fixed entity field set (EntityData.Fields keys used
+#: throughout match.go / normalize.go)
+ENTITY_JSON_FIELDS = ("name", "address", "city", "state", "zip", "phone", "email")
+
+
+def read_entities_json(spark: SparkSession, path: str) -> DataFrame:
+    """S1 — the reference's entity-JSON array ingest shape
+    (cmd/resolve/main.go:131-156 processIngest over
+    testdata/sample-entities.json): ``[{id, fields: {...},
+    metadata: {...}}]`` -> one row per entity with the seven standard
+    fields flattened to top-level string columns ('' when absent) and
+    metadata as map<string,string>.
+
+    multiLine: the reference fixture is one pretty-printed JSON array,
+    not JSON-lines.
+    """
+    raw = spark.read.option("multiLine", "true").json(path)
+
+    def _sub_names(col: str) -> list[str]:
+        if col not in raw.columns:
+            return []
+        dt = raw.schema[col].dataType
+        return [f.name for f in dt.fields] if hasattr(dt, "fields") else []
+
+    field_names = set(_sub_names("fields"))
+    cols = [F.col("id").cast("string").alias("id")]
+    for f in ENTITY_JSON_FIELDS:
+        src = (
+            F.col(f"fields.{f}").cast("string")
+            if f in field_names else F.lit(None).cast("string")
+        )
+        cols.append(F.coalesce(src, F.lit("")).alias(f))
+    meta_names = _sub_names("metadata")
+    if meta_names:
+        meta = F.create_map(
+            *[x for n in meta_names
+              for x in (F.lit(n), F.col(f"metadata.{n}").cast("string"))]
+        )
+        # JSON-absent keys infer as null struct entries; drop them so
+        # each row's map carries only its own metadata
+        meta = F.map_filter(meta, lambda k, v: v.isNotNull())
+    else:
+        meta = F.create_map().cast("map<string,string>")
+    cols.append(meta.alias("metadata"))
+    return raw.select(*cols)
+
+
 def write_table(
     df: DataFrame,
     path: str,

@@ -102,6 +102,50 @@ def test_cli_ingest_then_match_files_config(spark, tmp_path):
     assert {"query_id", "match_id", "score", "rank"} <= set(got.columns)
 
 
+def test_cli_json_ingest_and_text_match(spark, tmp_path):
+    """The reference CLI's file shapes end-to-end: `-ingest` of the
+    sample-entities.json array (cmd/resolve/main.go:131-156) and the
+    `-match "field=value; ..."` string query (match.go:427-468)."""
+    ents = [
+        {"id": "entity-001",
+         "fields": {"name": "Acme Corporation", "address": "123 Main Street",
+                    "city": "New York", "state": "NY", "zip": "10001",
+                    "phone": "+1 (555) 123-4567", "email": "info@acme.com"},
+         "metadata": {"source": "CRM", "type": "business"}},
+        {"id": "entity-002",
+         "fields": {"name": "Acme Corp.", "address": "123 Main St",
+                    "city": "New York", "state": "New York", "zip": "10001",
+                    "phone": "555-123-4567", "email": "contact@acme.com"},
+         "metadata": {"source": "import"}},
+        {"id": "entity-003",
+         "fields": {"name": "Zenith Robotics", "city": "Austin",
+                    "state": "TX", "zip": "73301"},
+         "metadata": {}},
+    ]
+    j = tmp_path / "sample-entities.json"
+    j.write_text(json.dumps(ents, indent=2))
+
+    # reader: flattened fields ('' when absent) + per-row metadata map
+    df = T.read_entities_json(spark, str(j))
+    rows = {r["id"]: r.asDict(recursive=True) for r in df.collect()}
+    assert rows["entity-001"]["name"] == "Acme Corporation"
+    assert rows["entity-003"]["address"] == ""  # absent field -> ''
+    assert rows["entity-001"]["metadata"] == {"source": "CRM", "type": "business"}
+    assert rows["entity-002"]["metadata"] == {"source": "import"}
+
+    store = str(tmp_path / "store")
+    ing = _run_cli("ingest", "--input", str(j), "--store", store,
+                   "--config", "entities")
+    assert ing["ingested"] == 3
+
+    res = _run_cli("match", "--text", "name=Acme Corporation; zip=10001",
+                   "--store", store, "--config", "entities",
+                   "--threshold", "0.5")
+    ids = [r["match_id"] for r in res["results"]]
+    assert res["matches"] >= 2 and {"entity-001", "entity-002"} <= set(ids)
+    assert "entity-003" not in ids[:2]
+
+
 def test_load_config_reference_schema(tmp_path):
     """Config-file loading (config.go:72-167): YAML with the reference
     section names, defaults for omissions, RESOLVE_* env overrides."""
