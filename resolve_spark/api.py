@@ -293,11 +293,11 @@ class ResolveEngine:
             self._edges_stale = True
 
     def count(self) -> int:
-        # empty-store probe only — anything else (schema drift, corrupt
-        # files) must surface, not masquerade as "0 entities"
-        if not self.store.exists():
-            return 0
         with self._rw.read():
+            # empty-store probe only — anything else (schema drift,
+            # corrupt files) must surface, not masquerade as "0 entities"
+            if not self.store.exists():
+                return 0
             return self.store.read().count()
 
     # -- matching -----------------------------------------------------------

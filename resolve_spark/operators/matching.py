@@ -44,6 +44,7 @@ def find_matches(
     blend_with_vector: bool | None = None,
     carry: list[str] | None = None,
     candidates: DataFrame | None = None,
+    threshold_on: str = "final",
 ) -> DataFrame:
     """(query_id, match_id, score, field_scores, matched_on,
     explanation, rank) — top-``limit`` matches >= threshold per query.
@@ -53,6 +54,14 @@ def find_matches(
     False -> score = vec score alone (match.go:229-235, the reference
     default); None -> blend (engine default, kept for callers that
     predate the flag).
+
+    ``threshold_on``: "final" (engine default) thresholds the returned
+    score; "vector" reproduces match.go:237-240, which thresholds on the
+    VECTOR similarity even when the final score blends in field scores.
+    The default is a DOCUMENTED DIVERGENCE from the reference: with
+    blending, it changes which borderline candidates a caller sees
+    (F1-neutral on the labeled-pair metric — BENCH.md round 4). Pass
+    threshold_on="vector" for exact reference candidate sets.
 
     ``queries`` and ``entities`` must already carry the spec columns
     (and ``block_key`` unless block_key=None).
@@ -97,7 +106,10 @@ def find_matches(
             entities.select(F.col(entity_id).alias("id_b"), *carry), "id_b"
         )
     wide = pairs.join(qa, "id_a").join(eb, "id_b")
-    scored = score_pairs(wide, specs, threshold=threshold, vector_col=vector_col)
+    scored = score_pairs(
+        wide, specs, threshold=threshold, vector_col=vector_col,
+        blend_with_vector=blend_with_vector, threshold_on=threshold_on,
+    )
     w = Window.partitionBy("id_a").orderBy(F.desc("score"), F.asc("id_b"))
     out = (
         scored.withColumn("rank", F.row_number().over(w))

@@ -97,10 +97,18 @@ def score_pairs(
     vector_col: str | None = None,
     blend_with_vector: bool | None = None,
     prefilter: bool = True,
+    threshold_on: str = "final",
 ) -> DataFrame:
     """Score _a/_b wide pair rows. Adds per-field ``score_<name>``,
     ``field_scores`` map, ``matched_on``, ``weighted_score``,
     optional ``vec_score``, and final ``score``; filters by threshold.
+
+    ``threshold_on``: which score the threshold filters (needs
+    ``vector_col`` for "vector"). "final" (engine default) filters the
+    returned ``score``; "vector" reproduces the reference exactly —
+    match.go:237-240 thresholds on the VECTOR similarity before field
+    scoring, so a blended final score below the threshold can still be
+    returned when its vec_score clears it (and vice versa).
 
     ``prefilter``: before invoking any pandas UDF, evaluate the NATIVE
     kernels and drop pairs whose score upper bound (native scores +
@@ -109,6 +117,10 @@ def score_pairs(
     Python UDF, so this cheap-before-expensive ordering must be encoded
     in the plan (SURVEY.md §4, "early threshold filter" device).
     """
+    if threshold_on not in ("final", "vector"):
+        raise ValueError(f"threshold_on must be 'final' or 'vector', got {threshold_on!r}")
+    if threshold_on == "vector" and vector_col is None:
+        raise ValueError("threshold_on='vector' requires vector_col")
     native = [s for s in specs if s.kernel.lower() in FD.NATIVE_BUILDERS]
     fused = [s for s in specs if s.kernel.lower() not in FD.NATIVE_BUILDERS]
 
@@ -120,10 +132,13 @@ def score_pairs(
                 F.col(f"{s.column}_a"), F.col(f"{s.column}_b")
             ),
         )
-    # vector-only scoring (blend_with_vector=False): the final score is
-    # the cosine similarity alone, so a field-score upper bound is NOT a
+    # vector-only scoring (blend_with_vector=False) and vector
+    # thresholding (threshold_on="vector"): the thresholded score is the
+    # cosine similarity alone, so a field-score upper bound is NOT a
     # bound on it — skip the prefilter entirely
-    vector_only = vector_col is not None and blend_with_vector is False
+    vector_only = vector_col is not None and (
+        blend_with_vector is False or threshold_on == "vector"
+    )
     if prefilter and threshold is not None and native and not vector_only:
         total_w = sum(s.weight for s in specs) or 1.0
         ub_num = None
@@ -241,7 +256,8 @@ def score_pairs(
         final = F.col("weighted_score")
     df = df.withColumn("score", final)
     if threshold is not None:
-        df = df.where(F.col("score") >= threshold)
+        gate = F.col("vec_score") if threshold_on == "vector" else F.col("score")
+        df = df.where(gate >= threshold)
     return df
 
 

@@ -246,10 +246,19 @@ def test_match_score_vector_parity(api):
     """Reference score semantics (match.go:229-235, :378-384): with no
     FieldWeights the returned score IS the cosine similarity between the
     query and stored vectors; with FieldWeights it is the hand-computable
-    (vec + weighted)/2 blend."""
-    ent = {"name": "Vertex Analytics", "zip": "62704"}
+    (vec + weighted)/2 blend.
+
+    The query is chosen so the vector score, the weighted field score,
+    and the blend are pairwise DISTINGUISHABLE against e-002 — its first
+    16 bytes of combined text ("Vertex Analytiks") differ from e-002's
+    ("Vertex Analytics"), its zip mismatches (zip field score 0), so
+    vec is near-1 while weighted is far below it. The previous version
+    of this test used a query whose mock vector equalled e-002's
+    exactly (vec == weighted == blend == 1.0) and could not detect a
+    dropped blend_with_vector flag."""
+    ent = {"name": "Vertex Analytiks", "zip": "99999"}
     # query combined text: concat_ws over all 7 fields (5 empty)
-    q_combined = "Vertex Analytics    62704  "
+    q_combined = "Vertex Analytiks    99999  "
     qvec = _mock_vec16(q_combined)
     _, stored = _req(api, "GET", "/entities/e-002")
     expected_vec = _cos(qvec, stored["vector"])
@@ -257,6 +266,12 @@ def test_match_score_vector_parity(api):
     code, resp = _req(api, "POST", "/match", {"entity": ent, "threshold": 0.5})
     m = {r["id"]: r for r in resp["matches"]}
     assert "e-002" in m
+    fs0 = m["e-002"]["field_scores"]
+    weighted0 = (fs0["name"] + fs0["zip"]) / 2.0
+    blend0 = (expected_vec + weighted0) / 2.0
+    # non-vacuity guard: a blend returned in place of the vector score
+    # MUST be detectable by the assertion below
+    assert abs(expected_vec - blend0) > 0.05
     assert m["e-002"]["score"] == pytest.approx(expected_vec, rel=1e-5)
 
     fw = {"name": 2.0}
@@ -265,6 +280,7 @@ def test_match_score_vector_parity(api):
     r = next(x for x in resp2["matches"] if x["id"] == "e-002")
     fs = r["field_scores"]
     weighted = (2.0 * fs["name"] + 1.0 * fs["zip"]) / 3.0
+    assert abs(expected_vec - (expected_vec + weighted) / 2) > 0.05
     assert r["score"] == pytest.approx((expected_vec + weighted) / 2, rel=1e-5)
 
 

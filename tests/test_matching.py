@@ -139,3 +139,97 @@ def test_metadata_roundtrip_through_matching(spark):
     raw = {r["id"]: (r["source"], r["type"]) for r in datagen.entity_rows(spark).collect()}
     for mid, meta in by_id.items():
         assert meta == {"source_system": raw[mid][0], "record_kind": raw[mid][1]}
+
+
+@pytest.fixture(scope="module")
+def vec_pairs(spark):
+    """Hand-built wide pair rows where vec, weighted, and blend scores
+    are pairwise distinct: hi-vec/lo-field and lo-vec/hi-field."""
+    rows = [
+        # id_a, id_b, name_a, name_b, v_a, v_b
+        ("q1", "hi-vec", "aaa", "bbb", [1.0, 0.0], [1.0, 0.0]),   # vec 1.0, field 0.0
+        ("q1", "hi-field", "aaa", "aaa", [1.0, 0.0], [0.0, 1.0]),  # vec 0.0, field 1.0
+    ]
+    return spark.createDataFrame(
+        rows, ["id_a", "id_b", "name_a", "name_b", "vector_a", "vector_b"]
+    )
+
+
+def test_score_pairs_vector_only_threshold_and_prefilter(spark, vec_pairs):
+    """blend_with_vector=False (match.go:229-235, the no-weights default):
+    the score IS the cosine similarity, and the native field-score
+    prefilter must NOT drop high-vector/low-field pairs (a field-score
+    upper bound is not a bound on the vector score)."""
+    from resolve_spark.operators.scoring import score_pairs
+
+    specs = [FieldSpec("name", "name", "exact")]
+    got = {
+        r["id_b"]: r["score"]
+        for r in score_pairs(
+            vec_pairs, specs, threshold=0.6, vector_col="vector",
+            blend_with_vector=False,
+        ).collect()
+    }
+    # hi-vec survives with the PURE vector score (blend would be 0.5 < 0.6
+    # and the engaged prefilter's ub (1+0)/2 would also have dropped it)
+    assert got == {"hi-vec": pytest.approx(1.0)}
+
+
+def test_score_pairs_threshold_on_vector(spark, vec_pairs):
+    """threshold_on='vector' (match.go:237-240): the threshold gates the
+    VECTOR similarity while the returned score stays the blend — the
+    candidate set differs from final-score thresholding in both
+    directions."""
+    from resolve_spark.operators.scoring import score_pairs
+
+    specs = [FieldSpec("name", "name", "exact")]
+    kw = dict(threshold=0.4, vector_col="vector", blend_with_vector=True)
+    on_final = {
+        r["id_b"]: r["score"]
+        for r in score_pairs(vec_pairs, specs, **kw).collect()
+    }
+    on_vector = {
+        r["id_b"]: r["score"]
+        for r in score_pairs(vec_pairs, specs, threshold_on="vector", **kw).collect()
+    }
+    # both blends are 0.5 >= 0.4 -> final-thresholding keeps both
+    assert on_final == {"hi-vec": pytest.approx(0.5),
+                        "hi-field": pytest.approx(0.5)}
+    # vector-thresholding keeps only vec >= 0.4, score still the blend
+    assert on_vector == {"hi-vec": pytest.approx(0.5)}
+
+    with pytest.raises(ValueError):
+        score_pairs(vec_pairs, specs, threshold=0.4, threshold_on="vector")
+
+
+def test_find_matches_forwards_blend_flag(spark, vec_pairs):
+    """Regression (round-4 bug): find_matches must FORWARD
+    blend_with_vector to score_pairs — a no-weights API match returns
+    the pure vector score, not the (vec+weighted)/2 blend."""
+    queries = vec_pairs.select(
+        F.col("id_a").alias("query_id"), F.col("name_a").alias("name"),
+        F.col("vector_a").alias("vector"),
+    ).limit(1)
+    ents = vec_pairs.select(
+        F.col("id_b").alias("id"), F.col("name_b").alias("name"),
+        F.col("vector_b").alias("vector"),
+    )
+    specs = [FieldSpec("name", "name", "exact")]
+    out = {
+        r["match_id"]: r["score"]
+        for r in find_matches(
+            queries, ents, specs, entity_id="id", block_key=None,
+            threshold=0.6, vector_col="vector", blend_with_vector=False,
+        ).collect()
+    }
+    assert out == {"hi-vec": pytest.approx(1.0)}
+    # threshold_on forwards too: blend scores at a vector-gated threshold
+    out2 = {
+        r["match_id"]: r["score"]
+        for r in find_matches(
+            queries, ents, specs, entity_id="id", block_key=None,
+            threshold=0.6, vector_col="vector", blend_with_vector=True,
+            threshold_on="vector",
+        ).collect()
+    }
+    assert out2 == {"hi-vec": pytest.approx(0.5)}
