@@ -100,12 +100,33 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"clusters": run.clusters.count(), **run.counters}))
 
     elif args.verb == "match" and args.text:
-        # the reference CLI's string form: resolve -match "name=X; city=Y"
+        # the reference CLI's string form: resolve -match "name=X; city=Y".
+        # The query row runs the SAME normalize/embed/block stages the
+        # store was ingested with, and candidates come from blocking-key
+        # intersection — per-query cost is bounded by the query's block
+        # sizes, not the store size (the API solved this with SRP-LSH
+        # candidates, api.ResolveEngine._ann_candidates; the blocked
+        # store already carries block_keys so key intersection is the
+        # zero-extra-state equivalent here).
         from resolve_spark.operators.matching import find_matches_text
-        store = _with_block_key(spark.read.parquet(args.store))
+        from resolve_spark.plans.pipeline import raw_input_columns
+        store = spark.read.parquet(args.store)  # keeps block_keys
+
+        def _prepare_query(qdf):
+            for c in raw_input_columns(cfg):
+                if c not in qdf.columns:
+                    qdf = qdf.withColumn(c, F.lit(""))
+            return pipe.blocked(pipe.normalized(qdf))
+
+        use_vec = cfg.use_vectors and "vector" in store.columns
         out = find_matches_text(
             spark, args.text, store, entity_id=cfg.id_col,
             block_key=None, limit=args.limit, threshold=threshold,
+            query_prepare=_prepare_query if "block_keys" in store.columns else None,
+            # reference score semantics (match.go:229-235): no weights
+            # on the CLI path -> the score IS the vector similarity
+            vector_col="vector" if use_vec else None,
+            blend_with_vector=False if use_vec else None,
         )
         rows = [r.asDict(recursive=True) for r in out.collect()]
         for d in rows:

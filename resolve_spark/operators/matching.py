@@ -127,6 +127,28 @@ def find_matches(
     )
 
 
+def block_key_candidates(
+    queries: DataFrame,
+    entities: DataFrame,
+    query_id: str = "query_id",
+    entity_id: str = "id",
+    keys_col: str = "block_keys",
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs by MULTI-PASS blocking-key
+    intersection: explode both sides' ``block_keys`` arrays and
+    equi-join on the key. Per-query work is bounded by the sizes of the
+    store blocks the query's keys land in — the same bound the batch
+    pipeline's candidate generation enforces — never by store size, so
+    a text/point match stays sublinear at any store scale."""
+    qx = queries.select(
+        F.col(query_id).alias("id_a"), F.explode(keys_col).alias("_k")
+    )
+    ex = entities.select(
+        F.col(entity_id).alias("id_b"), F.explode(keys_col).alias("_k")
+    )
+    return qx.join(ex, "_k").select("id_a", "id_b").distinct()
+
+
 def find_matches_text(
     spark,
     text: str,
@@ -139,6 +161,11 @@ def find_matches_text(
     force_exact_match_fields: list[str] | None = None,
     field_weights: dict[str, float] | None = None,
     block_fields: tuple[str, ...] | None = None,
+    query_prepare=None,
+    candidates: DataFrame | None = None,
+    vector_col: str | None = None,
+    blend_with_vector: bool | None = None,
+    threshold_on: str = "final",
 ) -> DataFrame:
     """The reference's text endpoint (S11 /match/text + M6): parse
     ``"field1=v1;field2=v2"`` into a one-row query DataFrame and run M1
@@ -148,7 +175,19 @@ def find_matches_text(
     built from ``block_fields`` (default: the parsed fields), so the
     block-key equi-join can match — pass the same fields the entity
     store was blocked on (cluster.go:63-69 key semantics).
-    """
+
+    ``query_prepare``: optional callable applied to the raw one-row
+    query DataFrame — use it to run the SAME normalize/embed/block
+    stages the store was ingested with (e.g. ``ResolvePipeline``'s
+    ``normalized`` + ``blocked``). When the prepared query and the
+    store both carry a ``block_keys`` array and no explicit
+    ``candidates``/``block_key`` was given, candidates come from
+    :func:`block_key_candidates` — the text match scores only
+    block-sharing rows instead of scanning the whole store.
+
+    ``vector_col``/``blend_with_vector``/``threshold_on`` forward to
+    :func:`find_matches` so a text match can reproduce the reference's
+    full score semantics (vector-only without weights, blend with)."""
     from resolve_spark.operators.blocking import canopy_key
 
     fields = parse_query_fields(text)
@@ -160,15 +199,27 @@ def find_matches_text(
     )
     row = {"query_id": "q-text", **{f: fields[f] for f in present}}
     queries = spark.createDataFrame([row])
+    if query_prepare is not None:
+        queries = query_prepare(queries)
     if block_key is not None:
-        from resolve_spark.functions.normalize import normalize_entity
+        if f"{present[0]}_normalized" not in queries.columns:
+            from resolve_spark.functions.normalize import normalize_entity
 
-        # the store's canopy keys are built over *_normalized companions
-        # (cluster.go:63-69); normalize the query row the same way
-        queries = normalize_entity(queries)
+            # the store's canopy keys are built over *_normalized
+            # companions (cluster.go:63-69); normalize the query row the
+            # same way (a query_prepare hook may have done it already)
+            queries = normalize_entity(queries)
         bf = block_fields if block_fields is not None else tuple(present)
         queries = queries.withColumn(block_key, canopy_key(queries.columns, bf))
+    elif (
+        candidates is None
+        and "block_keys" in queries.columns
+        and "block_keys" in entities.columns
+    ):
+        candidates = block_key_candidates(queries, entities, entity_id=entity_id)
     return find_matches(
         queries, entities, specs, entity_id=entity_id,
         block_key=block_key, limit=limit, threshold=threshold,
+        candidates=candidates, vector_col=vector_col,
+        blend_with_vector=blend_with_vector, threshold_on=threshold_on,
     )

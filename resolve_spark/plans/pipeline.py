@@ -127,6 +127,23 @@ def entities_pipeline_config(threshold: float = 0.85) -> PipelineConfig:
     )
 
 
+def raw_input_columns(cfg: PipelineConfig) -> tuple[str, ...]:
+    """The raw input columns a config's ``normalized`` stage consumes —
+    used to pad a partial query row (e.g. a parsed text match) with ''
+    so it can run the exact normalize/embed/block stages the store was
+    ingested with."""
+    cols: set[str] = set(cfg.normalize_types)
+    if cfg.content_col:
+        cols.add(cfg.content_col)
+    for s in cfg.specs:
+        base = s.column
+        for suffix in ("_tokens", "_pre", "_normalized"):
+            base = base.removesuffix(suffix)
+        if base not in cfg.derived_columns:
+            cols.add(base)
+    return tuple(sorted(cols))
+
+
 @dataclass
 class PipelineRun:
     normalized: DataFrame

@@ -145,6 +145,16 @@ def test_cli_json_ingest_and_text_match(spark, tmp_path):
     assert res["matches"] >= 2 and {"entity-001", "entity-002"} <= set(ids)
     assert "entity-003" not in ids[:2]
 
+    # NOT a full-store scan: candidates come from blocking-key
+    # intersection, so even at threshold 0 a non-block-sharing entity
+    # (entity-003 shares no canopy with the query) is never scored —
+    # a constant-key join against the whole store would return it
+    res0 = _run_cli("match", "--text", "name=Acme Corporation; zip=10001",
+                    "--store", store, "--config", "entities",
+                    "--threshold", "0.0")
+    ids0 = {r["match_id"] for r in res0["results"]}
+    assert ids0 == {"entity-001", "entity-002"}
+
 
 def test_load_config_reference_schema(tmp_path):
     """Config-file loading (config.go:72-167): YAML with the reference

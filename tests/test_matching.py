@@ -233,3 +233,52 @@ def test_find_matches_forwards_blend_flag(spark, vec_pairs):
         ).collect()
     }
     assert out2 == {"hi-vec": pytest.approx(0.5)}
+
+
+def test_find_matches_text_block_key_candidates(spark):
+    """find_matches_text with a query_prepare hook that reproduces the
+    ingest stages: candidates come from blocking-key intersection
+    (block_key_candidates), so non-block-sharing entities are never
+    scored even at threshold 0, and the no-weights score is the pure
+    vector similarity (match.go:229-235)."""
+    from resolve_spark import datagen
+    from resolve_spark.plans.pipeline import ResolvePipeline, raw_input_columns
+
+    cfg = entities_pipeline_config()
+    pipe = ResolvePipeline(spark, cfg)
+    ents = pipe.blocked(pipe.normalized(datagen.entity_rows(spark)))
+
+    def prep(qdf):
+        for c in raw_input_columns(cfg):
+            if c not in qdf.columns:
+                qdf = qdf.withColumn(c, F.lit(""))
+        return pipe.blocked(pipe.normalized(qdf))
+
+    from resolve_spark.operators.matching import find_matches_text
+    out = find_matches_text(
+        spark, "name=Vertex Analytics; zip=62704", ents, entity_id="id",
+        block_key=None, threshold=0.0, query_prepare=prep,
+        vector_col="vector", blend_with_vector=False,
+    ).collect()
+    got = {r["match_id"]: r["score"] for r in out}
+    # only the canopy-sharing planted pair is scored; threshold 0 over a
+    # full scan would have returned all 10 entities
+    assert set(got) == {"e-001", "e-002"}
+    # vector-only semantics: e-002's name IS the query's first 16 bytes
+    # of combined text -> cosine 1.0; the blend would be strictly lower
+    # (its zip differs from e-002's address/phone fields' contribution)
+    assert got["e-002"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_block_key_candidates_bounded(spark):
+    """block_key_candidates joins ONLY on shared keys — the pair count
+    is the sum of block co-memberships, never |queries| x |store|."""
+    from resolve_spark.operators.matching import block_key_candidates
+    q = spark.createDataFrame(
+        [("q1", ["k1", "k2"]), ("q2", ["zz"])], ["query_id", "block_keys"])
+    e = spark.createDataFrame(
+        [("e1", ["k1"]), ("e2", ["k2", "k1"]), ("e3", ["k9"])],
+        ["id", "block_keys"])
+    got = {(r["id_a"], r["id_b"])
+           for r in block_key_candidates(q, e).collect()}
+    assert got == {("q1", "e1"), ("q1", "e2")}
