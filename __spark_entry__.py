@@ -820,6 +820,44 @@ def _q50_vector_blend(spark, sf_dir):  # M5 (vec + weighted)/2 blend (match.go:3
     )
 
 
+def _q55_threshold_on_vector(spark, sf_dir):  # match.go:237-240 threshold point
+    """score_pairs(threshold_on='vector'): the reference thresholds on
+    the VECTOR similarity before field scoring, so kept rows can carry
+    a blended final score below the threshold. Vectors are built from
+    the customer-key digits (centered so cosines spread 0.54-0.997;
+    the nearest value to the 0.8 cutoff is 0.0028 away — far outside
+    any float64 summation-order divergence between engines)."""
+    from resolve_spark.operators.scoring import FieldSpec, score_pairs
+    c = _t(spark, sf_dir, "customer")
+    vec_expr = F.expr(
+        "transform(sequence(0, 15), i -> CASE WHEN i < length(substring(c_name, 10, 9)) "
+        "THEN (ascii(substring(substring(c_name, 10, 9), i + 1, 1)) - 52.5) / 10.0 "
+        "ELSE 0.0 END)"
+    )
+    base = c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+                    F.col("c_mktsegment").alias("segment"),
+                    F.col("c_nationkey").alias("nk"), vec_expr.alias("vec"))
+    a = base.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"),
+                    F.col("segment").alias("segment_a"),
+                    F.col("vec").alias("vec_a"), "nk")
+    b = base.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"),
+                    F.col("segment").alias("segment_b"),
+                    F.col("vec").alias("vec_b"), "nk")
+    wide = a.join(b, "nk").where(
+        (F.col("id_b") > F.col("id_a")) & (F.col("id_b") - F.col("id_a") <= 3)
+    )
+    specs = [FieldSpec("name", "name", "levenshtein", 1.0),
+             FieldSpec("segment", "segment", "exact", 1.0)]
+    out = score_pairs(wide, specs, threshold=0.8, threshold_on="vector",
+                      vector_col="vec", blend_with_vector=True)
+    return out.select(
+        "id_a", "id_b",
+        F.round("weighted_score", 6).alias("w_score"),
+        F.round("vec_score", 6).alias("v_score"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q51_explanation(spark, sf_dir):  # M9 explanation bands (match.go:643-653)
     """Banded confidence + formatted explanation string. Scores are
     0.5001 + k/1000 (k integer) — 4-decimal values ending in 1, so the
@@ -941,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_case_insensitive": _q52_case_insensitive,
         "q53_ngram_dedup_pairs": _q53_ngram_dedup_pairs,
         "q54_embedding_dedup": _q54_embedding_dedup,
+        "q55_threshold_on_vector": _q55_threshold_on_vector,
     }
 
 
@@ -1793,5 +1832,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM assign GROUP BY 1) "
             "SELECT a.rid, a.cluster_id, s.cluster_size "
             "FROM assign a JOIN sizes s USING (cluster_id)"
+        ),
+        # match.go:237-240 — threshold gates the VECTOR score, returned
+        # score is still the (vec + weighted)/2 blend
+        "q55_threshold_on_vector": (
+            "WITH v AS (SELECT c_custkey AS id, c_name AS name, "
+            "c_mktsegment AS seg, c_nationkey AS nk, "
+            "list_transform(range(0, 16), i -> "
+            "CASE WHEN i < length(substr(c_name, 10, 9)) "
+            "THEN (ascii(substr(substr(c_name, 10, 9), (i + 1)::INT, 1)) "
+            "- 52.5) / 10.0 ELSE 0.0 END) AS vec FROM customer), "
+            "p AS (SELECT a.id AS id_a, b.id AS id_b, a.name AS na, "
+            "b.name AS nb, a.seg AS sa, b.seg AS sb, a.vec AS va, b.vec AS vb "
+            "FROM v a JOIN v b ON a.nk = b.nk AND b.id > a.id "
+            "AND b.id - a.id <= 3), "
+            "s AS (SELECT id_a, id_b, "
+            "((1.0 - levenshtein(na, nb)::DOUBLE / "
+            "greatest(length(na), length(nb))) * 1.0 + "
+            "(CASE WHEN sa = sb THEN 1.0 ELSE 0.0 END) * 1.0) / 2.0 AS ws, "
+            "list_cosine_similarity(va, vb) AS vs FROM p) "
+            "SELECT id_a, id_b, round(ws, 6) AS w_score, "
+            "round(vs, 6) AS v_score, round((vs + ws) / 2, 6) AS score "
+            "FROM s WHERE vs >= 0.8"
         ),
     }

@@ -309,6 +309,9 @@ class ResolveEngine:
         limit = int(req.get("limit") or 0)
         if limit <= 0:
             limit = DEFAULT_LIMIT
+        threshold_on = req.get("threshold_on") or "final"
+        if threshold_on not in ("final", "vector"):
+            raise ValueError("threshold_on must be 'final' or 'vector'")
         return {
             "threshold": threshold,
             "limit": limit,
@@ -316,6 +319,10 @@ class ResolveEngine:
             "field_type_mappings": req.get("field_type_mappings") or None,
             # match.go:56,312-318 — listed fields score with the exact kernel
             "force_exact_match_fields": req.get("force_exact_match_fields") or None,
+            # match.go:237-240 — 'vector' reproduces the reference's
+            # thresholding point exactly (gate on the vector score even
+            # when the returned score blends field scores)
+            "threshold_on": threshold_on,
         }
 
     @staticmethod
@@ -374,15 +381,17 @@ class ResolveEngine:
             # Reference score semantics (match.go:229-235, :378-384): the
             # headline score is the VECTOR similarity (1 - cosine
             # distance); when FieldWeights are supplied it blends
-            # (vec + weighted)/2. Divergence (documented): the reference
-            # thresholds on the vector score even when blending; we
-            # threshold on the final (blended) score.
+            # (vec + weighted)/2. The DEFAULT thresholds on the final
+            # (blended) score — a documented divergence; clients get the
+            # reference's exact thresholding point (match.go:237-240,
+            # gate on the vector score) with threshold_on="vector".
             out = find_matches(
                 queries, store, specs, entity_id="id", block_key=block_key,
                 candidates=candidates,
                 limit=opts["limit"], threshold=opts["threshold"],
                 vector_col="vector",
                 blend_with_vector=bool(opts["field_weights"]),
+                threshold_on=opts["threshold_on"],
             )
             return self._match_rows(out)
 

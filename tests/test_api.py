@@ -284,6 +284,36 @@ def test_match_score_vector_parity(api):
     assert r["score"] == pytest.approx((expected_vec + weighted) / 2, rel=1e-5)
 
 
+def test_match_threshold_on_vector_route(api):
+    """threshold_on='vector' (match.go:237-240): with FieldWeights and a
+    threshold BETWEEN the blended score and the vector score, the
+    default (final) thresholding drops e-002 while the reference's
+    vector thresholding keeps it — returned score still the blend."""
+    ent = {"name": "Vertex Analytiks", "zip": "99999"}
+    qvec = _mock_vec16("Vertex Analytiks    99999  ")
+    _, stored = _req(api, "GET", "/entities/e-002")
+    vec = _cos(qvec, stored["vector"])
+    req = {"entity": ent, "field_weights": {"name": 2.0}}
+
+    # place the threshold strictly between blend and vec
+    _, probe = _req(api, "POST", "/match", {**req, "threshold": 0.1})
+    blend = next(x for x in probe["matches"] if x["id"] == "e-002")["score"]
+    assert blend < vec - 0.05
+    thr = (blend + vec) / 2
+
+    _, on_final = _req(api, "POST", "/match", {**req, "threshold": thr})
+    assert "e-002" not in {m["id"] for m in on_final["matches"]}
+
+    _, on_vec = _req(api, "POST", "/match", {
+        **req, "threshold": thr, "threshold_on": "vector"})
+    kept = {m["id"]: m["score"] for m in on_vec["matches"]}
+    assert kept.get("e-002") == pytest.approx(blend, rel=1e-5)
+
+    with pytest.raises(HTTPError) as err:
+        _req(api, "POST", "/match", {**req, "threshold_on": "nope"})
+    assert err.value.code == 400
+
+
 def test_put_reembeds_engine_vector_but_preserves_client_vector(api):
     """A field update must refresh an ENGINE-computed (mock) embedding —
     freezing it would leave a stale vector that hides the entity from
