@@ -31,11 +31,31 @@ def main() -> None:
                     help="band false-edge scores vs the true-edge margin "
                          "(diagnoses whether fp growth is threshold-"
                          "adjacent and a bump would trade no recall)")
+    ap.add_argument("--materialize-input", action="store_true",
+                    help="write the synthetic input to a temp parquet dir "
+                         "and read it back instead of persist()-ing it in "
+                         "the driver JVM. REQUIRED above ~12M rows on this "
+                         "box: the in-heap block cache for the input alone "
+                         "is tens of GB and the single local-mode JVM gets "
+                         "OOM-killed (measured: 16M base / 20.8M rows died "
+                         "at both 96g and 72g heaps). Also the honest "
+                         "shape — real input arrives from storage.")
     args = ap.parse_args()
 
     from resolve_spark import datagen
     from resolve_spark.plans import pipeline as P
     from resolve_spark.session import build_session
+
+    # big notches: shuffle scratch on DISK, not the session default
+    # /dev/shm — tmpfs spill is RAM, and at >= ~10M rows it competes
+    # with the driver JVM for physical memory (measured: the 20.8M-row
+    # notch OOM-killed the JVM twice with tmpfs scratch at 96g and 72g
+    # heaps). The tmpfs default stays right for bench.py-scale runs
+    # where spill is a tiny fraction of RAM.
+    local_dir = None
+    if args.records >= 4_000_000 and "SPARK_GRAFT_LOCAL_DIR" not in os.environ:
+        local_dir = tempfile.mkdtemp(prefix="scale_local_")
+        os.environ["SPARK_GRAFT_LOCAL_DIR"] = local_dir
 
     spark = build_session(
         app_name=f"resolve_scale_{args.records}",
@@ -44,7 +64,14 @@ def main() -> None:
     )
     files = datagen.with_record_id(
         datagen.synth_files(spark, n_base=args.records, dup_rate=0.2)
-    ).persist()
+    )
+    input_dir = None
+    if args.materialize_input:
+        input_dir = tempfile.mkdtemp(prefix="scale_in_")
+        files.write.mode("overwrite").parquet(input_dir)
+        files = spark.read.parquet(input_dir)
+    else:
+        files = files.persist()
     n_records = files.count()
 
     ckdir = tempfile.mkdtemp(prefix="scale_ck_")
@@ -103,6 +130,10 @@ def main() -> None:
     # notches filled the box once — always reclaim it
     import shutil
     shutil.rmtree(ckdir, ignore_errors=True)
+    if input_dir:
+        shutil.rmtree(input_dir, ignore_errors=True)
+    if local_dir:
+        shutil.rmtree(local_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
