@@ -858,6 +858,74 @@ def _q55_threshold_on_vector(spark, sf_dir):  # match.go:237-240 threshold point
     )
 
 
+def _q56_gopher_quality(spark, sf_dir):  # Gopher repetition/quality gates
+    """Gopher-style quality flags (Rae et al. 2021 §A1.1) over planted
+    line structure: doc_id%3==0 -> a duplicated line (dup_line 1/3,
+    fails), ==1 -> all-bullet lines (bullet_frac 1.0, fails), ==2 ->
+    a 4-line doc with one ellipsis line (passes). All ratios are
+    small-denominator rationals, so round(.,6) can't straddle a
+    half-even/HALF_UP printf boundary between engines."""
+    d = _t(spark, sf_dir, "documents")
+    base = F.substring(F.col("text"), 1, 80)
+    nl = F.lit("\n")
+    sid = F.col("doc_id").cast("string")
+    t2 = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(base, nl, base, nl, F.lit("tail "), sid))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("- "), base, nl, F.lit("- bullet two"), nl,
+                       F.lit("- bullet three")))
+        .otherwise(F.concat(base, nl, F.lit("line two "), sid, nl,
+                            F.lit("line three"), nl, F.lit("wait for it...")))
+    )
+    flags = TX.gopher_quality_flags(t2, min_words=5)
+    return d.select("doc_id", flags.alias("g")).select(
+        "doc_id",
+        F.col("g.n_words").cast("bigint").alias("n_words"),
+        F.round("g.mean_word_len", 6).alias("mean_word_len"),
+        F.round("g.dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("g.dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("g.symbol_ratio", 6).alias("symbol_ratio"),
+        F.round("g.alpha_frac", 6).alias("alpha_frac"),
+        F.round("g.bullet_frac", 6).alias("bullet_frac"),
+        F.round("g.ellipsis_frac", 6).alias("ellipsis_frac"),
+        F.col("g.passes").cast("int").alias("passes"),
+    )
+
+
+def _q57_pii_redaction(spark, sf_dir):  # PII scrub (C4/CCNet hygiene pass)
+    """redact_pii + pii_counts over planted PII: doc_id%4==0 -> two
+    emails, ==1 -> a formatted phone, ==2 -> an IPv4 and an SSN,
+    ==3 -> clean. Counts are taken on the progressively-redacted text
+    (a span is attributed to exactly one category)."""
+    d = _t(spark, sf_dir, "documents")
+    base = F.substring(F.col("text"), 1, 60)
+    sid = F.col("doc_id").cast("string")
+    t2 = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(base, F.lit(" contact user"), sid,
+                        F.lit("@example.com or admin@test.org")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(base, F.lit(" call +1 (555) 010-"),
+                       F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                       F.lit(" now")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(base, F.lit(" host 10.0."),
+                       (F.col("doc_id") % 256).cast("string"),
+                       F.lit(".7 ssn 123-45-6789")))
+        .otherwise(base)
+    )
+    c = TX.pii_counts(t2)
+    return d.select("doc_id", c.alias("c"), TX.redact_pii(t2).alias("redacted")).select(
+        "doc_id",
+        F.col("c.email").cast("bigint").alias("n_email"),
+        F.col("c.ipv4").cast("bigint").alias("n_ipv4"),
+        F.col("c.ssn").cast("bigint").alias("n_ssn"),
+        F.col("c.phone").cast("bigint").alias("n_phone"),
+        "redacted",
+    )
+
+
 def _q51_explanation(spark, sf_dir):  # M9 explanation bands (match.go:643-653)
     """Banded confidence + formatted explanation string. Scores are
     0.5001 + k/1000 (k integer) — 4-decimal values ending in 1, so the
@@ -980,6 +1048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_ngram_dedup_pairs": _q53_ngram_dedup_pairs,
         "q54_embedding_dedup": _q54_embedding_dedup,
         "q55_threshold_on_vector": _q55_threshold_on_vector,
+        "q56_gopher_quality": _q56_gopher_quality,
+        "q57_pii_redaction": _q57_pii_redaction,
     }
 
 
@@ -1854,5 +1924,80 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, round(ws, 6) AS w_score, "
             "round(vs, 6) AS v_score, round((vs + ws) / 2, 6) AS score "
             "FROM s WHERE vs >= 0.8"
+        ),
+        # Gopher repetition/quality gates over planted line structure
+        "q56_gopher_quality": (
+            "WITH t AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 80) || chr(10) "
+            "|| substr(text, 1, 80) || chr(10) || 'tail ' || doc_id "
+            "WHEN doc_id % 3 = 1 THEN '- ' || substr(text, 1, 80) "
+            "|| chr(10) || '- bullet two' || chr(10) || '- bullet three' "
+            "ELSE substr(text, 1, 80) || chr(10) || 'line two ' || doc_id "
+            "|| chr(10) || 'line three' || chr(10) || 'wait for it...' "
+            "END AS t2 FROM documents), "
+            "s AS (SELECT doc_id, t2, "
+            "list_filter(string_split(t2, chr(10)), l -> trim(l) <> '') "
+            "AS lines, "
+            "list_filter(regexp_split_to_array(lower(t2), '[^a-z0-9]+'), "
+            "x -> x <> '') AS toks FROM t), "
+            "m AS (SELECT doc_id, len(toks) AS n_words, "
+            "list_sum(list_transform(toks, x -> length(x)))::DOUBLE / "
+            "greatest(len(toks), 1) AS mwl, "
+            "(len(lines) - len(list_distinct(lines)))::DOUBLE / "
+            "greatest(len(lines), 1) AS dlf, "
+            "(len(toks) - len(list_distinct(toks)))::DOUBLE / "
+            "greatest(len(toks), 1) AS dwf, "
+            "len(regexp_extract_all(t2, '#|\\.\\.\\.|…'))::DOUBLE / "
+            "greatest(len(toks), 1) AS sym, "
+            "len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE "
+            "/ greatest(len(toks), 1) AS alpha, "
+            "len(list_filter(lines, l -> regexp_matches(trim(l), "
+            "'^(-|\\*|•) ')))::DOUBLE / greatest(len(lines), 1) AS bullet, "
+            "len(list_filter(lines, l -> regexp_matches(trim(l), "
+            "'(\\.\\.\\.|…)$')))::DOUBLE / greatest(len(lines), 1) AS ell "
+            "FROM s) "
+            "SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len, "
+            "round(dlf, 6) AS dup_line_frac, round(dwf, 6) AS dup_word_frac, "
+            "round(sym, 6) AS symbol_ratio, round(alpha, 6) AS alpha_frac, "
+            "round(bullet, 6) AS bullet_frac, round(ell, 6) AS ellipsis_frac, "
+            "CASE WHEN n_words >= 5 AND n_words <= 100000 "
+            "AND mwl >= 3.0 AND mwl <= 10.0 AND sym <= 0.1 "
+            "AND bullet <= 0.9 AND ell <= 0.3 AND alpha >= 0.8 "
+            "AND dlf <= 0.3 THEN 1 ELSE 0 END AS passes FROM m"
+        ),
+        # PII scrub: counts on the progressively-redacted text + the
+        # redacted output (patterns interpolated from the SAME
+        # PII_PATTERNS constants the Spark operator uses)
+        "q57_pii_redaction": (
+            "WITH t AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 60) "
+            "|| ' contact user' || doc_id "
+            "|| '@example.com or admin@test.org' "
+            "WHEN doc_id % 4 = 1 THEN substr(text, 1, 60) "
+            "|| ' call +1 (555) 010-' "
+            "|| lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now' "
+            "WHEN doc_id % 4 = 2 THEN substr(text, 1, 60) "
+            "|| ' host 10.0.' || (doc_id % 256) || '.7 ssn 123-45-6789' "
+            "ELSE substr(text, 1, 60) END AS t2 FROM documents), "
+            "r0 AS (SELECT doc_id, "
+            f"len(regexp_extract_all(t2, '{TX.PII_PATTERNS['email']}')) "
+            "AS n_email, "
+            f"regexp_replace(t2, '{TX.PII_PATTERNS['email']}', '[EMAIL]', 'g') "
+            "AS u1 FROM t), "
+            "r1 AS (SELECT doc_id, n_email, "
+            f"len(regexp_extract_all(u1, '{TX.PII_PATTERNS['ipv4']}')) "
+            "AS n_ipv4, "
+            f"regexp_replace(u1, '{TX.PII_PATTERNS['ipv4']}', '[IP]', 'g') "
+            "AS u2 FROM r0), "
+            "r2 AS (SELECT doc_id, n_email, n_ipv4, "
+            f"len(regexp_extract_all(u2, '{TX.PII_PATTERNS['ssn']}')) "
+            "AS n_ssn, "
+            f"regexp_replace(u2, '{TX.PII_PATTERNS['ssn']}', '[SSN]', 'g') "
+            "AS u3 FROM r1) "
+            "SELECT doc_id, n_email, n_ipv4, n_ssn, "
+            f"len(regexp_extract_all(u3, '{TX.PII_PATTERNS['phone']}')) "
+            "AS n_phone, "
+            f"regexp_replace(u3, '{TX.PII_PATTERNS['phone']}', '[PHONE]', 'g') "
+            "AS redacted FROM r2"
         ),
     }

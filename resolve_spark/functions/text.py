@@ -170,3 +170,149 @@ def simhash64(col: Column, hash_impl: str = "fast") -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints: bit_count(xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality filters (Rae et al. 2021, §A1.1 —
+# the published web-scale training-data quality rules). All native.
+# ---------------------------------------------------------------------------
+
+
+def _lines(col: Column) -> Column:
+    return F.filter(F.split(col, r"\n"), lambda l: F.trim(l) != "")
+
+
+def duplicate_line_fraction(col: Column) -> Column:
+    """Fraction of non-empty lines that repeat an earlier line."""
+    lines = _lines(col)
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(lines))) / n.cast("double")
+    )
+
+
+def duplicate_word_fraction(col: Column) -> Column:
+    """Fraction of tokens that repeat an earlier token."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(toks))) / n.cast("double")
+    )
+
+
+def symbol_word_ratio(col: Column) -> Column:
+    """(# signs + ellipses) per word — the Gopher symbol rule."""
+    syms = F.regexp_count(col, F.lit(r"#|\.\.\.|…"))
+    return syms / F.greatest(F.size(_tokens(col)), F.lit(1)).cast("double")
+
+
+def alpha_word_fraction(col: Column) -> Column:
+    """Fraction of tokens containing at least one letter."""
+    toks = _tokens(col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    return F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}"))) / n.cast("double")
+
+
+def bullet_line_fraction(col: Column) -> Column:
+    """Fraction of lines that start with a bullet marker."""
+    lines = _lines(col)
+    n = F.greatest(F.size(lines), F.lit(1))
+    bullets = F.filter(lines, lambda l: F.trim(l).rlike(r"^(-|\*|•) "))
+    return F.size(bullets) / n.cast("double")
+
+
+def ellipsis_line_fraction(col: Column) -> Column:
+    """Fraction of lines that end with an ellipsis."""
+    lines = _lines(col)
+    n = F.greatest(F.size(lines), F.lit(1))
+    ell = F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    return F.size(ell) / n.cast("double")
+
+
+def gopher_quality_flags(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    max_dup_line_frac: float = 0.3,
+) -> Column:
+    """struct of the Gopher repetition/quality stats plus a ``passes``
+    boolean under the published thresholds (parameterized so small
+    synthetic corpora can demo the gates). One projection, whole-stage
+    codegen — at 100 TB this is a pure map stage with no shuffle."""
+    toks = _tokens(col)
+    n_words = F.size(toks)
+    mean_wl = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_words, F.lit(1)).cast("double")
+    dup_line = duplicate_line_fraction(col)
+    sym = symbol_word_ratio(col)
+    alpha = alpha_word_fraction(col)
+    bullet = bullet_line_fraction(col)
+    ell = ellipsis_line_fraction(col)
+    passes = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+        & (sym <= max_symbol_ratio)
+        & (bullet <= max_bullet_frac)
+        & (ell <= max_ellipsis_frac)
+        & (alpha >= min_alpha_frac)
+        & (dup_line <= max_dup_line_frac)
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        dup_line.alias("dup_line_frac"),
+        duplicate_word_fraction(col).alias("dup_word_frac"),
+        sym.alias("symbol_ratio"),
+        alpha.alias("alpha_frac"),
+        bullet.alias("bullet_frac"),
+        ell.alias("ellipsis_frac"),
+        passes.alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (native regex; the standard C4/CCNet-style pre-training
+# hygiene pass). Patterns are RE2-compatible (no lookaround) so a SQL
+# oracle can recompute them byte-identically.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\+?[0-9][0-9()\-. ]{6,}[0-9]",
+}
+# most-specific first: an SSN or dotted quad would otherwise be eaten
+# by the broad phone pattern
+PII_REDACTION_ORDER: tuple[str, ...] = ("email", "ipv4", "ssn", "phone")
+PII_TOKENS: dict[str, str] = {
+    "email": "[EMAIL]", "ipv4": "[IP]", "ssn": "[SSN]", "phone": "[PHONE]",
+}
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails / IPv4s / SSNs / phone-shaped runs with typed
+    placeholder tokens, most-specific category first."""
+    out = col
+    for k in PII_REDACTION_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[k], PII_TOKENS[k])
+    return out
+
+
+def pii_counts(col: Column) -> Column:
+    """struct<email,ipv4,ssn,phone> of match counts, each counted on
+    the text AFTER redacting the earlier (more specific) categories so
+    one span is never attributed twice."""
+    cur = col
+    fields = []
+    for k in PII_REDACTION_ORDER:
+        fields.append(F.regexp_count(cur, F.lit(PII_PATTERNS[k])).alias(k))
+        cur = F.regexp_replace(cur, PII_PATTERNS[k], PII_TOKENS[k])
+    return F.struct(*fields)

@@ -82,3 +82,51 @@ def test_hamming64(spark):
     df = spark.createDataFrame([(0b1011, 0b0010)], ["a", "b"])
     got = df.select(TX.hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0]["h"]
     assert got == 2
+
+
+def test_gopher_quality_flags(spark):
+    """Gopher rules (Rae et al. 2021 §A1.1): the repeated-line doc and
+    the all-bullets doc fail, a normal multi-line doc passes, and each
+    stat is hand-checkable."""
+    good = "the quick brown fox jumps over the lazy dog tonight\nsecond line here\nthird line done"
+    dup = "same line of words here\nsame line of words here\nunique tail line"
+    bullets = "- point one here\n- point two here\n- point three here"
+    symbols = "lots of hash### marks ### everywhere ### here\nand more..."
+    df = spark.createDataFrame(
+        [("good", good), ("dup", dup), ("bullets", bullets), ("sym", symbols)],
+        ["k", "x"])
+    rows = {r["k"]: r["g"].asDict() for r in df.select(
+        "k", TX.gopher_quality_flags(F.col("x"), min_words=5).alias("g")
+    ).collect()}
+    assert rows["good"]["passes"] is True
+    assert rows["dup"]["passes"] is False
+    assert rows["dup"]["dup_line_frac"] == pytest.approx(1 / 3)
+    assert rows["bullets"]["passes"] is False
+    assert rows["bullets"]["bullet_frac"] == pytest.approx(1.0)
+    assert rows["sym"]["passes"] is False
+    assert rows["sym"]["symbol_ratio"] > 0.1
+    # dup_word_frac: 'the' and 'line' each repeat once in 16 words
+    assert rows["good"]["dup_word_frac"] == pytest.approx(2 / 16)
+
+
+def test_pii_redaction_and_counts(spark):
+    """Each category redacts to its typed token, most-specific first:
+    the SSN and the IPv4 are never double-counted as phones."""
+    text = ("reach me at jane.doe+spam@corp.example.org or on "
+            "+1 (555) 010-4242, server 192.168.0.1, ssn 123-45-6789 done")
+    df = spark.createDataFrame([(text,)], ["x"])
+    row = df.select(
+        TX.pii_counts(F.col("x")).alias("c"),
+        TX.redact_pii(F.col("x")).alias("r"),
+    ).collect()[0]
+    c = row["c"].asDict()
+    assert c == {"email": 1, "ipv4": 1, "ssn": 1, "phone": 1}
+    r = row["r"]
+    assert "[EMAIL]" in r and "[IP]" in r and "[SSN]" in r and "[PHONE]" in r
+    assert "jane.doe" not in r and "192.168" not in r
+    assert "123-45-6789" not in r and "555" not in r
+    # clean text is untouched
+    clean = "no personal data in this sentence at all"
+    got = spark.createDataFrame([(clean,)], ["x"]).select(
+        TX.redact_pii(F.col("x")).alias("r")).collect()[0]["r"]
+    assert got == clean
