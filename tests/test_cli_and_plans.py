@@ -224,3 +224,18 @@ def test_entity_store_read_prunes_partitions(spark, tmp_path):
     flat = plan.replace("\n", " ")
     assert "PartitionFilters" in flat
     assert "_bucket" in flat.split("PartitionFilters", 1)[1][:200]
+
+
+def test_new_text_ops_stay_native(spark):
+    """Gopher gates + PII scrub must be whole-stage-codegen map work —
+    no Python evaluation nodes anywhere in the plan (at 100 TB these
+    run inside the scan stage)."""
+    from resolve_spark.functions import text as TX
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = d.select(
+        TX.gopher_quality_flags(F.col("text")).alias("g"),
+        TX.redact_pii(F.col("text")).alias("r"),
+        TX.pii_counts(F.col("text")).alias("c"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
