@@ -926,6 +926,33 @@ def _q57_pii_redaction(spark, sf_dir):  # PII scrub (C4/CCNet hygiene pass)
     )
 
 
+def _q58_chunk_documents(spark, sf_dir):  # context-window chunking
+    """chunk_documents: 16-token windows every 8 tokens (50% overlap)
+    — the pretraining context-window layout op. Pure map + explode."""
+    from resolve_spark.operators.sharding import chunk_documents
+    d = _t(spark, sf_dir, "documents")
+    out = chunk_documents(d, "text", "doc_id", chunk_tokens=16, stride=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "chunk_text",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+def _q59_pack_shards(spark, sf_dir):  # token-budget shard packing
+    """pack_shards: greedy 2000-token shards in doc_id order via the
+    DISTRIBUTED prefix sum (range partition -> parallel per-partition
+    cumsum -> broadcast offsets), cross-checked against the oracle's
+    global window cumsum."""
+    from resolve_spark.operators.sharding import pack_shards
+    d = _t(spark, sf_dir, "documents")
+    d = d.select("doc_id", TX.token_count(F.col("text")).cast("bigint").alias("n_tok"))
+    out = pack_shards(d, token_col="n_tok", order_col="doc_id",
+                      tokens_per_shard=2000)
+    return out.select("doc_id", "n_tok", "tokens_before", "shard_id")
+
+
 def _q51_explanation(spark, sf_dir):  # M9 explanation bands (match.go:643-653)
     """Banded confidence + formatted explanation string. Scores are
     0.5001 + k/1000 (k integer) — 4-decimal values ending in 1, so the
@@ -1050,6 +1077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_threshold_on_vector": _q55_threshold_on_vector,
         "q56_gopher_quality": _q56_gopher_quality,
         "q57_pii_redaction": _q57_pii_redaction,
+        "q58_chunk_documents": _q58_chunk_documents,
+        "q59_pack_shards": _q59_pack_shards,
     }
 
 
@@ -1999,5 +2028,32 @@ def oracle_sql() -> dict[str, str]:
             "AS n_phone, "
             f"regexp_replace(u3, '{TX.PII_PATTERNS['phone']}', '[PHONE]', 'g') "
             "AS redacted FROM r2"
+        ),
+        # context-window chunking: 16-token windows every 8 tokens
+        "q58_chunk_documents": (
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') "
+            "AS t FROM documents), "
+            "s AS (SELECT doc_id, t, "
+            "unnest(range(0, greatest(len(t) - 1, 0) + 1, 8)) AS start "
+            "FROM toks) "
+            "SELECT doc_id, (start // 8)::BIGINT AS chunk_idx, "
+            "array_to_string(t[(start + 1)::INT : (start + 16)::INT], ' ') "
+            "AS chunk_text, "
+            "len(t[(start + 1)::INT : (start + 16)::INT])::BIGINT "
+            "AS n_tokens FROM s"
+        ),
+        # greedy token-budget shard packing: shard = floor(prefix/2000)
+        "q59_pack_shards": (
+            "WITH d AS (SELECT doc_id, "
+            "len(list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> ''))::BIGINT AS n_tok FROM documents) "
+            "SELECT doc_id, n_tok, "
+            "coalesce(sum(n_tok) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT "
+            "AS tokens_before, "
+            "(coalesce(sum(n_tok) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "// 2000)::BIGINT AS shard_id FROM d"
         ),
     }
