@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "q46_address_similarity",
     "q50_vector_blend",
     "q45_quota_sample",
+    "q56_gopher_quality",
+    "q58_chunk_documents",
 ]
 
 
