@@ -826,7 +826,10 @@ def _q55_threshold_on_vector(spark, sf_dir):  # match.go:237-240 threshold point
     a blended final score below the threshold. Vectors are built from
     the customer-key digits (centered so cosines spread 0.54-0.997;
     the nearest value to the 0.8 cutoff is 0.0028 away — far outside
-    any float64 summation-order divergence between engines)."""
+    any float64 summation-order divergence between engines). The query
+    DISTINGUISHES the semantics, not just the filter syntax: at sf0.01,
+    148 of the 175 kept rows carry a blend below 0.8 — final-score
+    thresholding would drop them."""
     from resolve_spark.operators.scoring import FieldSpec, score_pairs
     c = _t(spark, sf_dir, "customer")
     vec_expr = F.expr(
