@@ -51,6 +51,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--text", default=None,
                     help="'field=value; ...' match query (the reference "
                          "CLI's -match string form, match.go:427-468)")
+    ap.add_argument("--field-scores", action="store_true", dest="field_scores",
+                    help="include per-field similarity scores in match "
+                         "output (cmd/resolve/main.go:55)")
+    ap.add_argument("--details", action="store_true",
+                    help="include matched_on + explanation in match "
+                         "output (cmd/resolve/main.go:49)")
+    ap.add_argument("--group-strategy", default="direct", dest="group_strategy",
+                    help="direct | transitive | hybrid "
+                         "(cmd/resolve/main.go:53)")
+    ap.add_argument("--group-hops", type=int, default=2, dest="group_hops",
+                    help="max hops for transitive grouping "
+                         "(cmd/resolve/main.go:54)")
     ap.add_argument("--limit", type=int, default=10)
     ap.add_argument("--checkpoint")
     ap.add_argument("--master", default=None)
@@ -99,18 +111,43 @@ def main(argv: list[str] | None = None) -> int:
             run.stats.write.mode("overwrite").parquet(f"{args.out}/stats")
         print(json.dumps({"clusters": run.clusters.count(), **run.counters}))
 
-    elif args.verb == "match" and args.text:
-        # the reference CLI's string form: resolve -match "name=X; city=Y".
-        # The query row runs the SAME normalize/embed/block stages the
-        # store was ingested with, and candidates come from blocking-key
-        # intersection — per-query cost is bounded by the query's block
-        # sizes, not the store size (the API solved this with SRP-LSH
-        # candidates, api.ResolveEngine._ann_candidates; the blocked
-        # store already carries block_keys so key intersection is the
-        # zero-extra-state equivalent here).
-        from resolve_spark.operators.matching import find_matches_text
+    elif args.verb == "match" and (
+        args.text or (args.input or "").endswith(".json")
+    ):
+        # the reference CLI's single-entity forms: the string query
+        # (resolve -match "name=X; city=Y", match.go:427-468) and the
+        # JSON entity file (resolve -match-file query.json,
+        # cmd/resolve/main.go:45,113-114). The query row runs the SAME
+        # normalize/embed/block stages the store was ingested with, and
+        # candidates come from blocking-key intersection — per-query
+        # cost is bounded by the query's block sizes, not the store
+        # size (the API solved this with SRP-LSH candidates,
+        # api.ResolveEngine._ann_candidates; the blocked store already
+        # carries block_keys so key intersection is the zero-extra-state
+        # equivalent here).
+        from resolve_spark.operators.matching import find_matches_fields
+        from resolve_spark.functions.kernels import parse_query_fields
         from resolve_spark.plans.pipeline import raw_input_columns
         store = spark.read.parquet(args.store)  # keeps block_keys
+
+        if args.text:
+            fields = parse_query_fields(args.text)
+            if not fields:
+                raise SystemExit("--text has no field=value pairs")
+            qid = "q-text"
+        else:
+            with open(args.input) as fh:
+                entity = json.load(fh)
+            if isinstance(entity, list):
+                if len(entity) != 1:
+                    raise SystemExit(
+                        "--input JSON for match must hold ONE entity "
+                        "(the reference's -match-file shape); batch "
+                        "matching takes a parquet --input"
+                    )
+                entity = entity[0]
+            fields = {k: str(v) for k, v in (entity.get("fields") or {}).items()}
+            qid = str(entity.get("id") or "q-file")
 
         def _prepare_query(qdf):
             for c in raw_input_columns(cfg):
@@ -119,18 +156,23 @@ def main(argv: list[str] | None = None) -> int:
             return pipe.blocked(pipe.normalized(qdf))
 
         use_vec = cfg.use_vectors and "vector" in store.columns
-        out = find_matches_text(
-            spark, args.text, store, entity_id=cfg.id_col,
+        out = find_matches_fields(
+            spark, fields, store, entity_id=cfg.id_col,
             block_key=None, limit=args.limit, threshold=threshold,
             query_prepare=_prepare_query if "block_keys" in store.columns else None,
             # reference score semantics (match.go:229-235): no weights
             # on the CLI path -> the score IS the vector similarity
             vector_col="vector" if use_vec else None,
             blend_with_vector=False if use_vec else None,
+            query_id=qid,
         )
         rows = [r.asDict(recursive=True) for r in out.collect()]
         for d in rows:
-            d.pop("field_scores", None)
+            if not args.field_scores:  # main.go:55 — opt-in
+                d.pop("field_scores", None)
+            if not args.details:       # main.go:49 — opt-in
+                d.pop("matched_on", None)
+                d.pop("explanation", None)
         print(json.dumps({"matches": len(rows), "results": rows[:args.limit]},
                          default=str))
 
@@ -172,11 +214,22 @@ def main(argv: list[str] | None = None) -> int:
             server.shutdown()
 
     elif args.verb == "group":
-        from resolve_spark.operators.clustering import direct_group
+        # G1 dispatch parity (cmd/resolve/main.go:52-54: --group
+        # --group-strategy --group-hops); the seed itself is member
+        # hop 0 / score 1.0 (group.go:72-74)
+        from resolve_spark.operators.clustering import match_groups
         edges = spark.read.parquet(args.edges)
-        rows = direct_group(edges, args.id, limit=args.limit).collect()
-        print(json.dumps({"seed": args.id,
-                          "members": [(r["rid"], r["score"]) for r in rows]}))
+        seeds = spark.createDataFrame([(args.id,)], ["seed"])
+        out = match_groups(
+            edges, seeds, threshold=threshold,
+            strategy=args.group_strategy, hops_limit=args.group_hops,
+            max_group_size=args.limit,
+        )
+        rows = out.orderBy("rank").collect()
+        print(json.dumps({
+            "seed": args.id, "strategy": args.group_strategy,
+            "members": [(r["rid"], r["score"], r["hop_distance"]) for r in rows],
+        }))
 
     spark.stop()
     return 0

@@ -188,16 +188,54 @@ def find_matches_text(
     ``vector_col``/``blend_with_vector``/``threshold_on`` forward to
     :func:`find_matches` so a text match can reproduce the reference's
     full score semantics (vector-only without weights, blend with)."""
-    from resolve_spark.operators.blocking import canopy_key
-
     fields = parse_query_fields(text)
     if not fields:
         raise ValueError("query text has no field=value pairs (match.go:427-468)")
+    return find_matches_fields(
+        spark, fields, entities, entity_id=entity_id, block_key=block_key,
+        limit=limit, threshold=threshold,
+        field_type_mappings=field_type_mappings,
+        force_exact_match_fields=force_exact_match_fields,
+        field_weights=field_weights, block_fields=block_fields,
+        query_prepare=query_prepare, candidates=candidates,
+        vector_col=vector_col, blend_with_vector=blend_with_vector,
+        threshold_on=threshold_on,
+    )
+
+
+def find_matches_fields(
+    spark,
+    fields: dict[str, str],
+    entities: DataFrame,
+    entity_id: str = "id",
+    block_key: str | None = None,
+    limit: int = 10,
+    threshold: float = 0.85,
+    field_type_mappings: dict[str, str] | None = None,
+    force_exact_match_fields: list[str] | None = None,
+    field_weights: dict[str, float] | None = None,
+    block_fields: tuple[str, ...] | None = None,
+    query_prepare=None,
+    candidates: DataFrame | None = None,
+    vector_col: str | None = None,
+    blend_with_vector: bool | None = None,
+    threshold_on: str = "final",
+    query_id: str = "q-text",
+) -> DataFrame:
+    """M2 single-entity form over an explicit field map — the engine
+    behind both the parsed-text query (M6) and the reference CLI's
+    ``--match-file`` JSON entity (cmd/resolve/main.go:45,113-114:
+    EntityData -> FindMatchesForEntity). Same candidate-generation and
+    score-semantics knobs as :func:`find_matches_text`."""
+    from resolve_spark.operators.blocking import canopy_key
+
+    if not fields:
+        raise ValueError("query entity has no fields")
     present = [f for f in fields if f in entities.columns]
     specs = specs_from_options(
         present, field_type_mappings, force_exact_match_fields, field_weights
     )
-    row = {"query_id": "q-text", **{f: fields[f] for f in present}}
+    row = {"query_id": query_id, **{f: fields[f] for f in present}}
     queries = spark.createDataFrame([row])
     if query_prepare is not None:
         queries = query_prepare(queries)

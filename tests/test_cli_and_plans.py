@@ -35,6 +35,14 @@ def test_cli_resolve_and_group(spark, tmp_path):
     seed = edges.limit(1).collect()[0]["id_a"]
     grp = _run_cli("group", "--edges", f"{out}/edges", "--id", seed)
     assert grp["seed"] == seed and len(grp["members"]) >= 1
+    # G1 parity: the seed itself is member hop 0 / score 1.0
+    # (group.go:72-74), and strategies/hops dispatch from the CLI
+    # (cmd/resolve/main.go:52-54)
+    assert grp["members"][0] == [seed, 1.0, 0]
+    hyb = _run_cli("group", "--edges", f"{out}/edges", "--id", seed,
+                   "--group-strategy", "hybrid", "--group-hops", "3")
+    assert hyb["strategy"] == "hybrid"
+    assert hyb["members"][0] == [seed, 1.0, 0]
 
     store = str(tmp_path / "store")
     ing = _run_cli("ingest", "--input", inp, "--store", store)
@@ -154,6 +162,22 @@ def test_cli_json_ingest_and_text_match(spark, tmp_path):
                     "--threshold", "0.0")
     ids0 = {r["match_id"] for r in res0["results"]}
     assert ids0 == {"entity-001", "entity-002"}
+
+    # the reference's -match-file shape (cmd/resolve/main.go:45,113-114):
+    # a single EntityData JSON; --field-scores opts the per-field map in
+    # (main.go:55), default output omits it like the reference
+    q = tmp_path / "query.json"
+    q.write_text(json.dumps(
+        {"id": "q-1", "fields": {"name": "Acme Corporation", "zip": "10001"}}))
+    resf = _run_cli("match", "--input", str(q), "--store", store,
+                    "--config", "entities", "--threshold", "0.5",
+                    "--field-scores", "--details")
+    idsf = [r["match_id"] for r in resf["results"]]
+    assert {"entity-001", "entity-002"} <= set(idsf)
+    assert resf["results"][0]["query_id"] == "q-1"
+    assert "field_scores" in resf["results"][0]
+    assert "explanation" in resf["results"][0]
+    assert "field_scores" not in res0["results"][0]  # default: omitted
 
 
 def test_load_config_reference_schema(tmp_path):
