@@ -956,6 +956,48 @@ def _q59_pack_shards(spark, sf_dir):  # token-budget shard packing
     return out.select("doc_id", "n_tok", "tokens_before", "shard_id")
 
 
+def _q60_repeated_ngrams(spark, sf_dir):  # span-level duplication profile
+    """repeated_ngram_stats: fraction of each doc's 8-token windows
+    whose text recurs in >= 2 distinct docs (window-hash approximation
+    of exact-substring dedup, Lee et al. 2022). Never all-pairs: the
+    explode is linear in corpus tokens and the shared-window set is one
+    hash-partitioned agg."""
+    from resolve_spark.operators.dedup import repeated_ngram_stats
+    d = _t(spark, sf_dir, "documents")
+    return repeated_ngram_stats(d, "doc_id", "text", n=8, min_docs=2)
+
+
+def _q61_canonical_keeper(spark, sf_dir):  # keeper selection per dup cluster
+    """select_canonical over exact-dup clusters ranked by the q24
+    quality score (ties -> lowest rid): the "which copy do we train
+    on" step after a dedup pass. One window shuffle on cluster_id."""
+    from resolve_spark.operators.dedup import exact_duplicates, select_canonical
+    d = _t(spark, sf_dir, "documents")
+    clusters = exact_duplicates(d, "doc_id", "text")
+    quality = d.select(
+        F.col("doc_id").alias("rid"),
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    return select_canonical(clusters.join(quality, "rid")).select(
+        "rid", "cluster_id", "cluster_size", "quality", "keep"
+    )
+
+
+def _q62_mixture_sample(spark, sf_dir):  # waterfill domain-mixture sample
+    """mixture_sample: down-sample documents to the target lang mixture
+    en/de/fr/es/zh = 50/20/15/10/5 at the largest total that upsamples
+    nothing (waterfill), portable hash coin so DuckDB replays the keep
+    decision bit-exactly."""
+    from resolve_spark.operators.sampling import mixture_sample
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d, "doc_id", "lang",
+        {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05},
+        salt="mx62", hash_impl="portable",
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 def _q51_explanation(spark, sf_dir):  # M9 explanation bands (match.go:643-653)
     """Banded confidence + formatted explanation string. Scores are
     0.5001 + k/1000 (k integer) — 4-decimal values ending in 1, so the
@@ -1082,6 +1124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_pii_redaction": _q57_pii_redaction,
         "q58_chunk_documents": _q58_chunk_documents,
         "q59_pack_shards": _q59_pack_shards,
+        "q60_repeated_ngrams": _q60_repeated_ngrams,
+        "q61_canonical_keeper": _q61_canonical_keeper,
+        "q62_mixture_sample": _q62_mixture_sample,
     }
 
 
@@ -2058,5 +2103,55 @@ def oracle_sql() -> dict[str, str]:
             "(coalesce(sum(n_tok) OVER (ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
             "// 2000)::BIGINT AS shard_id FROM d"
+        ),
+        # span-level duplication: 8-token window hashes shared by >= 2 docs
+        "q60_repeated_ngrams": (
+            "WITH toks AS (SELECT doc_id AS rid, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '') AS t FROM documents), "
+            "w AS (SELECT rid, "
+            "substr(md5(array_to_string(t[i:(i + 7)], ' ')), 1, 16) AS h "
+            "FROM (SELECT rid, t, unnest(range(1, len(t) - 6)) AS i "
+            "FROM toks WHERE len(t) >= 8)), "
+            "sh AS (SELECT h FROM (SELECT DISTINCT h, rid FROM w) "
+            "GROUP BY h HAVING count(*) >= 2), "
+            "pd AS (SELECT w.rid, count(*) AS nw, count(sh.h) AS nd "
+            "FROM w LEFT JOIN sh USING (h) GROUP BY w.rid) "
+            "SELECT d.doc_id AS rid, "
+            "coalesce(pd.nw, 0)::BIGINT AS n_windows, "
+            "coalesce(pd.nd, 0)::BIGINT AS n_dup_windows, "
+            "round(coalesce(pd.nd, 0)::DOUBLE / "
+            "greatest(coalesce(pd.nw, 0), 1), 6) AS dup_fraction "
+            "FROM documents d LEFT JOIN pd ON pd.rid = d.doc_id"
+        ),
+        # canonical keeper: q29's exact-dup clusters ranked by q24's quality
+        "q61_canonical_keeper": (
+            "WITH q AS (" + _QUALITY_SQL + "), "
+            "n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', "
+            "' ', 'g')) AS k FROM documents), "
+            "g AS (SELECT k, min(doc_id) AS cluster_id, count(*) AS "
+            "cluster_size FROM n GROUP BY k), "
+            "m AS (SELECT n.doc_id AS rid, g.cluster_id, g.cluster_size "
+            "FROM n JOIN g USING (k)) "
+            "SELECT m.rid, m.cluster_id, m.cluster_size, q.quality, "
+            "(row_number() OVER (PARTITION BY m.cluster_id "
+            "ORDER BY q.quality DESC, m.rid ASC) = 1) AS keep "
+            "FROM m JOIN q ON q.doc_id = m.rid"
+        ),
+        # waterfill mixture: cuts recomputed in SQL with the SAME double
+        # op order as mixture_sample (min(cnt/share), floor(1e6*share*T/cnt))
+        "q62_mixture_sample": (
+            "WITH tgt AS (SELECT * FROM (VALUES "
+            "('de', 0.2::DOUBLE), ('en', 0.5::DOUBLE), ('es', 0.1::DOUBLE), "
+            "('fr', 0.15::DOUBLE), ('zh', 0.05::DOUBLE)) AS t(lang, share)), "
+            "cnt AS (SELECT lang, count(*) AS c FROM documents "
+            "WHERE lang IN (SELECT lang FROM tgt) GROUP BY lang), "
+            "tm AS (SELECT min(c / share) AS t_max "
+            "FROM cnt JOIN tgt USING (lang)), "
+            "cuts AS (SELECT lang, "
+            "floor(1000000.0 * share * t_max / c)::BIGINT AS ppm "
+            "FROM cnt JOIN tgt USING (lang), tm) "
+            "SELECT doc_id, lang, source FROM documents JOIN cuts USING (lang) "
+            "WHERE (" + _ph_sql("'mx62:' || doc_id") + ") % 1000000 < ppm"
         ),
     }

@@ -13,12 +13,16 @@ set, built from the same primitives as the ER pipeline:
   hamming distance -> connected components
 - embedding_duplicates: cosine near-dup over LSH-bucketed vectors
   (see ann.py for the bucketing)
+- repeated_ngram_stats: span-level duplication profile (fraction of a
+  doc's n-token windows repeated across the corpus)
+- select_canonical: quality-ranked keeper selection within clusters
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from resolve_spark.config import BlockingConfig
 from resolve_spark.functions import text as TX
@@ -170,3 +174,105 @@ def embedding_duplicates(
         .withColumn("cos", cosine_similarity_native(F.col("va"), F.col("vb")))
     )
     return _verify_and_cluster(df, id_col, pairs, F.col("cos"), cosine_threshold)
+
+
+def repeated_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level duplication profile: for every document, the fraction
+    of its n-token windows whose exact text also occurs in >= min_docs
+    distinct documents (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" — the window-hash approximation of exact
+    substring dedup used by RefinedWeb/Dolma-style pipelines).
+
+    Returns (rid, n_windows, n_dup_windows, dup_fraction). Documents
+    shorter than ``n`` tokens have 0 windows and fraction 0.0 — they
+    carry no span evidence either way.
+
+    Scale plan: rows explode by ~tokens-per-doc into (window-hash, doc)
+    pairs — linear in corpus token count, never all-pairs. The
+    shared-window set is found with one hash-partitioned agg over
+    DISTINCT (hash, doc) so partial aggregation applies; the dup-hash
+    set (typically a small fraction of all windows) joins back under
+    AQE, which broadcasts it when small. Window text is reduced to a
+    64-bit-equivalent md5 prefix before the shuffle so shuffled bytes
+    are bounded regardless of document length.
+    """
+    if n < 2:
+        raise ValueError(f"window length must be >= 2 tokens: {n}")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    base = df.select(F.col(id_col).alias("rid"), toks.alias("toks"))
+    idx = F.explode(F.sequence(F.lit(1), F.size("toks") - n + 1)).alias("i")
+    windows = (
+        base.where(F.size("toks") >= n)
+        .select("rid", idx, "toks")
+        .select(
+            "rid",
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice("toks", F.col("i"), n))), 1, 16
+            ).alias("h"),
+        )
+    )
+    # distinct first: the per-h doc count becomes a map-side-combinable
+    # count over pre-deduped keys instead of a count(distinct) shuffle
+    shared = (
+        windows.dropDuplicates(["h", "rid"])
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    per_doc = (
+        windows.join(shared.withColumn("_dup", F.lit(1)), "h", "left")
+        .groupBy("rid")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_windows"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("rid"))
+        .join(per_doc, "rid", "left")
+        .select(
+            "rid",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def select_canonical(
+    members: DataFrame,
+    id_col: str = "rid",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Canonical-keeper selection: rank each duplicate cluster by
+    (score desc, id asc) and flag rank 1 as the keeper — the "which
+    copy do we train on" step that follows any dedup pass.
+
+    Input is a cluster assignment (e.g. from :func:`exact_duplicates`
+    or :func:`minhash_duplicates`) joined with a per-record score;
+    output adds ``keep`` (boolean). Deterministic: ties on score break
+    by id, so the keeper never depends on partitioning.
+
+    Scale plan: one hash-partitioned window over cluster_id. Cluster
+    sizes are bounded in practice (dup groups, not the whole corpus);
+    a pathological giant cluster would already have been capped by the
+    dedup pass's pair budget.
+    """
+    rk = F.row_number().over(
+        Window.partitionBy(cluster_col).orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+    )
+    return members.withColumn("keep", rk == 1)

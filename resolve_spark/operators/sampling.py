@@ -9,7 +9,10 @@ function of the data:
   threshold. A pure filter: no shuffle, no sort, pushes down to the
   scan, trivially parallel at any scale.
 - :func:`quota_sample` — keep an exact per-stratum COUNT (the n
-  hash-smallest rows of each stratum). Two-phase at scale: a hash
+  hash-smallest rows of each stratum).
+- :func:`mixture_sample` — down-sample to a target DOMAIN MIXTURE
+  (waterfill: the largest total hitting the target shares without
+  upsampling any stratum), then the same hash-threshold filter. Two-phase at scale: a hash
   cutoff prefilter shrinks each stratum to ~margin*n expected rows
   BEFORE the per-stratum window sort, so the sort never sees the full
   stratum; strata the prefilter undershoots (rare, bounded by the
@@ -149,3 +152,63 @@ def quota_sample(
         .where(F.col("_rk") <= n)
     )
     return out.unionByName(rescued, allowMissingColumns=True).select(*df.columns)
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    targets: dict[str, float],
+    salt: str = "mx",
+    hash_impl: str = "fast",
+    total: int | None = None,
+) -> DataFrame:
+    """Down-sample to a target domain mixture (waterfill): given target
+    shares per stratum (e.g. the Pile/LLaMA-style corpus weights), find
+    the largest total size T achievable WITHOUT upsampling any stratum
+    — T = min over s of count_s / share_s — and keep each stratum at
+    rate share_s * T / count_s via the deterministic hash coin. The
+    binding stratum is kept whole; the rest are thinned to proportion.
+    ``total`` optionally caps T below the waterfill maximum.
+
+    Strata absent from ``targets`` are dropped (curation semantics,
+    as in :func:`stratified_sample`); a target stratum absent from the
+    data is an error — the requested mixture is unreachable.
+
+    Scale plan: pass 1 is one map-side-combinable count per stratum
+    (#strata rows — domain labels, small by construction — collected
+    to the driver to fix the rates); pass 2 is the same zero-shuffle
+    hash-threshold filter as stratified_sample. The kept set is a pure
+    function of (data, targets, salt) — reproducible across runs,
+    partitionings, and engines.
+    """
+    import math
+
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    for s, share in targets.items():
+        if share <= 0:
+            raise ValueError(f"target share must be positive: {s}={share}")
+    counts = {
+        r[0]: r[1]
+        for r in df.where(F.col(strata_col).isin(list(targets)))
+        .groupBy(strata_col)
+        .count()
+        .collect()
+    }
+    missing = sorted(set(targets) - set(counts))
+    if missing:
+        raise ValueError(f"target strata absent from data: {missing}")
+    # float literal order matters for the DuckDB oracle replica: keep
+    # exactly  min(cnt / share)  then  floor(1e6 * share * T / cnt)
+    t_max = min(counts[s] / targets[s] for s in targets)
+    if total is not None:
+        t_max = min(t_max, float(total))
+    cuts = {
+        s: math.floor(1000000.0 * targets[s] * t_max / counts[s]) for s in targets
+    }
+    coin = _sample_hash(F.col(id_col), salt, hash_impl) % FRACTION_SCALE
+    cut: Column = F.lit(-1)
+    for value, ppm in sorted(cuts.items()):
+        cut = F.when(F.col(strata_col) == value, F.lit(ppm)).otherwise(cut)
+    return df.where(coin < cut)

@@ -133,3 +133,50 @@ def test_multimodal_stub_gate(spark):
     media = multimodal.synth_media(spark, n=3)
     with pytest.raises(Exception, match="NotImplementedError|decode_stub"):
         multimodal.extract_features(media, decode_stub=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# repeated_ngram_stats / select_canonical
+# ---------------------------------------------------------------------------
+
+def test_repeated_ngram_stats(spark):
+    span = " ".join(f"s{i}" for i in range(8))       # one shared 8-token span
+    rows = [
+        ("a", span + " " + " ".join(f"a{i}" for i in range(8))),
+        ("b", span + " " + " ".join(f"b{i}" for i in range(8))),
+        ("c", " ".join(f"c{i}" for i in range(16))),  # all-unique windows
+        ("d", "too short"),                           # < 8 tokens
+    ]
+    df = spark.createDataFrame(rows, ["rid", "text"])
+    got = {r["rid"]: r for r in
+           dedup.repeated_ngram_stats(df, "rid", "text", n=8).collect()}
+    # 16 tokens -> 9 windows; only window 1 (the pure span) recurs in a AND b
+    assert got["a"]["n_windows"] == 9 and got["b"]["n_windows"] == 9
+    assert got["a"]["n_dup_windows"] == 1 and got["b"]["n_dup_windows"] == 1
+    assert got["a"]["dup_fraction"] == round(1 / 9, 6)
+    assert got["c"]["n_dup_windows"] == 0
+    # short docs carry no span evidence: 0 windows, fraction 0.0
+    assert got["d"]["n_windows"] == 0 and got["d"]["dup_fraction"] == 0.0
+
+
+def test_repeated_ngram_stats_within_doc_repeat_is_not_cross_doc(spark):
+    """a span repeated INSIDE one doc only must not count as duplicated
+    (min_docs counts distinct documents, not occurrences)."""
+    span = " ".join(f"r{i}" for i in range(8))
+    df = spark.createDataFrame([("solo", span + " " + span)], ["rid", "text"])
+    row = dedup.repeated_ngram_stats(df, "rid", "text", n=8).collect()[0]
+    assert row["n_windows"] == 9 and row["n_dup_windows"] == 0
+
+
+def test_select_canonical(spark):
+    members = spark.createDataFrame(
+        [
+            ("r1", "c1", 3, 0.5),
+            ("r2", "c1", 3, 0.9),   # keeper of c1: highest quality
+            ("r3", "c1", 3, 0.9),   # tie with r2 -> loses on rid order
+            ("r9", "c2", 1, 0.1),   # singleton keeps itself
+        ],
+        ["rid", "cluster_id", "cluster_size", "quality"],
+    )
+    got = {r["rid"]: r["keep"] for r in dedup.select_canonical(members).collect()}
+    assert got == {"r1": False, "r2": True, "r3": False, "r9": True}

@@ -188,3 +188,82 @@ def test_quota_null_stratum_is_a_real_stratum(spark):
     brute = _brute_quota(df, 10, "qs", "fast")
     assert out.select("id").subtract(brute).count() == 0
     assert brute.subtract(out.select("id")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+# ---------------------------------------------------------------------------
+
+def _brute_mixture(docs, targets, salt):
+    """Exact Python replica of mixture_sample's kept-id set."""
+    import math
+    from resolve_spark.functions.hashing import portable_hash60_py
+
+    rows = docs.select("id", "lang").collect()
+    counts = {}
+    for r in rows:
+        if r["lang"] in targets:
+            counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+    t_max = min(counts[s] / targets[s] for s in targets)
+    cuts = {s: math.floor(1000000.0 * targets[s] * t_max / counts[s])
+            for s in targets}
+    return {
+        r["id"] for r in rows
+        if r["lang"] in targets
+        and portable_hash60_py(f"{salt}:{r['id']}") % 1_000_000 < cuts[r["lang"]]
+    }
+
+
+def test_mixture_sample_waterfill_exact(docs):
+    """kept set == the brute-force replica; the binding stratum (en at
+    share 0.5 over a uniform 200/200/... distribution) is kept whole."""
+    targets = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+    out = SM.mixture_sample(docs, "id", "lang", targets,
+                            salt="mt", hash_impl="portable")
+    got = {r["id"] for r in out.select("id").collect()}
+    assert got == _brute_mixture(docs, targets, "mt")
+    kept = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert kept["en"] == 200          # binding stratum: rate 1.0, kept whole
+    # T = 400; thinned strata land near share*T (hash coin is ~uniform)
+    assert abs(kept["de"] - 80) <= 20 and abs(kept["zh"] - 20) <= 12
+
+
+def test_mixture_sample_order_independent(docs):
+    targets = {"en": 0.4, "de": 0.6}
+    a = SM.mixture_sample(docs, "id", "lang", targets, hash_impl="portable")
+    b = SM.mixture_sample(docs.orderBy(F.desc("id")).repartition(7),
+                          "id", "lang", targets, hash_impl="portable")
+    assert a.select("id").subtract(b.select("id")).count() == 0
+    assert b.select("id").subtract(a.select("id")).count() == 0
+    # strata outside the target mixture are dropped entirely
+    assert a.where(F.col("lang").isin("fr", "es", "zh")).count() == 0
+
+
+def test_mixture_sample_total_cap(docs):
+    """cap 100 < waterfill T=400: every stratum is thinned to rate
+    share*100/count (25%), exactly reproducing the brute replica."""
+    import math
+    from resolve_spark.functions.hashing import portable_hash60_py
+
+    targets = {"en": 0.5, "de": 0.5}
+    capped = SM.mixture_sample(docs, "id", "lang", targets,
+                               total=100, hash_impl="portable")
+    cut = math.floor(1000000.0 * 0.5 * 100.0 / 200)   # 250000 ppm
+    expect = {
+        r["id"] for r in docs.select("id", "lang").collect()
+        if r["lang"] in targets
+        and portable_hash60_py(f"mx:{r['id']}") % 1_000_000 < cut
+    }
+    assert {r["id"] for r in capped.select("id").collect()} == expect
+    # strictly fewer rows than the uncapped waterfill keeps
+    full = SM.mixture_sample(docs, "id", "lang", targets, hash_impl="portable")
+    assert capped.count() < full.count()
+
+
+def test_mixture_sample_errors(docs):
+    with pytest.raises(ValueError, match="absent from data"):
+        SM.mixture_sample(docs, "id", "lang", {"en": 0.5, "xx": 0.5})
+    with pytest.raises(ValueError, match="positive"):
+        SM.mixture_sample(docs, "id", "lang", {"en": 1.0, "de": 0.0})
+    with pytest.raises(ValueError, match="non-empty"):
+        SM.mixture_sample(docs, "id", "lang", {})
