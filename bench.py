@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "q45_quota_sample",
     "q56_gopher_quality",
     "q58_chunk_documents",
+    "q60_repeated_ngrams",
 ]
 
 
