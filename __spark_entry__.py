@@ -998,6 +998,17 @@ def _q62_mixture_sample(spark, sf_dir):  # waterfill domain-mixture sample
     return out.select("doc_id", "lang", "source")
 
 
+def _q63_remove_spans(spark, sf_dir):  # exact-substring span removal
+    """remove_repeated_spans: drop every token covered by an 8-token
+    window shared by >= 2 docs (the acting counterpart of q60 — Lee et
+    al. 2022 exact-substring dedup at window-hash granularity). Fully
+    relational: covered positions explode as rows and anti-join the
+    token stream; one agg rebuilds each doc."""
+    from resolve_spark.operators.dedup import remove_repeated_spans
+    d = _t(spark, sf_dir, "documents")
+    return remove_repeated_spans(d, "doc_id", "text", n=8, min_docs=2)
+
+
 def _q51_explanation(spark, sf_dir):  # M9 explanation bands (match.go:643-653)
     """Banded confidence + formatted explanation string. Scores are
     0.5001 + k/1000 (k integer) — 4-decimal values ending in 1, so the
@@ -1127,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_repeated_ngrams": _q60_repeated_ngrams,
         "q61_canonical_keeper": _q61_canonical_keeper,
         "q62_mixture_sample": _q62_mixture_sample,
+        "q63_remove_spans": _q63_remove_spans,
     }
 
 
@@ -2153,5 +2165,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM cnt JOIN tgt USING (lang), tm) "
             "SELECT doc_id, lang, source FROM documents JOIN cuts USING (lang) "
             "WHERE (" + _ph_sql("'mx62:' || doc_id") + ") % 1000000 < ppm"
+        ),
+        # span removal: anti-join covered positions, rebuild per doc
+        # (parallel unnests in tp zip pos with tok)
+        "q63_remove_spans": (
+            "WITH toks AS (SELECT doc_id AS rid, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') "
+            "AS t FROM documents), "
+            "w AS (SELECT rid, i, "
+            "substr(md5(lower(array_to_string(t[i:(i + 7)], ' '))), 1, 16) "
+            "AS h FROM (SELECT rid, t, unnest(range(1, len(t) - 6)) AS i "
+            "FROM toks WHERE len(t) >= 8)), "
+            "sh AS (SELECT h FROM (SELECT DISTINCT h, rid FROM w) "
+            "GROUP BY h HAVING count(*) >= 2), "
+            "cov AS (SELECT DISTINCT rid, i + j AS pos FROM "
+            "(SELECT rid, i, unnest(range(0, 8)) AS j "
+            "FROM w JOIN sh USING (h))), "
+            "tp AS (SELECT rid, unnest(range(1, len(t) + 1)) AS pos, "
+            "unnest(t) AS tok FROM toks), "
+            "rb AS (SELECT tp.rid, count(*) AS n_kept, "
+            "string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text "
+            "FROM tp LEFT JOIN cov ON cov.rid = tp.rid AND cov.pos = tp.pos "
+            "WHERE cov.pos IS NULL GROUP BY tp.rid) "
+            "SELECT toks.rid, len(t)::BIGINT AS n_tokens, "
+            "(len(t) - coalesce(rb.n_kept, 0))::BIGINT AS n_removed, "
+            "coalesce(rb.clean_text, '') AS clean_text "
+            "FROM toks LEFT JOIN rb ON rb.rid = toks.rid"
         ),
     }

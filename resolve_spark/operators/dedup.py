@@ -15,6 +15,8 @@ set, built from the same primitives as the ER pipeline:
   (see ann.py for the bucketing)
 - repeated_ngram_stats: span-level duplication profile (fraction of a
   doc's n-token windows repeated across the corpus)
+- remove_repeated_spans: drop the tokens those duplicated windows
+  cover (exact-substring dedup at window-hash granularity)
 - select_canonical: quality-ranked keeper selection within clusters
 """
 
@@ -246,6 +248,87 @@ def repeated_ngram_stats(
                 / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)),
                 6,
             ).alias("dup_fraction"),
+        )
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span REMOVAL (the acting counterpart of
+    :func:`repeated_ngram_stats`): drop every token covered by an
+    n-token window whose text occurs in >= min_docs distinct documents
+    — Lee et al. 2022's exact-substring dedup, as applied by
+    RefinedWeb-style pipelines, at window-hash granularity.
+
+    Returns (rid, n_tokens, n_removed, clean_text). ``clean_text`` is
+    the surviving tokens re-joined with single spaces (whitespace is
+    normalized; token case is preserved — only the window HASH is
+    case-folded, matching repeated_ngram_stats' dup definition).
+
+    Scale plan: fully relational, linear in corpus tokens — covered
+    positions are exploded as (rid, pos) rows (bounded by n x
+    dup-windows), removed with one left-anti join against the exploded
+    token stream, and each doc is rebuilt with a single
+    hash-partitioned agg (sorted-struct collect, no global sort).
+    No per-row quadratic membership scans, no driver collects.
+    """
+    if n < 2:
+        raise ValueError(f"window length must be >= 2 tokens: {n}")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    base = df.select(F.col(id_col).alias("rid"), toks.alias("toks"))
+    idx = F.explode(F.sequence(F.lit(1), F.size("toks") - n + 1)).alias("i")
+    windows = (
+        base.where(F.size("toks") >= n)
+        .select("rid", idx, "toks")
+        .select(
+            "rid",
+            "i",
+            F.substring(
+                F.md5(F.lower(F.concat_ws(" ", F.slice("toks", F.col("i"), n)))),
+                1, 16,
+            ).alias("h"),
+        )
+    )
+    shared = (
+        windows.dropDuplicates(["h", "rid"])
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        windows.join(shared, "h")
+        .select("rid", F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"))
+        .dropDuplicates(["rid", "pos"])
+    )
+    tokpos = base.select(
+        "rid", F.posexplode("toks").alias("pos0", "tok")
+    ).select("rid", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tokpos.join(covered, ["rid", "pos"], "left_anti")
+    rebuilt = kept.groupBy("rid").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("rid", F.size("toks").alias("n_tokens"))
+        .join(rebuilt, "rid", "left")
+        .select(
+            "rid",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
 

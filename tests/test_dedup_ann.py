@@ -180,3 +180,30 @@ def test_select_canonical(spark):
     )
     got = {r["rid"]: r["keep"] for r in dedup.select_canonical(members).collect()}
     assert got == {"r1": False, "r2": True, "r3": False, "r9": True}
+
+
+def test_remove_repeated_spans(spark, docs):
+    """d1/d2 are token-identical (fully covered -> emptied); d3 differs
+    from them only at token 31 ('x30'), so the shared windows cover
+    every position EXCEPT 31 and exactly that token survives; d4 is
+    unique (untouched); d5 is shorter than the window (untouched)."""
+    got = {r["rid"]: r for r in
+           dedup.remove_repeated_spans(docs, "rid", "content", n=8).collect()}
+    assert got["d1"]["clean_text"] == "" and got["d1"]["n_removed"] == 60
+    assert got["d2"]["clean_text"] == "" and got["d2"]["n_removed"] == 60
+    assert got["d3"]["clean_text"] == "x30" and got["d3"]["n_removed"] == 59
+    assert got["d4"]["n_removed"] == 0
+    assert got["d4"]["clean_text"] == " ".join(f"q{i}" for i in range(60))
+    assert got["d5"]["clean_text"] == "short text" and got["d5"]["n_removed"] == 0
+
+
+def test_remove_repeated_spans_case_folded_hash_preserves_case(spark):
+    """dup detection is case-insensitive (matching repeated_ngram_stats)
+    but surviving text keeps its original case."""
+    span = " ".join(f"S{i}" for i in range(8))
+    rows = [("u", span.lower() + " keepME"), ("v", span + " tail")]
+    df = spark.createDataFrame(rows, ["rid", "text"])
+    got = {r["rid"]: r for r in
+           dedup.remove_repeated_spans(df, "rid", "text", n=8).collect()}
+    assert got["u"]["clean_text"] == "keepME"
+    assert got["v"]["clean_text"] == "tail"
