@@ -964,7 +964,9 @@ def _q60_repeated_ngrams(spark, sf_dir):  # span-level duplication profile
     hash-partitioned agg."""
     from resolve_spark.operators.dedup import repeated_ngram_stats
     d = _t(spark, sf_dir, "documents")
-    return repeated_ngram_stats(d, "doc_id", "text", n=8, min_docs=2)
+    return repeated_ngram_stats(
+        d, "doc_id", "text", n=8, min_docs=2, hash_impl="portable"
+    )
 
 
 def _q61_canonical_keeper(spark, sf_dir):  # keeper selection per dup cluster
@@ -1006,7 +1008,9 @@ def _q63_remove_spans(spark, sf_dir):  # exact-substring span removal
     token stream; one agg rebuilds each doc."""
     from resolve_spark.operators.dedup import remove_repeated_spans
     d = _t(spark, sf_dir, "documents")
-    return remove_repeated_spans(d, "doc_id", "text", n=8, min_docs=2)
+    return remove_repeated_spans(
+        d, "doc_id", "text", n=8, min_docs=2, hash_impl="portable"
+    )
 
 
 def _q51_explanation(spark, sf_dir):  # M9 explanation bands (match.go:643-653)

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from resolve_spark.config import BlockingConfig
+from resolve_spark.functions.hashing import check_hash_impl
 from resolve_spark.functions import text as TX
 from resolve_spark.functions import similarity as S
 from resolve_spark.operators import blocking as B
@@ -178,12 +179,25 @@ def embedding_duplicates(
     return _verify_and_cluster(df, id_col, pairs, F.col("cos"), cosine_threshold)
 
 
+def _span_window_hash(toks_col, i, n: int, hash_impl: str):
+    """Hash of one n-token window. ``fast`` = xxhash64 straight over
+    the array slice (no string build, 8-byte longs through the
+    shuffle); ``portable`` = md5-prefix of the space-joined window so
+    DuckDB/numpy replicas reproduce it bit-exactly."""
+    if check_hash_impl(hash_impl) == "portable":
+        return F.substring(
+            F.md5(F.concat_ws(" ", F.slice(toks_col, i, n))), 1, 16
+        )
+    return F.xxhash64(F.slice(toks_col, i, n))
+
+
 def repeated_ngram_stats(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 8,
     min_docs: int = 2,
+    hash_impl: str = "fast",
 ) -> DataFrame:
     """Span-level duplication profile: for every document, the fraction
     of its n-token windows whose exact text also occurs in >= min_docs
@@ -214,9 +228,7 @@ def repeated_ngram_stats(
         .select("rid", idx, "toks")
         .select(
             "rid",
-            F.substring(
-                F.md5(F.concat_ws(" ", F.slice("toks", F.col("i"), n))), 1, 16
-            ).alias("h"),
+            _span_window_hash(F.col("toks"), F.col("i"), n, hash_impl).alias("h"),
         )
     )
     # distinct first: the per-h doc count becomes a map-side-combinable
@@ -258,6 +270,7 @@ def remove_repeated_spans(
     text_col: str,
     n: int = 8,
     min_docs: int = 2,
+    hash_impl: str = "fast",
 ) -> DataFrame:
     """Span REMOVAL (the acting counterpart of
     :func:`repeated_ngram_stats`): drop every token covered by an
@@ -281,17 +294,21 @@ def remove_repeated_spans(
         raise ValueError(f"window length must be >= 2 tokens: {n}")
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     base = df.select(F.col(id_col).alias("rid"), toks.alias("toks"))
-    idx = F.explode(F.sequence(F.lit(1), F.size("toks") - n + 1)).alias("i")
+    # case-fold ONCE per doc, in a projection BELOW the explode: put in
+    # the same select as the Generate and Catalyst evaluates the whole-
+    # array transform per WINDOW row (O(tokens) work x windows — the
+    # O(T^2)-per-doc trap); lower-of-join == join-of-lowered, so the
+    # portable hash still matches repeated_ngram_stats'
+    lowered = base.where(F.size("toks") >= n).select(
+        "rid", F.transform(F.col("toks"), F.lower).alias("ltoks")
+    )
+    lidx = F.explode(F.sequence(F.lit(1), F.size("ltoks") - n + 1)).alias("i")
     windows = (
-        base.where(F.size("toks") >= n)
-        .select("rid", idx, "toks")
+        lowered.select("rid", lidx, "ltoks")
         .select(
             "rid",
             "i",
-            F.substring(
-                F.md5(F.lower(F.concat_ws(" ", F.slice("toks", F.col("i"), n)))),
-                1, 16,
-            ).alias("h"),
+            _span_window_hash(F.col("ltoks"), F.col("i"), n, hash_impl).alias("h"),
         )
     )
     shared = (

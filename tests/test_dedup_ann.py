@@ -207,3 +207,17 @@ def test_remove_repeated_spans_case_folded_hash_preserves_case(spark):
            dedup.remove_repeated_spans(df, "rid", "text", n=8).collect()}
     assert got["u"]["clean_text"] == "keepME"
     assert got["v"]["clean_text"] == "tail"
+
+
+def test_span_ops_fast_hash_matches_portable(spark, docs):
+    """the xxhash64 fast path must make the same dup decisions as the
+    md5 portable path (different hash family, same window identity)."""
+    for impl in ("fast", "portable"):
+        got = {r["rid"]: r["n_dup_windows"] for r in
+               dedup.repeated_ngram_stats(
+                   docs, "rid", "content", n=8, hash_impl=impl).collect()}
+        assert got["d1"] > 0 and got["d4"] == 0, impl
+    f = dedup.remove_repeated_spans(docs, "rid", "content", n=8, hash_impl="fast")
+    p = dedup.remove_repeated_spans(docs, "rid", "content", n=8, hash_impl="portable")
+    assert f.select("rid", "clean_text").subtract(
+        p.select("rid", "clean_text")).count() == 0
