@@ -1013,6 +1013,17 @@ def _q63_remove_spans(spark, sf_dir):  # exact-substring span removal
     )
 
 
+def _q64_unigram_logprob(spark, sf_dir):  # corpus-conditioned quality score
+    """unigram_logprob: mean -ln p(token) under the corpus's own
+    unigram model (the CCNet-style perplexity stand-in — needs a
+    corpus-level aggregation pass, unlike the per-row q24 score).
+    Three linear shuffles; ln attached to the vocabulary, never the
+    token stream."""
+    from resolve_spark.operators.corpus_stats import unigram_logprob
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob(d, "doc_id", "text")
+
+
 def _q51_explanation(spark, sf_dir):  # M9 explanation bands (match.go:643-653)
     """Banded confidence + formatted explanation string. Scores are
     0.5001 + k/1000 (k integer) — 4-decimal values ending in 1, so the
@@ -1143,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_canonical_keeper": _q61_canonical_keeper,
         "q62_mixture_sample": _q62_mixture_sample,
         "q63_remove_spans": _q63_remove_spans,
+        "q64_unigram_logprob": _q64_unigram_logprob,
     }
 
 
@@ -2195,5 +2207,22 @@ def oracle_sql() -> dict[str, str]:
             "(len(t) - coalesce(rb.n_kept, 0))::BIGINT AS n_removed, "
             "coalesce(rb.clean_text, '') AS clean_text "
             "FROM toks LEFT JOIN rb ON rb.rid = toks.rid"
+        ),
+        # corpus unigram model: score = ln(total) - mean ln(cnt_token)
+        # (same op order as the Spark side; round 6 absorbs libm ulps)
+        "q64_unigram_logprob": (
+            "WITH toks AS (SELECT doc_id AS rid, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '') AS t FROM documents), "
+            "st AS (SELECT rid, unnest(t) AS token FROM toks), "
+            "f AS (SELECT token, count(*) AS cnt FROM st GROUP BY token), "
+            "tot AS (SELECT sum(cnt)::DOUBLE AS total FROM f), "
+            "pd AS (SELECT st.rid, count(*) AS n, "
+            "sum(ln(f.cnt::DOUBLE)) AS sl FROM st JOIN f USING (token) "
+            "GROUP BY st.rid) "
+            "SELECT toks.rid, coalesce(pd.n, 0)::BIGINT AS n_toks, "
+            "round(CASE WHEN pd.n > 0 THEN ln(total) - pd.sl / pd.n "
+            "ELSE 0.0 END, 6) AS avg_neg_logp "
+            "FROM toks LEFT JOIN pd ON pd.rid = toks.rid, tot"
         ),
     }

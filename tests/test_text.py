@@ -130,3 +130,36 @@ def test_pii_redaction_and_counts(spark):
     got = spark.createDataFrame([(clean,)], ["x"]).select(
         TX.redact_pii(F.col("x")).alias("r")).collect()[0]["r"]
     assert got == clean
+
+
+# ---------------------------------------------------------------------------
+# corpus_stats: unigram log-probability scoring
+# ---------------------------------------------------------------------------
+
+def test_unigram_logprob_exact(spark):
+    import math
+    from resolve_spark.operators.corpus_stats import token_frequencies, unigram_logprob
+
+    df = spark.createDataFrame(
+        [("d1", "a a b"), ("d2", "a c"), ("d3", "")], ["rid", "text"]
+    )
+    freqs = {r["token"]: r["cnt"] for r in token_frequencies(df).collect()}
+    assert freqs == {"a": 3, "b": 1, "c": 1}
+    got = {r["rid"]: r for r in unigram_logprob(df, "rid").collect()}
+    total = 5.0
+    # d1: tokens a a b -> mean -ln(cnt/total) over (3,3,1)
+    exp1 = math.log(total) - (2 * math.log(3) + math.log(1)) / 3
+    exp2 = math.log(total) - (math.log(3) + math.log(1)) / 2
+    assert got["d1"]["n_toks"] == 3 and abs(got["d1"]["avg_neg_logp"] - exp1) < 1e-6
+    assert got["d2"]["n_toks"] == 2 and abs(got["d2"]["avg_neg_logp"] - exp2) < 1e-6
+    # empty doc: no evidence, scores 0
+    assert got["d3"]["n_toks"] == 0 and got["d3"]["avg_neg_logp"] == 0.0
+    # the rare-token doc reads as more surprising than the common-token one
+    assert got["d2"]["avg_neg_logp"] > got["d1"]["avg_neg_logp"]
+
+
+def test_unigram_logprob_case_folded(spark):
+    from resolve_spark.operators.corpus_stats import token_frequencies
+
+    df = spark.createDataFrame([("d1", "The THE the")], ["rid", "text"])
+    assert token_frequencies(df).collect()[0]["cnt"] == 3
