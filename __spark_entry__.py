@@ -1024,6 +1024,21 @@ def _q64_unigram_logprob(spark, sf_dir):  # corpus-conditioned quality score
     return unigram_logprob(d, "doc_id", "text")
 
 
+def _q65_minhash_join(spark, sf_dir):  # cross-corpus near-dup join
+    """minhash_join: symmetric near-duplicate pairs BETWEEN two corpora
+    (documents split by doc_id parity as stand-ins) via shared MinHash
+    band keys + exact-Jaccard verify — the dedup-new-crawl-against-
+    existing-corpus pass. Jaccard is a small-int ratio, so the 0.7
+    cutoff decides identically in Spark and DuckDB."""
+    from resolve_spark.operators.dedup import minhash_join
+    d = _t(spark, sf_dir, "documents")
+    out = minhash_join(
+        d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1),
+        "doc_id", "doc_id", jaccard_threshold=0.7, hash_impl="portable",
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q51_explanation(spark, sf_dir):  # M9 explanation bands (match.go:643-653)
     """Banded confidence + formatted explanation string. Scores are
     0.5001 + k/1000 (k integer) — 4-decimal values ending in 1, so the
@@ -1155,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_mixture_sample": _q62_mixture_sample,
         "q63_remove_spans": _q63_remove_spans,
         "q64_unigram_logprob": _q64_unigram_logprob,
+        "q65_minhash_join": _q65_minhash_join,
     }
 
 
@@ -2224,5 +2240,29 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN pd.n > 0 THEN ln(total) - pd.sl / pd.n "
             "ELSE 0.0 END, 6) AS avg_neg_logp "
             "FROM toks LEFT JOIN pd ON pd.rid = toks.rid, tot"
+        ),
+        # cross-corpus minhash join: parity split, band-key equi-join
+        # with the same per-key pair budget, exact-Jaccard verify
+        "q65_minhash_join": (
+            "WITH " + _minhash_keys_cte(64, 16, 42) + ", "
+            "ka AS (SELECT doc_id AS id_a, band_key AS bk FROM keys "
+            "WHERE doc_id % 2 = 0), "
+            "kb AS (SELECT doc_id AS id_b, band_key AS bk FROM keys "
+            "WHERE doc_id % 2 = 1), "
+            "ok AS (SELECT bk FROM "
+            "(SELECT bk, count(*) AS ca FROM ka GROUP BY bk) a JOIN "
+            "(SELECT bk, count(*) AS cb FROM kb GROUP BY bk) b USING (bk) "
+            "WHERE ca * cb <= 1000000), "
+            "cand AS (SELECT DISTINCT id_a, id_b FROM ka "
+            "JOIN ok USING (bk) JOIN kb USING (bk)), "
+            "tok AS (SELECT doc_id, " + _TOKENS_SQL.format(c="text") + " AS tk "
+            "FROM documents), "
+            "j AS (SELECT id_a, id_b, "
+            "len(list_intersect(ta.tk, tb.tk))::DOUBLE / "
+            "len(list_distinct(list_concat(ta.tk, tb.tk))) AS jac "
+            "FROM cand JOIN tok ta ON ta.doc_id = cand.id_a "
+            "JOIN tok tb ON tb.doc_id = cand.id_b) "
+            "SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j "
+            "WHERE jac >= 0.7"
         ),
     }

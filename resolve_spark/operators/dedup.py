@@ -110,6 +110,62 @@ def minhash_duplicates(
     return _verify_and_cluster(df, id_col, scored, F.col("jac"), jaccard_threshold)
 
 
+def minhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_text: str = "text",
+    right_text: str = "text",
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_impl: str = "fast",
+    max_pairs_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Cross-corpus near-duplicate JOIN: (id_a, id_b, jaccard) pairs
+    with token Jaccard >= threshold between TWO tables, via shared
+    MinHash band keys — the dedup-the-new-crawl-against-the-existing-
+    corpus pass (minhash_duplicates handles the within-corpus case;
+    decontaminate.py handles n-gram CONTAINMENT, which is a different
+    question than symmetric similarity).
+
+    Scale plan: band keys explode linearly on each side and meet in one
+    equi-join — never a cross join. Hot band keys (boilerplate shared
+    by thousands of docs per side) are dropped when their pair product
+    exceeds ``max_pairs_per_key`` — same budget philosophy as
+    pairs.py; a true near-dup pair shares ~bands keys, so it survives
+    unless EVERY shared key is over budget. Candidates are verified
+    with exact token Jaccard before anything is returned.
+    """
+    mh = B.minhash_band_keys_udf(num_hashes, bands, hash_impl=hash_impl)
+    ka = left.select(
+        F.col(left_id).alias("id_a"), F.explode(mh(F.col(left_text))).alias("bk")
+    )
+    kb = right.select(
+        F.col(right_id).alias("id_b"), F.explode(mh(F.col(right_text))).alias("bk")
+    )
+    ok = (
+        ka.groupBy("bk").agg(F.count("*").alias("ca"))
+        .join(kb.groupBy("bk").agg(F.count("*").alias("cb")), "bk")
+        .where(F.col("ca") * F.col("cb") <= max_pairs_per_key)
+        .select("bk")
+    )
+    cand = (
+        ka.join(ok, "bk").join(kb, "bk")
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ta = left.select(F.col(left_id).alias("id_a"), S.tokens(F.col(left_text)).alias("ta"))
+    tb = right.select(F.col(right_id).alias("id_b"), S.tokens(F.col(right_text)).alias("tb"))
+    return (
+        cand.join(ta, "id_a").join(tb, "id_b")
+        .withColumn("jaccard", S.jaccard_token_arrays(F.col("ta"), F.col("tb")))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash_duplicates(
     df: DataFrame, id_col: str, content_col: str, max_hamming: int = 7,
     hash_impl: str = "fast",

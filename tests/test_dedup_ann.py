@@ -221,3 +221,21 @@ def test_span_ops_fast_hash_matches_portable(spark, docs):
     p = dedup.remove_repeated_spans(docs, "rid", "content", n=8, hash_impl="portable")
     assert f.select("rid", "clean_text").subtract(
         p.select("rid", "clean_text")).count() == 0
+
+
+def test_minhash_join_cross_corpus(spark, docs):
+    left = docs.where(F.col("rid").isin("d1", "d4"))
+    right = docs.where(F.col("rid").isin("d2", "d3", "d5"))
+    out = dedup.minhash_join(
+        left, right, "rid", "rid", left_text="content", right_text="content",
+        jaccard_threshold=0.5,
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got[("d1", "d2")] == 1.0            # token-identical
+    assert ("d1", "d3") in got and got[("d1", "d3")] > 0.9   # one-token variant
+    assert all(a != "d4" for a, _ in got)      # unique doc matches nothing
+    # the per-key pair budget drops everything at 0 (hot-key guard works)
+    assert dedup.minhash_join(
+        left, right, "rid", "rid", left_text="content", right_text="content",
+        jaccard_threshold=0.5, max_pairs_per_key=0,
+    ).count() == 0
