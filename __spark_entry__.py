@@ -1039,6 +1039,16 @@ def _q65_minhash_join(spark, sf_dir):  # cross-corpus near-dup join
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q66_source_overlap(spark, sf_dir):  # cross-source provenance matrix
+    """source_overlap: pairwise distinct-4-gram overlap between the 20
+    documents sources — shared counts plus containment/Jaccard. All
+    ratios are long/long double divisions rounded to 6, the same
+    numeric shape q43/q60 already prove hash-exact across engines."""
+    from resolve_spark.operators.decontaminate import source_overlap
+    d = _t(spark, sf_dir, "documents")
+    return source_overlap(d, "text", "source", n=4, hash_impl="portable")
+
+
 def _q51_explanation(spark, sf_dir):  # M9 explanation bands (match.go:643-653)
     """Banded confidence + formatted explanation string. Scores are
     0.5001 + k/1000 (k integer) — 4-decimal values ending in 1, so the
@@ -1171,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_remove_spans": _q63_remove_spans,
         "q64_unigram_logprob": _q64_unigram_logprob,
         "q65_minhash_join": _q65_minhash_join,
+        "q66_source_overlap": _q66_source_overlap,
     }
 
 
@@ -2264,5 +2275,31 @@ def oracle_sql() -> dict[str, str]:
             "JOIN tok tb ON tb.doc_id = cand.id_b) "
             "SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j "
             "WHERE jac >= 0.7"
+        ),
+        # cross-source overlap matrix: distinct (source, 4-gram-hash)
+        # pairs, equi-self-join on hash with source_a < source_b
+        "q66_source_overlap": (
+            "WITH tok AS (SELECT source, "
+            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "gr AS (SELECT source, CASE WHEN len(toks) = 0 THEN []::VARCHAR[] "
+            "WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')] "
+            "ELSE list_distinct(list_transform(range(1, len(toks) - 2), "
+            "j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2] || ' ' || toks[j+3])) "
+            "END AS grams FROM tok), "
+            "fp AS (SELECT DISTINCT source, " + _ph_sql("g") + " AS h FROM "
+            "(SELECT source, unnest(grams) AS g FROM gr)), "
+            "tot AS (SELECT source, count(*) AS ng FROM fp GROUP BY 1), "
+            "sh AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "count(*) AS shared FROM fp a JOIN fp b "
+            "ON a.h = b.h AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT sh.source_a, sh.source_b, sh.shared, "
+            "ta.ng AS ngrams_a, tb.ng AS ngrams_b, "
+            "round(sh.shared::DOUBLE / ta.ng, 6) AS containment_a, "
+            "round(sh.shared::DOUBLE / tb.ng, 6) AS containment_b, "
+            "round(sh.shared::DOUBLE / (ta.ng + tb.ng - sh.shared), 6) "
+            "AS jaccard "
+            "FROM sh JOIN tot ta ON ta.source = sh.source_a "
+            "JOIN tot tb ON tb.source = sh.source_b"
         ),
     }

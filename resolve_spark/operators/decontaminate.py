@@ -99,6 +99,91 @@ def ngram_contamination(
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    n: int = 8,
+    hash_impl: str = "fast",
+) -> DataFrame:
+    """Pairwise content-overlap matrix between corpus partitions
+    (sources / domains / crawl snapshots) — the provenance check run
+    before mixing corpora into a training set: for each unordered pair
+    of groups, how many distinct token n-gram fingerprints they share.
+
+    Returns (source_a, source_b, shared, ngrams_a, ngrams_b,
+    containment_a, containment_b, jaccard) with ``source_a < source_b``
+    lexicographically; pairs with zero shared fingerprints are omitted
+    (a full matrix over thousands of domains would be mostly-zero S²
+    rows — absent pair means overlap 0).
+
+    Scale plan: documents explode into (group, fingerprint) pairs and
+    are deduped in ONE hash-partitioned shuffle; from there everything
+    is per-fingerprint-local. The group set per fingerprint is bounded
+    by the number of groups (not documents — the dedup guarantees it),
+    so `collect_set` per fingerprint never concentrates a hot
+    fingerprint's documents on one task the way a self-join on the
+    fingerprint would (S² pairs per fp vs D² rows). Per-group totals
+    are S rows — broadcast back. Nothing is quadratic in documents.
+    """
+    fp = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(_ngram_hashes(F.col(text_col), n, hash_impl)).alias("h"),
+        )
+        .dropDuplicates(["g", "h"])
+    )
+    totals = fp.groupBy("g").agg(F.count("*").alias("ng"))
+    srcs = F.array_sort(F.collect_set("g")).alias("srcs")
+    pair = (
+        fp.groupBy("h").agg(srcs)
+        .where(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("srcs"),
+                        lambda a, i: F.transform(
+                            F.slice(
+                                F.col("srcs"), i + 2,
+                                F.size(F.col("srcs")),
+                            ),
+                            lambda b: F.struct(
+                                a.alias("source_a"), b.alias("source_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.source_a").alias("source_a"),
+                 F.col("p.source_b").alias("source_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pair.join(
+            F.broadcast(totals.select(F.col("g").alias("source_a"),
+                                      F.col("ng").alias("ngrams_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("g").alias("source_b"),
+                                      F.col("ng").alias("ngrams_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a", "source_b", "shared", "ngrams_a", "ngrams_b",
+            F.round(F.col("shared") / F.col("ngrams_a"), 6).alias("containment_a"),
+            F.round(F.col("shared") / F.col("ngrams_b"), 6).alias("containment_b"),
+            F.round(
+                F.col("shared")
+                / (F.col("ngrams_a") + F.col("ngrams_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

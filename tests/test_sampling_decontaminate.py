@@ -267,3 +267,39 @@ def test_mixture_sample_errors(docs):
         SM.mixture_sample(docs, "id", "lang", {"en": 1.0, "de": 0.0})
     with pytest.raises(ValueError, match="non-empty"):
         SM.mixture_sample(docs, "id", "lang", {})
+
+
+# ---------------------------------------------------------------------------
+# source_overlap
+# ---------------------------------------------------------------------------
+
+def test_source_overlap_matrix(spark):
+    # sA and sB share exactly the 5-token run "a b c d e" (two 4-grams);
+    # sC is disjoint from both; sD repeats sA's text verbatim (full overlap)
+    rows = [
+        (1, "a b c d e p q r", "sA"),
+        (2, "a b c d e x y z", "sB"),
+        (3, "m n o aa bb cc dd", "sC"),
+        (4, "a b c d e p q r", "sD"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string, src string")
+    out = DC.source_overlap(df, "text", "src", n=4)
+    got = {(r["source_a"], r["source_b"]): r for r in out.collect()}
+    # each doc has 5 distinct 4-grams; "a b c d"/"b c d e" are shared
+    assert set(got) == {("sA", "sB"), ("sA", "sD"), ("sB", "sD")}
+    ab = got[("sA", "sB")]
+    assert (ab["shared"], ab["ngrams_a"], ab["ngrams_b"]) == (2, 5, 5)
+    assert ab["containment_a"] == 0.4 and ab["jaccard"] == 0.25
+    ad = got[("sA", "sD")]
+    assert ad["shared"] == 5 and ad["jaccard"] == 1.0
+    # zero-overlap pairs are omitted, and sC appears nowhere
+    assert all("sC" not in p for p in got)
+
+
+def test_source_overlap_hash_impls_agree(spark):
+    rows = [(i, f"tok{i % 7} alpha beta gamma delta tok{i % 3} end",
+             f"s{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, text string, src string")
+    fast = DC.source_overlap(df, "text", "src", n=4, hash_impl="fast")
+    port = DC.source_overlap(df, "text", "src", n=4, hash_impl="portable")
+    assert fast.subtract(port).count() == 0 and port.subtract(fast).count() == 0
