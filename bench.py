@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "q56_gopher_quality",
     "q58_chunk_documents",
     "q60_repeated_ngrams",
+    "q65_minhash_join",
+    "q66_source_overlap",
 ]
 
 

@@ -117,27 +117,34 @@ def source_overlap(
     (a full matrix over thousands of domains would be mostly-zero S²
     rows — absent pair means overlap 0).
 
-    Scale plan: documents explode into (group, fingerprint) pairs and
-    are deduped in ONE hash-partitioned shuffle; from there everything
-    is per-fingerprint-local. The group set per fingerprint is bounded
-    by the number of groups (not documents — the dedup guarantees it),
-    so `collect_set` per fingerprint never concentrates a hot
-    fingerprint's documents on one task the way a self-join on the
+    Scale plan: the exploded (group, fingerprint) stream is shuffled
+    ONCE, by fingerprint, into `collect_set(group)` — the set dedups,
+    so no separate distinct pass, and partial aggregation dedups
+    map-side before the shuffle. The set per fingerprint is bounded by
+    the number of groups (not documents), so a hot fingerprint never
+    concentrates its documents on one task the way a self-join on the
     fingerprint would (S² pairs per fp vs D² rows). Per-group totals
-    are S rows — broadcast back. Nothing is quadratic in documents.
+    fall out of the same deduped sets (a second, already-small
+    shuffle) and broadcast back as S rows. Nothing is quadratic in
+    documents, and the raw explode crosses the network exactly once —
+    the totals branch consumes the SAME exchange as the pair branch
+    (verified: the executed plan shows ReusedExchange, not a recompute).
     """
-    fp = (
+    grouped = (
         df.select(
             F.col(group_col).alias("g"),
             F.explode(_ngram_hashes(F.col(text_col), n, hash_impl)).alias("h"),
         )
-        .dropDuplicates(["g", "h"])
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("g")).alias("srcs"))
     )
-    totals = fp.groupBy("g").agg(F.count("*").alias("ng"))
-    srcs = F.array_sort(F.collect_set("g")).alias("srcs")
+    totals = (
+        grouped.select(F.explode("srcs").alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("ng"))
+    )
     pair = (
-        fp.groupBy("h").agg(srcs)
-        .where(F.size("srcs") >= 2)
+        grouped.where(F.size("srcs") >= 2)
         .select(
             F.explode(
                 F.flatten(
