@@ -338,6 +338,102 @@ class ResolvePipeline:
             )
         return PipelineRun(normalized, pairs, edges, clusters, stats_df, counters)
 
+    def run_incremental(
+        self,
+        prev: PipelineRun,
+        new_raw: DataFrame,
+        prev_blocked: DataFrame | None = None,
+    ) -> PipelineRun:
+        """Merge a new batch into an existing resolved state WITHOUT
+        re-scoring the old corpus — the daily-crawl-increment path.
+
+        Only pairs touching the increment are generated and scored:
+        old-old edges are reused verbatim from ``prev.edges`` (pairwise
+        scores don't change when records are added), and clusters can
+        only merge under new transitive evidence, never split, so one
+        connected-components pass over (old ∪ new) edges reproduces the
+        full-recompute clustering. Equality with ``run(old ∪ new)`` is
+        EXACT while every touched blocking key stays under
+        ``max_block_size``; on oversized keys the sorted-neighborhood
+        positions shift as new ids interleave, so hot-key recall differs
+        within the same documented pair budget as the full run.
+
+        Scale plan (increment m << corpus N):
+        - normalize/embed/block run on the m new rows only;
+        - the old side is pruned to records sharing >= 1 blocking key
+          with the increment BEFORE pair generation — one semi-join on
+          the exploded key stream (AQE broadcasts the increment's key
+          set when small); pass ``prev_blocked`` (the persisted blocked
+          stage: id + block_keys) to skip even the map-side re-blocking
+          of the old corpus;
+        - pair generation runs under the SAME budget/sorted-neighborhood
+          machinery as the batch path, over touched-old ∪ new only, and
+          both-old pairs are dropped before any scoring kernel;
+        - CC cost is driven by edge count, which this path doesn't
+          inflate: old-old edges enter once, as stored longs.
+
+        Caller contract: ids are unique across batches (re-submitting an
+        existing id is an update, which belongs to the store API path).
+        """
+        cfg = self.cfg
+        counters: dict = {}
+        new_norm = self.normalized(new_raw).persist()
+        counters["new_records"] = new_norm.count()
+        new_blocked = self.blocked(new_norm).select(cfg.id_col, "block_keys")
+        if prev_blocked is None:
+            prev_blocked = self.blocked(prev.normalized).select(
+                cfg.id_col, "block_keys"
+            )
+        inc_keys = (
+            new_blocked.select(F.explode("block_keys").alias("key")).distinct()
+        )
+        touched_old = (
+            prev_blocked.select(
+                F.col(cfg.id_col), F.explode("block_keys").alias("key")
+            )
+            .join(inc_keys, "key", "left_semi")
+            .groupBy(cfg.id_col)
+            .agg(F.collect_list("key").alias("block_keys"))
+        )
+        population = touched_old.unionByName(new_blocked).persist()
+        pairs, pair_stats = candidate_pairs(
+            population, cfg.id_col, cfg.blocking, count_pairs=False
+        )
+        if pair_stats:
+            counters["touched_old_records"] = pair_stats.n_records - counters["new_records"]
+            counters["pairs_dropped_estimate"] = pair_stats.pairs_dropped_estimate
+        # keep only pairs with a new side; both-old pairs were scored in
+        # a previous run (hits stay edges, misses stay misses)
+        new_ids = new_norm.select(F.col(cfg.id_col).alias("_nid")).distinct()
+        pairs = (
+            pairs.join(
+                new_ids.withColumn("_new_a", F.lit(True)),
+                pairs.id_a == F.col("_nid"), "left",
+            ).drop("_nid")
+            .join(
+                new_ids.withColumn("_new_b", F.lit(True)),
+                F.col("id_b") == F.col("_nid"), "left",
+            ).drop("_nid")
+            .where(F.coalesce("_new_a", F.lit(False)) | F.coalesce("_new_b", F.lit(False)))
+            .drop("_new_a", "_new_b")
+            .persist()
+        )
+        counters["pairs_scored"] = pairs.count()
+        union_norm = prev.normalized.unionByName(
+            new_norm, allowMissingColumns=True
+        )
+        new_edges = self.score(pairs, union_norm)
+        edges = prev.edges.unionByName(new_edges, allowMissingColumns=True).persist()
+        clusters = C.assign_clusters(
+            union_norm, self.cluster_edges(edges), cfg.id_col
+        ).persist()
+        stats_df = None
+        if cfg.stat_fields:
+            stats_df = C.group_statistics(
+                clusters, union_norm, edges, cfg.id_col, list(cfg.stat_fields)
+            )
+        return PipelineRun(union_norm, pairs, edges, clusters, stats_df, counters)
+
 
 # ---------------------------------------------------------------------------
 # Evaluation — pairwise F1 at the shared blocking key (BASELINE.json metric)

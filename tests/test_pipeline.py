@@ -209,3 +209,41 @@ def test_length_ratio_gate_prunes_before_scoring(spark):
     assert mg["fn"] == mo["fn"] == 0
     assert mg["tp"] == mo["tp"]
     assert mg["fp"] <= mo["fp"]
+
+
+def test_incremental_matches_full_recompute(spark, files_df, run):
+    # deterministic ~70/30 split; variants land on either side, so the
+    # increment both merges into old clusters and forms new ones
+    side = F.abs(F.xxhash64(F.col("record_id").cast("string"))) % 10
+    base = files_df.where(side < 7)
+    inc = files_df.where(side >= 7)
+    assert 0 < inc.count() < files_df.count()
+    pipe = P.ResolvePipeline(spark, P.files_pipeline_config())
+    prev = pipe.run(base)
+    out = pipe.run_incremental(prev, inc)
+    # exact cluster equality with the full-corpus run (no oversized
+    # blocks at this size, so the budget caveat does not bite)
+    full = {(r["rid"], r["cluster_id"], r["cluster_size"])
+            for r in run.clusters.collect()}
+    got = {(r["rid"], r["cluster_id"], r["cluster_size"])
+           for r in out.clusters.collect()}
+    assert got == full
+    # edge sets agree too — old-old edges reused, increment edges fresh
+    fe = {(r["id_a"], r["id_b"]) for r in run.edges.select("id_a", "id_b").collect()}
+    ge = {(r["id_a"], r["id_b"]) for r in out.edges.select("id_a", "id_b").collect()}
+    assert ge == fe
+    # the increment scored strictly fewer pairs than the full run
+    assert 0 < out.counters["pairs_scored"] < run.pairs.count()
+    assert out.counters["new_records"] == inc.count()
+
+
+def test_incremental_prev_blocked_shortcut(spark, files_df):
+    side = F.abs(F.xxhash64(F.col("record_id").cast("string"))) % 10
+    base, inc = files_df.where(side < 7), files_df.where(side >= 7)
+    pipe = P.ResolvePipeline(spark, P.files_pipeline_config())
+    prev = pipe.run(base)
+    pb = pipe.blocked(prev.normalized).select("record_id", "block_keys")
+    a = pipe.run_incremental(prev, inc)
+    b = pipe.run_incremental(prev, inc, prev_blocked=pb)
+    assert a.clusters.subtract(b.clusters).count() == 0
+    assert b.clusters.subtract(a.clusters).count() == 0
