@@ -1049,6 +1049,19 @@ def _q66_source_overlap(spark, sf_dir):  # cross-source provenance matrix
     return source_overlap(d, "text", "source", n=4, hash_impl="portable")
 
 
+def _q67_tfidf_dedup_pairs(spark, sf_dir):  # IDF-weighted near-dup pairs
+    """tfidf_weighted_jaccard_pairs: boilerplate-robust near-dup over
+    MinHash-blocked candidates. IDF weights are int64-scaled
+    (round(1e6*ln(1+N/df))), so the score is a ratio of exact longs —
+    order-independent — and the 0.6 cutoff has a ±0.007 margin at
+    sf0.01 (nearest scores 0.592527 / 0.619082)."""
+    from resolve_spark.operators.dedup import tfidf_weighted_jaccard_pairs
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_weighted_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.6, hash_impl="portable"
+    )
+
+
 def _q51_explanation(spark, sf_dir):  # M9 explanation bands (match.go:643-653)
     """Banded confidence + formatted explanation string. Scores are
     0.5001 + k/1000 (k integer) — 4-decimal values ending in 1, so the
@@ -1182,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_unigram_logprob": _q64_unigram_logprob,
         "q65_minhash_join": _q65_minhash_join,
         "q66_source_overlap": _q66_source_overlap,
+        "q67_tfidf_dedup_pairs": _q67_tfidf_dedup_pairs,
     }
 
 
@@ -2301,5 +2315,31 @@ def oracle_sql() -> dict[str, str]:
             "AS jaccard "
             "FROM sh JOIN tot ta ON ta.source = sh.source_a "
             "JOIN tot tb ON tb.source = sh.source_b"
+        ),
+        # IDF-weighted token Jaccard over the q19/q28 minhash-band
+        # candidate chain; int64-scaled weights keep sums exact
+        "q67_tfidf_dedup_pairs": (
+            "WITH " + _minhash_keys_cte(64, 16, 42) + ", "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM keys a JOIN keys b ON a.band_key = b.band_key "
+            "AND a.doc_id < b.doc_id), "
+            "tok AS (SELECT doc_id, " + _TOKENS_SQL.format(c="text") + " AS t "
+            "FROM documents), "
+            "tw AS (SELECT doc_id, unnest(t) AS tok FROM tok), "
+            "n AS (SELECT count(*)::DOUBLE AS nd FROM documents), "
+            "wt AS (SELECT tok, round(1000000.0 * "
+            "ln(1 + (SELECT nd FROM n) / count(*)))::BIGINT AS w "
+            "FROM tw GROUP BY tok), "
+            "tww AS (SELECT doc_id, tw.tok, w FROM tw JOIN wt USING (tok)), "
+            "tot AS (SELECT doc_id, sum(w) AS W FROM tww GROUP BY 1), "
+            "inter AS (SELECT c.id_a, c.id_b, sum(a.w) AS iw FROM cand c "
+            "JOIN tww a ON a.doc_id = c.id_a "
+            "JOIN tww b ON b.doc_id = c.id_b AND b.tok = a.tok "
+            "GROUP BY 1, 2) "
+            "SELECT id_a, id_b, wjaccard FROM ("
+            "SELECT id_a, id_b, "
+            "round(iw::DOUBLE / (ta.W + tb.W - iw), 6) AS wjaccard "
+            "FROM inter JOIN tot ta ON ta.doc_id = id_a "
+            "JOIN tot tb ON tb.doc_id = id_b) WHERE wjaccard >= 0.6"
         ),
     }

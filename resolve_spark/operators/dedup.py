@@ -88,6 +88,79 @@ def ngram_jaccard_pairs(
     )
 
 
+def tfidf_weighted_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_impl: str = "fast",
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """IDF-weighted token Jaccard near-dup pairs:
+    (id_a, id_b, wjaccard) with wjaccard >= threshold, where each
+    distinct token t carries weight idf(t) = ln(1 + N/df_t) — shared
+    boilerplate ("terms of service", nav chrome) gets ~0 weight while
+    rare content tokens dominate, so near-dup detection keys on what a
+    page actually says. Plain Jaccard (minhash_duplicates) treats both
+    alike, which over-merges template-heavy corpora.
+
+    Weights are scaled to int64 (``round(idf_scale * idf)``): integer
+    sums are associativity-exact, so the score is a ratio of exact
+    longs — reproducible across engines and partitionings regardless of
+    reduction order (a raw double sum is not).
+
+    Scale plan: candidates come from the same banded MinHash machinery
+    as minhash_duplicates (never all-pairs); document frequencies are
+    one map-side-combinable groupBy over the exploded distinct-token
+    stream; the weighted-intersection verify is an equi-join on
+    (candidate, token) — cost O(candidate_pairs x tokens_per_doc), the
+    same class as every other verify in this module, shuffled on a key
+    that candidate budgeting already bounds. ``df.count()`` is the one
+    scalar driver action (N conditions the idf; a cached input makes it
+    free).
+    """
+    n_docs = df.count()
+    toks = df.select(F.col(id_col).alias("rid"), S.tokens(F.col(content_col)).alias("t"))
+    tw = toks.select("rid", F.explode("t").alias("tok"))
+    dfreq = tw.groupBy("tok").agg(F.count("*").alias("df"))
+    weights = dfreq.select(
+        "tok",
+        F.round(
+            F.lit(float(idf_scale))
+            * F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df"))
+        ).cast("long").alias("w"),
+    )
+    tw = tw.join(weights, "tok")
+    tot = tw.groupBy("rid").agg(F.sum("w").alias("W"))
+    cfg = BlockingConfig(
+        enable_canopy=False, minhash_column=content_col,
+        minhash_num_hashes=num_hashes, minhash_bands=bands,
+        minhash_hash_impl=hash_impl,
+    )
+    blocked = B.add_blocking_keys(df, cfg)
+    pairs, _ = candidate_pairs(blocked, id_col, cfg, with_stats=False)
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(tw.selectExpr("rid as id_a", "tok", "w"), "id_a")
+        .join(tw.selectExpr("rid as id_b", "tok"), ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("w").alias("iw"))
+    )
+    return (
+        inter.join(tot.selectExpr("rid as id_a", "W as wa"), "id_a")
+        .join(tot.selectExpr("rid as id_b", "W as wb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("iw") / (F.col("wa") + F.col("wb") - F.col("iw")), 6
+            ).alias("wjaccard"),
+        )
+        .where(F.col("wjaccard") >= threshold)
+    )
+
+
 def minhash_duplicates(
     df: DataFrame, id_col: str, content_col: str, jaccard_threshold: float = 0.7,
     num_hashes: int = 64, bands: int = 16, hash_impl: str = "fast",

@@ -239,3 +239,42 @@ def test_minhash_join_cross_corpus(spark, docs):
         left, right, "rid", "rid", left_text="content", right_text="content",
         jaccard_threshold=0.5, max_pairs_per_key=0,
     ).count() == 0
+
+
+def test_tfidf_weighted_jaccard_downweights_boilerplate(spark):
+    # every doc shares 8 boilerplate tokens; d1/d2 share their 4 content
+    # tokens (near-dups), d3/d4 have disjoint content
+    bp = "terms of service privacy cookie policy all rights"
+    rows = [
+        ("d1", bp + " quantum entanglement research paper"),
+        ("d2", bp + " quantum entanglement research papers"),
+        ("d3", bp + " chocolate cake baking recipe"),
+        ("d4", bp + " football match score report"),
+    ] + [
+        # the boilerplate is corpus-wide, the content tokens are not
+        (f"f{i}", bp + f" fillera{i} fillerb{i} fillerc{i} fillerd{i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "rid string, content string")
+    out = dedup.tfidf_weighted_jaccard_pairs(
+        df, "rid", "content", threshold=0.0, bands=64, num_hashes=64,
+    )
+    got = {(r["id_a"], r["id_b"]): r["wjaccard"] for r in out.collect()}
+    # plain jaccard on d3/d4 would be 8/14 = 0.57; idf crushes it
+    assert got[("d3", "d4")] < 0.2
+    # the true near-dups keep a high weighted score
+    assert got[("d1", "d2")] > 0.55
+    assert got[("d1", "d2")] > got[("d3", "d4")] + 0.4
+
+
+def test_tfidf_weighted_jaccard_threshold_and_order_stability(spark):
+    rows = [(f"r{i}", f"alpha beta gamma delta tok{i % 5} word{i % 17}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "rid string, content string")
+    a = dedup.tfidf_weighted_jaccard_pairs(df, "rid", "content", threshold=0.6)
+    b = dedup.tfidf_weighted_jaccard_pairs(
+        df.repartition(13).orderBy(F.desc("rid")), "rid", "content",
+        threshold=0.6,
+    )
+    assert a.count() > 0
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
