@@ -64,6 +64,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="max hops for transitive grouping "
                          "(cmd/resolve/main.go:54)")
     ap.add_argument("--limit", type=int, default=10)
+    ap.add_argument("--increment-from", dest="increment_from", default=None,
+                    help="resolve only: a previous resolve --out dir; "
+                         "treat --input as a NEW batch and merge it into "
+                         "that run's edges without re-scoring the old "
+                         "corpus (requires --prev-input)")
+    ap.add_argument("--prev-input", dest="prev_input", default=None,
+                    help="the already-resolved corpus parquet that "
+                         "produced --increment-from (re-normalized "
+                         "map-side; never re-paired or re-scored)")
     ap.add_argument("--checkpoint")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -102,9 +111,23 @@ def main(argv: list[str] | None = None) -> int:
     elif args.verb == "resolve":
         from resolve_spark.sources.checkpoint import input_data_fingerprint
         df = spark.read.parquet(args.input)
-        # path + file listing (sizes/mtimes): same --checkpoint dir with
-        # CHANGED data at the same path recomputes instead of resuming
-        run = pipe.run(df, input_fp=input_data_fingerprint(args.input))
+        if args.increment_from:
+            if not args.prev_input:
+                print("--increment-from requires --prev-input", file=sys.stderr)
+                return 2
+            from resolve_spark.plans.pipeline import PipelineRun
+            prev = PipelineRun(
+                normalized=pipe.normalized(spark.read.parquet(args.prev_input)),
+                pairs=None,
+                edges=spark.read.parquet(f"{args.increment_from}/edges"),
+                clusters=None, stats=None, counters={},
+            )
+            run = pipe.run_incremental(prev, df)
+        else:
+            # path + file listing (sizes/mtimes): same --checkpoint dir
+            # with CHANGED data at the same path recomputes instead of
+            # resuming
+            run = pipe.run(df, input_fp=input_data_fingerprint(args.input))
         run.clusters.write.mode("overwrite").parquet(f"{args.out}/clusters")
         run.edges.write.mode("overwrite").parquet(f"{args.out}/edges")
         if run.stats is not None:

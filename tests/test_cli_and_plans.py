@@ -263,3 +263,31 @@ def test_new_text_ops_stay_native(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.slow
+def test_cli_resolve_incremental(spark, tmp_path):
+    from resolve_spark import datagen
+    files = datagen.with_record_id(
+        datagen.synth_files(spark, n_base=300, dup_rate=0.3)
+    )
+    side = F.abs(F.xxhash64(F.col("record_id").cast("string"))) % 10
+    base_p = str(tmp_path / "base")
+    inc_p = str(tmp_path / "inc")
+    files.where(side < 7).write.parquet(base_p)
+    files.where(side >= 7).write.parquet(inc_p)
+    out1 = str(tmp_path / "out1")
+    _run_cli("resolve", "--input", base_p, "--out", out1)
+    out2 = str(tmp_path / "out2")
+    res = _run_cli("resolve", "--input", inc_p, "--out", out2,
+                   "--increment-from", out1, "--prev-input", base_p)
+    # merged state covers the whole corpus and matches a full recompute
+    assert res["clusters"] == files.count()
+    full_out = str(tmp_path / "full")
+    all_p = str(tmp_path / "all")
+    files.write.parquet(all_p)
+    _run_cli("resolve", "--input", all_p, "--out", full_out)
+    inc_cl = spark.read.parquet(f"{out2}/clusters")
+    full_cl = spark.read.parquet(f"{full_out}/clusters")
+    assert inc_cl.subtract(full_cl).count() == 0
+    assert full_cl.subtract(inc_cl).count() == 0
