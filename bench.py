@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "q60_repeated_ngrams",
     "q65_minhash_join",
     "q66_source_overlap",
+    "q67_tfidf_dedup_pairs",
 ]
 
 

@@ -8,6 +8,11 @@ set, built from the same primitives as the ER pipeline:
 - ngram_jaccard_duplicates: character-n-gram Jaccard over blocked pairs
 - minhash_duplicates: MinHash-LSH banding -> budgeted pairs -> verify
   with true Jaccard -> connected components
+- minhash_join: the cross-corpus variant — near-dup pairs BETWEEN two
+  tables via shared band keys (dedup a new crawl against the corpus)
+- tfidf_weighted_jaccard_pairs: IDF-weighted token Jaccard (int64-
+  scaled weights) — boilerplate-robust near-dup for template-heavy
+  corpora
 - simhash_duplicates: 64-bit SimHash, banded by 16-bit chunks (pigeonhole:
   hamming <= 3 over 4 bands guarantees one identical band) -> verify
   hamming distance -> connected components
