@@ -105,6 +105,7 @@ def source_overlap(
     group_col: str,
     n: int = 8,
     hash_impl: str = "fast",
+    max_groups_per_fingerprint: int | None = None,
 ) -> DataFrame:
     """Pairwise content-overlap matrix between corpus partitions
     (sources / domains / crawl snapshots) — the provenance check run
@@ -129,6 +130,15 @@ def source_overlap(
     documents, and the raw explode crosses the network exactly once —
     the totals branch consumes the SAME exchange as the pair branch
     (verified: the executed plan shows ReusedExchange, not a recompute).
+
+    The remaining quadratic-in-GROUPS hazard: a corpus-wide boilerplate
+    fingerprint present in s groups emits s(s-1)/2 pair rows. With tens
+    of groups that's nothing; at group_col=domain (thousands), set
+    ``max_groups_per_fingerprint`` to drop fingerprints above the cap
+    from PAIR COUNTING (same budget philosophy as pairs.py; an
+    everywhere-fingerprint carries no provenance signal — cf. idf).
+    ``shared`` becomes a lower bound; denominators still count every
+    fingerprint, so containment/jaccard stay comparable across pairs.
     """
     grouped = (
         df.select(
@@ -143,8 +153,13 @@ def source_overlap(
         .groupBy("g")
         .agg(F.count("*").alias("ng"))
     )
+    pairable = grouped.where(F.size("srcs") >= 2)
+    if max_groups_per_fingerprint is not None:
+        pairable = pairable.where(
+            F.size("srcs") <= max_groups_per_fingerprint
+        )
     pair = (
-        grouped.where(F.size("srcs") >= 2)
+        pairable
         .select(
             F.explode(
                 F.flatten(

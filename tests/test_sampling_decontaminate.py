@@ -303,3 +303,27 @@ def test_source_overlap_hash_impls_agree(spark):
     fast = DC.source_overlap(df, "text", "src", n=4, hash_impl="fast")
     port = DC.source_overlap(df, "text", "src", n=4, hash_impl="portable")
     assert fast.subtract(port).count() == 0 and port.subtract(fast).count() == 0
+
+
+def test_source_overlap_fingerprint_cap(spark):
+    # "x y z w" is in all 4 sources (boilerplate); each pair also shares
+    # one pair-specific 4-gram through doc overlap
+    rows = [
+        ("1", "x y z w only1 a b c", "s1"),
+        ("2", "x y z w only1 a b c", "s2"),
+        ("3", "x y z w other2 d e f", "s3"),
+        ("4", "x y z w other3 g h i", "s4"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string, src string")
+    full = DC.source_overlap(df, "text", "src", n=4)
+    capped = DC.source_overlap(
+        df, "text", "src", n=4, max_groups_per_fingerprint=3
+    )
+    f = {(r["source_a"], r["source_b"]): r["shared"] for r in full.collect()}
+    c = {(r["source_a"], r["source_b"]): r["shared"] for r in capped.collect()}
+    # the one universal gram ("x y z w") no longer counted anywhere
+    assert all(c[k] == f[k] - 1 for k in c)
+    # pairs whose ONLY overlap was boilerplate drop out entirely
+    assert ("s3", "s4") in f and ("s3", "s4") not in c
+    # s1/s2 share doc-level content beyond the boilerplate -> survive
+    assert c[("s1", "s2")] >= 1
