@@ -63,6 +63,7 @@ def ngram_contamination(
     text_col: str,
     n: int = 8,
     hash_impl: str = "fast",
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Per-corpus-doc contamination stats against ``benchmark``:
     (id, n_ngrams, n_hit, contamination = n_hit / n_ngrams).
@@ -70,17 +71,27 @@ def ngram_contamination(
     Docs with no n-grams (empty text) report contamination 0.0.
     Threshold downstream (e.g. ``.where("contamination > 0.2")``) or
     anti-join the flagged ids to produce the clean corpus.
+
+    ``broadcast_benchmark=True`` (default) is the eval-set case: the
+    distinct benchmark grams ship to every executor and the corpus
+    never shuffles. Set it False when the "benchmark" is ANOTHER LARGE
+    CORPUS (cross-crawl decontamination) — the hit count becomes a
+    hash-partitioned semi-join on the gram hash, and AQE still demotes
+    it to a broadcast at runtime if the side turns out small. Results
+    are identical either way; only the shuffle strategy differs.
     """
     bench_set = (
         benchmark.select(F.explode(_ngram_hashes(F.col(text_col), n, hash_impl)).alias("g"))
         .distinct()
     )
+    if broadcast_benchmark:
+        bench_set = F.broadcast(bench_set)
     doc_grams = corpus.select(
         F.col(id_col), _ngram_hashes(F.col(text_col), n, hash_impl).alias("grams")
     )
     hits = (
         doc_grams.select(id_col, F.explode("grams").alias("g"))
-        .join(F.broadcast(bench_set), "g", "left_semi")
+        .join(bench_set, "g", "left_semi")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hit"))
     )
@@ -214,11 +225,13 @@ def decontaminate(
     n: int = 8,
     max_contamination: float = 0.0,
     hash_impl: str = "fast",
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """The clean corpus: drop docs whose contamination exceeds
     ``max_contamination`` (default: any shared n-gram drops the doc)."""
     flagged = (
-        ngram_contamination(corpus, benchmark, id_col, text_col, n, hash_impl)
+        ngram_contamination(corpus, benchmark, id_col, text_col, n, hash_impl,
+                            broadcast_benchmark=broadcast_benchmark)
         .where(F.col("contamination") > max_contamination)
         .select(id_col)
     )

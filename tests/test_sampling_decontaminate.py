@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -327,3 +329,33 @@ def test_source_overlap_fingerprint_cap(spark):
     assert ("s3", "s4") in f and ("s3", "s4") not in c
     # s1/s2 share doc-level content beyond the boilerplate -> survive
     assert c[("s1", "s2")] >= 1
+
+
+def test_contamination_shuffle_mode_identical(spark):
+    # cross-crawl decontamination: benchmark too big to broadcast ->
+    # broadcast_benchmark=False must produce IDENTICAL stats via a
+    # shuffle semi-join
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i % 9} x{i % 4} y z q") for i in range(300)],
+        "id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i % 9} x0 y z q") for i in range(50)],
+        "id bigint, text string",
+    )
+    a = DC.ngram_contamination(corpus, bench, "id", "text", n=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b = DC.ngram_contamination(
+            corpus, bench, "id", "text", n=4, broadcast_benchmark=False
+        )
+        assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+        # materialize b itself so the AQE plan is final, then check the
+        # semi-join really shuffled (keys sit between the node name and
+        # the join type, e.g. "SortMergeJoin [g#22L], [g#12L], LeftSemi")
+        b.count()
+        plan = b._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[[^\]]*\], \[[^\]]*\], LeftSemi", plan), plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
