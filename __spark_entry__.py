@@ -1127,6 +1127,33 @@ def _q54_embedding_dedup(spark, sf_dir):  # embedding-cosine near-dup -> CC
     return out.select("rid", "cluster_id", "cluster_size")
 
 
+def _q68_semantic_decontamination(spark, sf_dir):  # embedding-space decon
+    """Embedding-space benchmark decontamination (the semantic
+    complement of q43's n-gram pass, SemDeDup-style corpus-vs-bench):
+    benchmark = every 23rd doc's vector; a doc is contaminated when
+    ANY benchmark vector sits at cosine >= 0.95. Vectors are the q54
+    text-derived 16-dim doubles so DuckDB recomputes them exactly;
+    0.95 sits in a measured cosine gap (nearest values 0.949879 /
+    0.950286 at sf0.01, 0.949709 / 0.950603 at sf0.001 — orders of
+    magnitude beyond any float64 divergence between engines)."""
+    from resolve_spark.operators.decontaminate import semantic_contamination
+    d = _t(spark, sf_dir, "documents")
+    vec = F.expr(
+        "transform(sequence(0, 15), i -> CASE WHEN i < length(text) "
+        "THEN (ascii(substring(text, i + 1, 1)) - 100.0) / 10.0 "
+        "ELSE 0.0 END)"
+    )
+    base = d.select("doc_id", vec.alias("vec"))
+    bench = base.where(F.col("doc_id") % 23 == 0)
+    out = semantic_contamination(base, bench, "doc_id", "vec", threshold=0.95)
+    return out.select(
+        "doc_id",
+        F.round("max_cos", 6).alias("max_cos"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1196,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_minhash_join": _q65_minhash_join,
         "q66_source_overlap": _q66_source_overlap,
         "q67_tfidf_dedup_pairs": _q67_tfidf_dedup_pairs,
+        "q68_semantic_decontamination": _q68_semantic_decontamination,
     }
 
 
@@ -2341,5 +2369,18 @@ def oracle_sql() -> dict[str, str]:
             "round(iw::DOUBLE / (ta.W + tb.W - iw), 6) AS wjaccard "
             "FROM inter JOIN tot ta ON ta.doc_id = id_a "
             "JOIN tot tb ON tb.doc_id = id_b) WHERE wjaccard >= 0.6"
+        ),
+        "q68_semantic_decontamination": (
+            "WITH v AS (SELECT doc_id, list_transform(range(0, 16), i -> "
+            "CASE WHEN i < length(text) THEN "
+            "(ascii(substr(text, (i + 1)::INT, 1)) - 100.0) / 10.0 "
+            "ELSE 0.0 END) AS vec FROM documents), "
+            "b AS (SELECT DISTINCT vec FROM v WHERE doc_id % 23 = 0), "
+            "x AS (SELECT v.doc_id, "
+            "max(list_cosine_similarity(v.vec, b.vec)) AS mc, "
+            "count(*) FILTER (list_cosine_similarity(v.vec, b.vec) >= 0.95) "
+            "AS nh FROM v CROSS JOIN b GROUP BY 1) "
+            "SELECT doc_id, round(mc, 6) AS max_cos, nh AS n_hits, "
+            "(nh > 0)::INT AS contaminated FROM x"
         ),
     }

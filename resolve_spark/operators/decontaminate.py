@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from resolve_spark.functions.embedding import cosine_similarity_native
 from resolve_spark.functions.hashing import check_hash_impl, portable_hash60
 
 #: decontamination tokenizer: lowercase alnum runs (ASCII class — eval
@@ -215,6 +216,106 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bench_vec_col: str | None = None,
+    prefilter_planes: int | None = None,
+    prefilter_tables: int = 4,
+    seed: int = 42,
+    hash_impl: str = "fast",
+) -> DataFrame:
+    """Embedding-space contamination: per corpus doc, the max cosine
+    similarity to ANY benchmark embedding — the semantic complement of
+    :func:`ngram_contamination` for paraphrased/translated benchmark
+    leakage that shares no exact n-gram (cf. the embedding-dedup
+    arm of SemDeDup-style pipelines, applied corpus-vs-benchmark).
+
+    Returns (id, max_cos, n_hits, contaminated):
+    ``n_hits`` = benchmark vectors at cosine >= ``threshold``,
+    ``contaminated`` = n_hits > 0. Zero-norm vectors score 0 against
+    everything (the cosine kernel's convention).
+
+    Scale plan: the benchmark is an EVAL SET — thousands to ~1M small
+    vectors — so its (dedup'd) vectors broadcast and the corpus streams
+    past them map-side: one broadcast nested-loop join + one combinable
+    per-doc agg, no corpus shuffle beyond the agg, nothing quadratic in
+    the corpus. For benchmarks too large for |corpus| x |bench| exact
+    cosines, set ``prefilter_planes``: both sides are SRP-bucketed
+    (``prefilter_tables`` independent tables, OR'd) and exact cosine
+    runs only inside shared buckets. That mode is a LOWER BOUND on
+    max_cos (LSH recall < 1); near-identical leaks (cos -> 1) collide
+    in every table and are still caught.
+    """
+    bvc = bench_vec_col or vec_col
+    bench = benchmark.select(F.col(bvc).cast("array<double>").alias("_bv")).distinct()
+    left = corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_cv"))
+    if prefilter_planes is None:
+        joined = left.join(F.broadcast(bench), F.lit(True))
+    else:
+        from resolve_spark.operators.ann import add_hyperplane_bucket
+
+        # dedup across the OR'd tables on the (id, bench-vector) pair;
+        # xxhash64 hashes the array directly, no stringification
+        bench = bench.withColumn("_bid", F.xxhash64("_bv"))
+        joined = None
+        for t in range(prefilter_tables):
+            s = seed + 101 * t
+            cb = add_hyperplane_bucket(
+                left.withColumnRenamed("_cv", "_v"), "_v", prefilter_planes,
+                s, hash_impl=hash_impl,
+            ).withColumnRenamed("_v", "_cv")
+            bb = add_hyperplane_bucket(
+                bench.withColumnRenamed("_bv", "_v"), "_v", prefilter_planes,
+                s, hash_impl=hash_impl,
+            ).withColumnRenamed("_v", "_bv")
+            j = cb.join(bb, "bucket").drop("bucket")
+            joined = j if joined is None else joined.unionByName(j)
+        joined = joined.dropDuplicates([id_col, "_bid"]).drop("_bid")
+    cos = cosine_similarity_native(F.col("_cv"), F.col("_bv"))
+    stats = (
+        joined.select(id_col, cos.alias("_cos"))
+        .groupBy(id_col)
+        .agg(
+            F.max("_cos").alias("max_cos"),
+            F.sum(F.when(F.col("_cos") >= threshold, 1).otherwise(0)).alias("n_hits"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("max_cos", F.lit(0.0)).alias("max_cos"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    **kwargs,
+) -> DataFrame:
+    """The semantically clean corpus: drop docs with any benchmark
+    embedding at cosine >= ``threshold``. Kwargs forward to
+    :func:`semantic_contamination` (prefilter, bench_vec_col, ...)."""
+    flagged = (
+        semantic_contamination(corpus, benchmark, id_col, vec_col,
+                               threshold=threshold, **kwargs)
+        .where("contaminated")
+        .select(id_col)
+    )
+    return corpus.join(flagged, id_col, "left_anti")
 
 
 def decontaminate(

@@ -331,6 +331,88 @@ def test_source_overlap_fingerprint_cap(spark):
     assert c[("s1", "s2")] >= 1
 
 
+def _sem_fixture(spark):
+    # 4-dim toy embeddings: d1 == benchmark b1 (cos 1.0), d2 is a noisy
+    # near-copy, d3 orthogonal to both benchmarks, d4 zero-norm
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 2.0, 0.0]),
+            (2, [1.0, 0.1, 2.0, 0.0]),
+            (3, [0.0, 3.0, 0.0, 1.0]),
+            (4, [0.0, 0.0, 0.0, 0.0]),
+        ],
+        "id bigint, vec array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(101, [1.0, 0.0, 2.0, 0.0]), (102, [2.0, 0.0, 4.0, 0.1])],
+        "id bigint, vec array<double>",
+    )
+    return corpus, bench
+
+
+def test_semantic_contamination_exact(spark):
+    import numpy as np
+
+    corpus, bench = _sem_fixture(spark)
+    out = {
+        r["id"]: r
+        for r in DC.semantic_contamination(
+            corpus, bench, "id", "vec", threshold=0.99
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    cvecs = {r["id"]: np.array(r["vec"]) for r in corpus.collect()}
+    bvecs = [np.array(r["vec"]) for r in bench.collect()]
+
+    def mc(v):
+        n = np.linalg.norm(v)
+        if n == 0:
+            return 0.0
+        return max(float(v @ b / (n * np.linalg.norm(b))) for b in bvecs)
+
+    for i in (1, 2, 3):
+        assert out[i]["max_cos"] == pytest.approx(mc(cvecs[i]), abs=1e-12)
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 2  # b2 ~ 2*b1
+    assert out[2]["contaminated"]  # noisy copy still > 0.99
+    assert not out[3]["contaminated"] and out[3]["n_hits"] == 0
+    # zero-norm doc: cosine convention scores 0 vs everything
+    assert out[4]["max_cos"] == 0.0 and not out[4]["contaminated"]
+    # eval-set path must broadcast, never shuffle the corpus side
+    plan = DC.semantic_contamination(
+        corpus, bench, "id", "vec"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_semantic_contamination_prefilter_and_decontaminate(spark):
+    corpus, bench = _sem_fixture(spark)
+    pre = {
+        r["id"]: r
+        for r in DC.semantic_contamination(
+            corpus, bench, "id", "vec", threshold=0.99,
+            prefilter_planes=6, prefilter_tables=4,
+        ).collect()
+    }
+    # every corpus doc still reports a row; the exact-duplicate leak
+    # shares every bucket with its benchmark twin, so it MUST be caught
+    assert set(pre) == {1, 2, 3, 4}
+    assert pre[1]["contaminated"] and pre[1]["max_cos"] == pytest.approx(1.0)
+    # LSH mode is a lower bound: no score may EXCEED the exact one
+    exact = {
+        r["id"]: r["max_cos"]
+        for r in DC.semantic_contamination(
+            corpus, bench, "id", "vec", threshold=0.99
+        ).collect()
+    }
+    for i, r in pre.items():
+        assert r["max_cos"] <= exact[i] + 1e-12
+
+    clean = DC.semantic_decontaminate(corpus, bench, "id", "vec", threshold=0.99)
+    kept = {r["id"] for r in clean.collect()}
+    assert kept == {3, 4}
+    assert clean.columns == corpus.columns
+
+
 def test_contamination_shuffle_mode_identical(spark):
     # cross-crawl decontamination: benchmark too big to broadcast ->
     # broadcast_benchmark=False must produce IDENTICAL stats via a
