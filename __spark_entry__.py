@@ -1154,6 +1154,26 @@ def _q68_semantic_decontamination(spark, sf_dir):  # embedding-space decon
     )
 
 
+def _q69_bm25_topk(spark, sf_dir):  # Okapi BM25 retrieval top-k
+    """bm25_topk over documents for a 4-term query. Every weight is
+    integerized with floor(x + 0.5) at 1e6 scale BEFORE the per-doc
+    sum, so aggregation order can't move the score and the DuckDB
+    oracle reproduces the exact BIGINT (the int64-scaled-weight trick
+    from q64/q67); ranking orders by that exact long with rid as the
+    tie-break. ln() is quarantined inside the integerized idf — every
+    other op is IEEE-exact +,*,/ with matching expression shapes."""
+    from resolve_spark.operators.corpus_stats import bm25_topk
+    d = _t(spark, sf_dir, "documents")
+    out = bm25_topk(d, "doc_id", ["spark", "hash", "window", "vector"], k=50)
+    return out.select(
+        "rank",
+        F.col("rid").alias("doc_id"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        "score_scaled",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1224,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_source_overlap": _q66_source_overlap,
         "q67_tfidf_dedup_pairs": _q67_tfidf_dedup_pairs,
         "q68_semantic_decontamination": _q68_semantic_decontamination,
+        "q69_bm25_topk": _q69_bm25_topk,
     }
 
 
@@ -2382,5 +2403,33 @@ def oracle_sql() -> dict[str, str]:
             "AS nh FROM v CROSS JOIN b GROUP BY 1) "
             "SELECT doc_id, round(mc, 6) AS max_cos, nh AS n_hits, "
             "(nh > 0)::INT AS contaminated FROM x"
+        ),
+        "q69_bm25_topk": (
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '') AS t FROM documents), "
+            "base AS (SELECT doc_id, len(t) AS dl, "
+            "list_filter(t, x -> x IN ('hash', 'spark', 'vector', 'window')) "
+            "AS q FROM toks), "
+            "c AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl "
+            "FROM base), "
+            "tq AS (SELECT doc_id, dl, unnest(q) AS term FROM base), "
+            "tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf "
+            "FROM tq GROUP BY 1, 2, 3), "
+            "dfreq AS (SELECT term, count(DISTINCT doc_id) AS dft "
+            "FROM tq GROUP BY 1), "
+            "idf AS (SELECT term, floor(0.5 + 1000000 * ln(1 + "
+            "((SELECT n FROM c) - dft + 0.5) / (dft + 0.5)))::BIGINT AS idf6 "
+            "FROM dfreq), "
+            "w AS (SELECT doc_id, floor(idf6 * ((tf * 2.2) / "
+            "(tf + 1.2 * (0.25 + 0.75 * (dl / (SELECT avgdl FROM c))))) "
+            "+ 0.5)::BIGINT AS w FROM tf JOIN idf USING (term)), "
+            "s AS (SELECT doc_id, count(*) AS n_matched, "
+            "sum(w) AS score_scaled FROM w GROUP BY 1) "
+            "SELECT * FROM (SELECT row_number() OVER "
+            "(ORDER BY score_scaled DESC, doc_id) AS rank, doc_id, "
+            "n_matched, score_scaled, "
+            "round(score_scaled / 1000000.0, 6) AS score FROM s) "
+            "WHERE rank <= 50"
         ),
     }

@@ -23,7 +23,9 @@ the join so the big stream never computes logs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -78,4 +80,122 @@ def unigram_logprob(
                 6,
             ).alias("avg_neg_logp"),
         )
+    )
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    query_terms,
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Okapi BM25 relevance of every matching document to a bag of
+    query terms (Robertson/Sparck Jones; the retrieval scorer behind
+    Elasticsearch/Lucene defaults k1=1.2, b=0.75):
+
+        score(d) = sum over t of idf(t) * tf * (k1+1)
+                                 / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t)   = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+
+    Returns (rid, n_matched, score_scaled, score) for documents
+    matching >= 1 term; ``score_scaled`` is the exact BIGINT
+    sum of round(idf_scale * idf * tfnorm) per term, so aggregation is
+    ORDER-INDEPENDENT (float summation order never moves the result —
+    the int64-scaled-weight trick shared with the IDF-jaccard dedup);
+    ``score = score_scaled / idf_scale`` is the conventional float.
+
+    Scale plan (100 TB): two linear passes, nothing quadratic —
+    (1) corpus constants N/avgdl: one scalar agg (one row to the
+    driver); per-term df: conditional counts in the SAME agg (the term
+    list is a literal handful). (2) scoring: the token stream is
+    filtered to query terms BEFORE the explode (native array_intersect
+    keeps selectivity in the scan stage), tf comes from one map-side-
+    combinable groupBy, and the per-term idf table is a broadcast
+    literal. No full-vocabulary table is built (unigram_logprob's
+    vocabulary join isn't needed for a fixed term set).
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = _tokens(text_col)
+    base = df.select(F.col(id_col).alias("rid"), toks.alias("toks")).select(
+        "rid",
+        F.size("toks").alias("dl"),
+        F.filter("toks", lambda t: t.isin(terms)).alias("qtoks"),
+    )
+    # one pass for every corpus constant: N, total tokens, per-term df
+    aggs = [F.count("*").alias("n_docs"), F.sum("dl").alias("total")]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.sum(F.array_contains("qtoks", t).cast("int")).alias(f"df_{i}")
+        )
+    stats = base.agg(*aggs).collect()[0]
+    n_docs = stats["n_docs"]
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = stats["total"] / n_docs  # python float == IEEE double division
+    # floor(x + 0.5) everywhere a weight is integerized: HALF_UP for
+    # positives and IDENTICAL in python/Spark/DuckDB (round() is
+    # half-even in python, HALF_UP in Spark, C-library in DuckDB)
+    idf6 = {
+        t: math.floor(
+            0.5
+            + idf_scale
+            * math.log(
+                1 + (n_docs - stats[f"df_{i}"] + 0.5) / (stats[f"df_{i}"] + 0.5)
+            )
+        )
+        for i, t in enumerate(terms)
+    }
+    tf_rows = (
+        base.where(F.size("qtoks") > 0)
+        .select("rid", "dl", F.explode("qtoks").alias("term"))
+        .groupBy("rid", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tf_d = F.col("tf").cast("double")
+    idf_col = F.element_at(
+        F.create_map(*[F.lit(x) for t in terms for x in (t, idf6[t])]),
+        F.col("term"),
+    )
+    den = tf_d + k1 * ((1 - b) + b * (F.col("dl").cast("double") / F.lit(avgdl)))
+    w = F.floor(idf_col * ((tf_d * (k1 + 1)) / den) + F.lit(0.5)).cast("long")
+    return (
+        tf_rows.select("rid", w.alias("w"))
+        .groupBy("rid")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.sum("w").alias("score_scaled"),
+        )
+        .select(
+            "rid",
+            "n_matched",
+            "score_scaled",
+            (F.col("score_scaled") / F.lit(float(idf_scale))).alias("score"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    query_terms,
+    k: int = 10,
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Global BM25 top-k: (rank, rid, n_matched, score_scaled, score),
+    rank 1 = best, ties broken by rid ascending (score_scaled is an
+    exact long, so the ordering is deterministic). The global sort is
+    Spark's TakeOrdered (per-partition heaps + a k-row merge on the
+    driver), never a full shuffle-sort of the corpus."""
+    scored = bm25_scores(df, id_col, query_terms, text_col, k1, b, idf_scale)
+    top = scored.orderBy(F.desc("score_scaled"), F.asc("rid")).limit(k)
+    w = Window.orderBy(F.desc("score_scaled"), F.asc("rid"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "rid", "n_matched", "score_scaled", "score"
     )

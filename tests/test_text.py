@@ -163,3 +163,68 @@ def test_unigram_logprob_case_folded(spark):
 
     df = spark.createDataFrame([("d1", "The THE the")], ["rid", "text"])
     assert token_frequencies(df).collect()[0]["cnt"] == 3
+
+
+def test_bm25_scores_exact(spark):
+    import math
+
+    from resolve_spark.operators.corpus_stats import bm25_scores, bm25_topk
+
+    docs = [
+        (1, "spark hash spark window join"),
+        (2, "hash table scan scan scan filter sort group"),
+        (3, "window window window spark"),
+        (4, "the quick brown fox"),  # matches nothing
+    ]
+    df = spark.createDataFrame(docs, "rid bigint, text string")
+    terms = ["spark", "window", "hash"]
+
+    # pure-python Okapi BM25 reference
+    toks = {i: t.split() for i, t in docs}
+    N = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    k1, b, scale = 1.2, 0.75, 1_000_000
+
+    def ref(i):
+        dl = len(toks[i])
+        s, m = 0, 0
+        for t in terms:
+            tf = toks[i].count(t)
+            if tf == 0:
+                continue
+            dft = sum(1 for v in toks.values() if t in v)
+            idf6 = math.floor(0.5 + scale * math.log(1 + (N - dft + 0.5) / (dft + 0.5)))
+            m += 1
+            s += math.floor(0.5 + idf6 * ((tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * (dl / avgdl)))))
+        return m, s
+
+    got = {r["rid"]: r for r in bm25_scores(df, "rid", terms).collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 matches no term -> no row
+    for i in (1, 2, 3):
+        m, s = ref(i)
+        assert got[i]["n_matched"] == m
+        assert got[i]["score_scaled"] == s  # exact long equality
+        assert got[i]["score"] == s / scale
+    # rarer terms outscore common ones: doc 1 (2x spark + window + hash,
+    # short) must beat doc 2 (hash only, long)
+    assert got[1]["score_scaled"] > got[2]["score_scaled"]
+
+    top = bm25_topk(df, "rid", terms, k=2).collect()
+    assert [r["rank"] for r in top] == [1, 2]
+    ordered = sorted(got, key=lambda i: (-got[i]["score_scaled"], i))
+    assert [r["rid"] for r in top] == ordered[:2]
+    # global top-k must be TakeOrdered, not a full sort shuffle
+    plan = bm25_topk(df, "rid", terms, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_case_fold_and_errors(spark):
+    import pytest as _pytest
+
+    from resolve_spark.operators.corpus_stats import bm25_scores
+
+    df = spark.createDataFrame([(1, "Spark SPARK spark")], "rid bigint, text string")
+    got = bm25_scores(df, "rid", ["SPARK"]).collect()
+    assert len(got) == 1 and got[0]["n_matched"] == 1
+    with _pytest.raises(ValueError):
+        bm25_scores(df, "rid", [])
