@@ -1174,6 +1174,32 @@ def _q69_bm25_topk(spark, sf_dir):  # Okapi BM25 retrieval top-k
     )
 
 
+def _q70_blocking_quality(spark, sf_dir):  # blocking-scheme diagnostics
+    """blocking_quality (Christen ch.7 reduction ratio / pairs
+    completeness / pairs quality) over a two-pass scheme on part:
+    pass c = the q03 canopy key, pass b = brand. Truth = adjacent
+    partkey pairs — deliberately independent of both passes, so
+    completeness is a real measurement, not 1.0 by construction. All
+    counts are exact longs; the three ratios are single divisions."""
+    from resolve_spark.operators.diagnostics import blocking_quality
+    p = _t(spark, sf_dir, "part")
+    pn = p.select(F.col("p_partkey"), F.col("p_name").alias("name"))
+    pn = pn.withColumn("name_normalized", N.normalize_name(F.col("name")))
+    pass_c = pn.select(
+        F.col("p_partkey").alias("id"),
+        F.concat(F.lit("c:"), B.canopy_key(pn.columns, ("name",))).alias("block_key"),
+    )
+    pass_b = p.select(
+        F.col("p_partkey").alias("id"),
+        F.concat(F.lit("b:"), F.col("p_brand")).alias("block_key"),
+    )
+    blocks = pass_c.unionByName(pass_b)
+    a = p.select(F.col("p_partkey").alias("id_a"))
+    b = p.select(F.col("p_partkey").alias("id_b"))
+    truth = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return blocking_quality(blocks, truth)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1245,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_tfidf_dedup_pairs": _q67_tfidf_dedup_pairs,
         "q68_semantic_decontamination": _q68_semantic_decontamination,
         "q69_bm25_topk": _q69_bm25_topk,
+        "q70_blocking_quality": _q70_blocking_quality,
     }
 
 
@@ -2431,5 +2458,39 @@ def oracle_sql() -> dict[str, str]:
             "n_matched, score_scaled, "
             "round(score_scaled / 1000000.0, 6) AS score FROM s) "
             "WHERE rank <= 50"
+        ),
+        "q70_blocking_quality": (
+            "WITH blocks AS ("
+            "SELECT p_partkey AS id, 'c:' || (CASE WHEN comp = '' "
+            "THEN 'default' ELSE substring(md5(comp || '|'), 1, 16) END) "
+            "AS k FROM (SELECT p_partkey, "
+            f"substring({_norm_name_sql('p_name')}, 1, 3) AS comp FROM part) "
+            "UNION ALL "
+            "SELECT p_partkey, 'b:' || p_brand FROM part), "
+            "truth AS (SELECT a.p_partkey AS ta, b.p_partkey AS tb "
+            "FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1), "
+            "base AS (SELECT count(DISTINCT id) AS n_records, "
+            "count(DISTINCT k) AS n_block_keys FROM blocks), "
+            "cmp AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) "
+            "AS comparisons FROM "
+            "(SELECT k, count(*) AS c FROM blocks GROUP BY 1)), "
+            "tc AS (SELECT count(*) AS truth_pairs FROM truth), "
+            "cov AS (SELECT count(*) AS covered_pairs FROM "
+            "(SELECT DISTINCT t.ta, t.tb FROM truth t "
+            "JOIN blocks ba ON ba.id = t.ta "
+            "JOIN blocks bb ON bb.id = t.tb AND bb.k = ba.k)), "
+            "r AS (SELECT *, n_records * (n_records - 1) // 2 "
+            "AS total_pairs FROM base, cmp, tc, cov) "
+            "SELECT n_records, n_block_keys, comparisons, total_pairs, "
+            "CASE WHEN total_pairs > 0 THEN "
+            "round((total_pairs - comparisons)::DOUBLE / "
+            "total_pairs::DOUBLE, 6) ELSE 0.0 END AS reduction_ratio, "
+            "truth_pairs, covered_pairs, "
+            "CASE WHEN truth_pairs > 0 THEN "
+            "round(covered_pairs::DOUBLE / truth_pairs::DOUBLE, 6) "
+            "ELSE 0.0 END AS pairs_completeness, "
+            "CASE WHEN comparisons > 0 THEN "
+            "round(covered_pairs::DOUBLE / comparisons::DOUBLE, 6) "
+            "ELSE 0.0 END AS pairs_quality FROM r"
         ),
     }

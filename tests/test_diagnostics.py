@@ -1,0 +1,45 @@
+"""blocking_quality: hand-computed metrics on a toy blocking scheme."""
+
+from resolve_spark.operators.diagnostics import blocking_quality
+
+
+def test_blocking_quality_exact(spark):
+    # 6 records; pass A groups {1,2,3} and {4,5}; pass B groups {3,4}
+    blocks = spark.createDataFrame(
+        [(1, "a:x"), (2, "a:x"), (3, "a:x"), (4, "a:y"), (5, "a:y"),
+         (6, "a:z"), (3, "b:p"), (4, "b:p")],
+        "id bigint, block_key string",
+    )
+    # truth: (1,2) covered by a:x, (3,4) covered ONLY by pass B,
+    # (5,6) not covered; (2,1) is a duplicate after normalization and
+    # (6,6) is a self-pair -> both dropped
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (2, 1), (6, 6)],
+        "id_a bigint, id_b bigint",
+    )
+    row = blocking_quality(blocks, truth).collect()[0]
+    assert row["n_records"] == 6
+    assert row["n_block_keys"] == 4
+    # C(3,2) + C(2,2->1) + C(1,2->0) + C(2,2->1) = 3 + 1 + 0 + 1
+    assert row["comparisons"] == 5
+    assert row["total_pairs"] == 15
+    assert row["reduction_ratio"] == round((15 - 5) / 15, 6)
+    assert row["truth_pairs"] == 3
+    assert row["covered_pairs"] == 2
+    assert row["pairs_completeness"] == round(2 / 3, 6)
+    assert row["pairs_quality"] == round(2 / 5, 6)
+
+
+def test_blocking_quality_empty_truth_and_singletons(spark):
+    blocks = spark.createDataFrame(
+        [(1, "k1"), (2, "k2")], "id bigint, block_key string"
+    )
+    truth = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    row = blocking_quality(blocks, truth).collect()[0]
+    # all-singleton blocking: zero comparisons, full reduction
+    assert row["comparisons"] == 0
+    assert row["reduction_ratio"] == 1.0
+    assert row["truth_pairs"] == 0 and row["covered_pairs"] == 0
+    # guarded ratios report 0.0, not NULL/NaN
+    assert row["pairs_completeness"] == 0.0
+    assert row["pairs_quality"] == 0.0
