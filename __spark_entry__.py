@@ -1200,6 +1200,31 @@ def _q70_blocking_quality(spark, sf_dir):  # blocking-scheme diagnostics
     return blocking_quality(blocks, truth)
 
 
+def _q71_match_metrics(spark, sf_dir):  # PR sweep vs labeled pairs
+    """match_metrics threshold sweep (the tuning pass behind the
+    pipeline's 0.87 default): predictions = q04's brand-blocked
+    levenshtein pairs UNfiltered, truth = same-brand pairs with key
+    distance <= 25. Counts are exact longs; precision/recall/f1 are
+    each ONE division (f1 = 2tp/(2tp+fp+fn)), and the score is the raw
+    1 - lev/maxlen rational both engines compute identically, so the
+    threshold comparisons can't diverge."""
+    from resolve_spark.operators.diagnostics import match_metrics
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 5 == 0)
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("na"),
+                 F.col("p_brand").alias("brand"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("nb"),
+                 F.col("p_brand").alias("brand"))
+    pairs = a.join(b, "brand").where(F.col("id_a") < F.col("id_b"))
+    pred = pairs.select(
+        "id_a", "id_b",
+        S.levenshtein_similarity(F.col("na"), F.col("nb")).alias("score"),
+    )
+    truth = pairs.where(F.col("id_b") - F.col("id_a") <= 25).select("id_a", "id_b")
+    return match_metrics(
+        pred, truth, score_col="score", thresholds=[0.5, 0.55, 0.6, 0.65, 0.7]
+    ).orderBy("threshold")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1272,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_semantic_decontamination": _q68_semantic_decontamination,
         "q69_bm25_topk": _q69_bm25_topk,
         "q70_blocking_quality": _q70_blocking_quality,
+        "q71_match_metrics": _q71_match_metrics,
     }
 
 
@@ -2492,5 +2518,32 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN comparisons > 0 THEN "
             "round(covered_pairs::DOUBLE / comparisons::DOUBLE, 6) "
             "ELSE 0.0 END AS pairs_quality FROM r"
+        ),
+        "q71_match_metrics": (
+            "WITH p AS (SELECT p_partkey, p_name, p_brand FROM part "
+            "WHERE p_partkey % 5 = 0), "
+            "pr AS (SELECT a.p_partkey AS ia, b.p_partkey AS ib, "
+            "1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE / "
+            "greatest(length(a.p_name), length(b.p_name)) AS s "
+            "FROM p a JOIN p b ON a.p_brand = b.p_brand "
+            "AND a.p_partkey < b.p_partkey), "
+            "rows_ AS (SELECT s, CASE WHEN ib - ia <= 25 THEN 1 ELSE 0 END "
+            "AS t FROM pr), "
+            "x AS (SELECT th.th AS threshold, "
+            "sum(CASE WHEN s >= th.th AND t = 1 THEN 1 ELSE 0 END)::BIGINT AS tp, "
+            "sum(CASE WHEN s >= th.th AND t = 0 THEN 1 ELSE 0 END)::BIGINT AS fp, "
+            "sum(CASE WHEN s < th.th AND t = 1 THEN 1 ELSE 0 END)::BIGINT AS fn "
+            "FROM rows_, (SELECT unnest([0.5, 0.55, 0.6, 0.65, 0.7]) AS th) th "
+            "GROUP BY 1) "
+            "SELECT threshold, tp, fp, fn, "
+            "CASE WHEN tp + fp > 0 THEN "
+            "round(tp::DOUBLE / (tp + fp)::DOUBLE, 6) ELSE 0.0 END "
+            "AS precision, "
+            "CASE WHEN tp + fn > 0 THEN "
+            "round(tp::DOUBLE / (tp + fn)::DOUBLE, 6) ELSE 0.0 END "
+            "AS recall, "
+            "CASE WHEN 2 * tp + fp + fn > 0 THEN "
+            "round((2 * tp)::DOUBLE / (2 * tp + fp + fn)::DOUBLE, 6) "
+            "ELSE 0.0 END AS f1 FROM x ORDER BY threshold"
         ),
     }

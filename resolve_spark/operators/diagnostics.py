@@ -95,3 +95,96 @@ def blocking_quality(
             "pairs_quality"
         ),
     )
+
+
+def match_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_a_col: str = "id_a",
+    id_b_col: str = "id_b",
+    score_col: str | None = None,
+    thresholds=None,
+) -> DataFrame:
+    """Match-stage evaluation against labeled pairs — the scoring-side
+    complement of :func:`blocking_quality`.
+
+    Without ``thresholds``: one row (tp, fp, fn, precision, recall,
+    f1) treating every ``pred`` pair as a predicted match. With
+    ``thresholds`` (requires ``score_col``): one row per threshold,
+    predicted = score >= t — the PR curve a threshold-tuning pass reads
+    (the engine's own 0.87 default came from exactly this sweep).
+
+    Both inputs are normalized to (least, greatest) pairs and
+    deduplicated; duplicate scored pairs keep their MAX score (a pair
+    found by several blocking passes matches at its best score).
+    f1 is computed as 2*tp / (2*tp + fp + fn) — a SINGLE division of
+    exact longs, like precision and recall, so every ratio is
+    deterministic across engines (oracle-safe).
+
+    Scale plan: one full-outer join of the two (deduplicated) pair
+    sets on the pair key, then conditional counts — for a sweep, the
+    joined stream is exploded by the literal threshold list (a handful
+    of rows each) and aggregated map-side-combinably to |thresholds|
+    rows. Nothing quadratic; the labeled set is small by definition.
+    """
+    if thresholds is not None and score_col is None:
+        raise ValueError("thresholds sweep requires score_col")
+    key = [
+        F.least(id_a_col, id_b_col).alias("_pa"),
+        F.greatest(id_a_col, id_b_col).alias("_pb"),
+    ]
+    tnorm = (
+        truth.select(*key)
+        .where(F.col("_pa") != F.col("_pb"))
+        .distinct()
+        .withColumn("_t", F.lit(1))
+    )
+    if score_col is None:
+        pnorm = (
+            pred.select(*key)
+            .where(F.col("_pa") != F.col("_pb"))
+            .distinct()
+            .withColumn("_s", F.lit(1.0))
+        )
+    else:
+        pnorm = (
+            pred.select(*key, F.col(score_col).cast("double").alias("_sc"))
+            .where(F.col("_pa") != F.col("_pb"))
+            .groupBy("_pa", "_pb")
+            .agg(F.max("_sc").alias("_s"))
+        )
+    joined = pnorm.join(tnorm, ["_pa", "_pb"], "full_outer").select(
+        F.col("_s"), F.coalesce("_t", F.lit(0)).alias("_t")
+    )
+    if thresholds is None:
+        rows = joined.select(F.lit(1.0).alias("threshold"), "_s", "_t")
+    else:
+        ts = sorted(float(t) for t in thresholds)
+        if not ts:
+            raise ValueError("thresholds must be non-empty")
+        rows = joined.select(
+            F.explode(F.array(*[F.lit(t) for t in ts])).alias("threshold"),
+            "_s",
+            "_t",
+        )
+    hit = F.col("_s").isNotNull() & (F.col("_s") >= F.col("threshold"))
+    agg = rows.groupBy("threshold").agg(
+        F.sum((hit & (F.col("_t") == 1)).cast("long")).alias("tp"),
+        F.sum((hit & (F.col("_t") == 0)).cast("long")).alias("fp"),
+        F.sum((~hit & (F.col("_t") == 1)).cast("long")).alias("fn"),
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num.cast("double") / den.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    out = agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+        ratio(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
+        ratio(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")).alias("f1"),
+    )
+    if thresholds is None:
+        return out.drop("threshold")
+    return out

@@ -43,3 +43,52 @@ def test_blocking_quality_empty_truth_and_singletons(spark):
     # guarded ratios report 0.0, not NULL/NaN
     assert row["pairs_completeness"] == 0.0
     assert row["pairs_quality"] == 0.0
+
+
+def test_match_metrics_single(spark):
+    from resolve_spark.operators.diagnostics import match_metrics
+
+    pred = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (2, 1), (7, 7)],  # dup + self-pair dropped
+        "id_a bigint, id_b bigint",
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (8, 9)], "id_a bigint, id_b bigint"
+    )
+    row = match_metrics(pred, truth).collect()[0]
+    assert (row["tp"], row["fp"], row["fn"]) == (2, 1, 1)
+    assert row["precision"] == round(2 / 3, 6)
+    assert row["recall"] == round(2 / 3, 6)
+    assert row["f1"] == round(4 / 6, 6)
+    assert "threshold" not in row.asDict()
+
+
+def test_match_metrics_sweep(spark):
+    import pytest as _pytest
+
+    from resolve_spark.operators.diagnostics import match_metrics
+
+    # duplicate pair (1,2)/(2,1): max score 0.9 must win
+    pred = spark.createDataFrame(
+        [(1, 2, 0.4), (2, 1, 0.9), (3, 4, 0.6), (5, 6, 0.8)],
+        "id_a bigint, id_b bigint, score double",
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (8, 9)], "id_a bigint, id_b bigint"
+    )
+    rows = {
+        r["threshold"]: r
+        for r in match_metrics(
+            pred, truth, score_col="score", thresholds=[0.5, 0.7]
+        ).collect()
+    }
+    assert set(rows) == {0.5, 0.7}
+    # t=0.5: hits {12:.9, 34:.6, 56:.8} -> tp=2 fp=1 fn=1
+    assert (rows[0.5]["tp"], rows[0.5]["fp"], rows[0.5]["fn"]) == (2, 1, 1)
+    # t=0.7: hits {12:.9, 56:.8} -> tp=1 fp=1 fn=2
+    assert (rows[0.7]["tp"], rows[0.7]["fp"], rows[0.7]["fn"]) == (1, 1, 2)
+    assert rows[0.7]["f1"] == round(2 / 5, 6)
+    with _pytest.raises(ValueError):
+        match_metrics(pred, truth, thresholds=[0.5])
+    with _pytest.raises(ValueError):
+        match_metrics(pred, truth, score_col="score", thresholds=[])
