@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "q65_minhash_join",
     "q66_source_overlap",
     "q67_tfidf_dedup_pairs",
+    "q68_semantic_decontamination",
+    "q69_bm25_topk",
 ]
 
 
