@@ -1225,6 +1225,25 @@ def _q71_match_metrics(spark, sf_dir):  # PR sweep vs labeled pairs
     ).orderBy("threshold")
 
 
+def _q72_phonetic_blocking(spark, sf_dir):  # Soundex-family blocking pass
+    """The p: phonetic blocking pass end-to-end through BlockingConfig /
+    add_blocking_keys: one Soundex-family key per part name
+    (misspelling-robust where canopy prefixes and token signatures
+    break). Pure native string functions (translate + fixpoint
+    pair-collapse + rpad) spelled identically in the DuckDB oracle, so
+    the key is bit-exact across engines."""
+    from resolve_spark.config import BlockingConfig
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_name").alias("name")
+    )
+    cfg = BlockingConfig(enable_canopy=False, phonetic_columns=("name",))
+    out = B.add_blocking_keys(p, cfg)
+    return out.select(
+        "p_partkey", F.explode("block_keys").alias("phonetic_key")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1298,7 +1317,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_bm25_topk": _q69_bm25_topk,
         "q70_blocking_quality": _q70_blocking_quality,
         "q71_match_metrics": _q71_match_metrics,
+        "q72_phonetic_blocking": _q72_phonetic_blocking,
     }
+
+
+def _phonetic_sql(c: str) -> str:
+    """DuckDB replica of functions/normalize.py:phonetic_key — same
+    translate map, same 6-round fixpoint pair-collapse, same 64-letter
+    prefix; verified bit-identical on the classic Soundex examples."""
+    letters = (
+        f"substring(upper(regexp_replace(coalesce({c}, ''), "
+        "'[^A-Za-z]', '', 'g')), 1, 64)"
+    )
+    coded = (
+        f"translate({letters}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+        "'01230120022455012623010202')"
+    )
+    for _ in range(6):
+        for d in "0123456":
+            coded = f"replace({coded}, '{d}{d}', '{d}')"
+    digits = f"replace(substring({coded}, 2, 64), '0', '')"
+    key = f"(substring({letters}, 1, 1) || rpad(substring({digits}, 1, 3), 3, '0'))"
+    return f"CASE WHEN {letters} = '' THEN '' ELSE {key} END"
 
 
 # ---------------------------------------------------------------------------
@@ -2545,5 +2585,10 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN 2 * tp + fp + fn > 0 THEN "
             "round((2 * tp)::DOUBLE / (2 * tp + fp + fn)::DOUBLE, 6) "
             "ELSE 0.0 END AS f1 FROM x ORDER BY threshold"
+        ),
+        "q72_phonetic_blocking": (
+            "SELECT p_partkey, 'p:' || " + _phonetic_sql("p_name")
+            + " AS phonetic_key FROM part WHERE " + _phonetic_sql("p_name")
+            + " <> ''"
         ),
     }

@@ -65,6 +65,9 @@ class BlockingConfig:
     # normalized-token-signature pass: one key per record, the md5 of the
     # sorted distinct token sets of these columns (case/separator-proof)
     token_columns: tuple[str, ...] = ()
+    # phonetic pass: one Soundex-family key per listed column
+    # (misspelling-proof; functions/normalize.py:phonetic_key)
+    phonetic_columns: tuple[str, ...] = ()
     # q-gram pass: character q-grams of one designated text column
     qgram_column: str | None = None
     qgram_q: int = 3

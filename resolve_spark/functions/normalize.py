@@ -206,6 +206,52 @@ def normalize_zip(col: Column) -> Column:
     ).otherwise(stripped)
 
 
+# --- phonetic blocking key (engine extension; no reference analog) --------
+
+# Soundex letter->code map: A0 B1 C2 D3 E0 F1 G2 H0 I0 J2 K2 L4 M5 N5 O0
+# P1 Q2 R6 S2 T3 U0 V1 W0 X2 Y0 Z2.
+_PHONETIC_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_PHONETIC_CODES = "01230120022455012623010202"
+# one global replace halves any same-digit run; 6 rounds collapse runs up
+# to 64 = the letter-prefix length the key is computed over
+_PHONETIC_COLLAPSE_ROUNDS = 6
+_PHONETIC_PREFIX = 64
+
+
+def phonetic_key(col: Column) -> Column:
+    """Soundex-family phonetic key: first letter + the first 3 non-trivial
+    consonant codes, zero-padded — 'smith'/'SMYTHE' -> 'S530'. '' when the
+    input has no ASCII letters.
+
+    This is the SIMPLIFIED (MySQL-family) Soundex variant: H and W code
+    to 0 exactly like vowels, i.e. they BREAK consonant runs, where
+    American Soundex treats them as transparent ('Ashcraft' -> A226 here
+    vs A261 classically). Chosen deliberately: the variant is expressible
+    as the same pure string-function chain in Spark SQL and ANSI/DuckDB
+    SQL (translate + fixpoint pair-collapse + rpad), so the blocking pass
+    built on it is oracle-checkable, and blocking only needs *a*
+    deterministic phonetic equivalence, not the 1918 census one.
+
+    Pure native expressions (codegen-eligible): the run collapse is a
+    fixpoint of replace('dd'->'d') — each global pass halves a run, so
+    6 passes fully collapse the 64-letter prefix the key reads.
+    """
+    letters = F.substring(
+        F.upper(F.regexp_replace(F.coalesce(col, F.lit("")), "[^A-Za-z]", "")),
+        1,
+        _PHONETIC_PREFIX,
+    )
+    coded = F.translate(letters, _PHONETIC_ALPHABET, _PHONETIC_CODES)
+    for _ in range(_PHONETIC_COLLAPSE_ROUNDS):
+        for d in "0123456":
+            coded = F.replace(coded, F.lit(d + d), F.lit(d))
+    digits = F.replace(F.substring(coded, 2, _PHONETIC_PREFIX), F.lit("0"), F.lit(""))
+    key = F.concat(
+        F.substring(letters, 1, 1), F.rpad(F.substring(digits, 1, 3), 3, "0")
+    )
+    return F.when(letters == "", F.lit("")).otherwise(key)
+
+
 # N8 — per-field dispatch used by normalize_entity (normalize.go:297-335).
 FIELD_NORMALIZERS = {
     "name": normalize_name,

@@ -22,8 +22,10 @@ search) has no dataflow analog that isn't a cross join. The q-gram /
 minhash passes still cover such records. Documented divergence.
 
 All passes emit into one ``block_keys array<string>`` column with a
-per-pass prefix (``c:``, ``q:``, ``m<band>:``) so keys never collide
-across passes.
+per-pass prefix (``c:``, ``t:``, ``p:``, ``q:``, ``m<band>:``) so keys
+never collide across passes. The optional ``p:`` pass is a
+Soundex-family phonetic key (misspelling-robust; see
+functions/normalize.py:phonetic_key).
 """
 
 from __future__ import annotations
@@ -117,6 +119,26 @@ def token_signature_key(cols: list[Column]) -> Column:
         for c in cols
     ]
     return F.concat(F.lit("t:"), F.substring(F.md5(F.concat_ws("\x1f", *sigs)), 1, 16))
+
+
+# ---------------------------------------------------------------------------
+# Pass 1c — phonetic key (native; Soundex-family)
+# ---------------------------------------------------------------------------
+
+
+def phonetic_keys(cols: list[Column]) -> Column:
+    """One ``p:``-prefixed Soundex-family key per configured column —
+    records whose names MISSPELL each other ('Jon Smith'/'John Smyth')
+    share this key even when the canopy prefix and token signature both
+    break. Empty/letterless values emit no key. Native expressions only
+    (functions/normalize.py:phonetic_key)."""
+    from resolve_spark.functions.normalize import phonetic_key
+
+    ks = [phonetic_key(c) for c in cols]
+    arr = F.array(*[
+        F.when(k != "", F.concat(F.lit("p:"), k)).otherwise(F.lit(None)) for k in ks
+    ])
+    return F.filter(arr, lambda x: x.isNotNull())
 
 
 # ---------------------------------------------------------------------------
@@ -312,6 +334,8 @@ def add_blocking_keys(df: DataFrame, cfg: BlockingConfig) -> DataFrame:
         passes.append(
             F.array(token_signature_key([F.col(c) for c in cfg.token_columns]))
         )
+    if cfg.phonetic_columns:
+        passes.append(phonetic_keys([F.col(c) for c in cfg.phonetic_columns]))
     if cfg.qgram_column is not None:
         passes.append(
             qgram_keys(F.col(cfg.qgram_column), cfg.qgram_q, cfg.qgram_keys_per_record)

@@ -162,3 +162,27 @@ def test_candidate_pairs_full_small_blocks(spark):
     assert pairs.count() == 15  # C(6,2)
     assert stats.n_oversized_keys == 0
     assert stats.pairs_dropped_estimate == 0
+
+
+def test_phonetic_pass_blocks_misspellings(spark):
+    """'Jon Smith' vs 'John Smyth': canopy prefix ('jon'/'joh') and token
+    signature both break, but the p: phonetic pass keys both to J525."""
+    from resolve_spark.config import BlockingConfig
+
+    df = spark.createDataFrame(
+        [("a", "Jon Smith"), ("b", "John Smyth"), ("c", "Garcia")],
+        ["id", "name"],
+    )
+    cfg = BlockingConfig(
+        enable_canopy=True, fields=("name",), token_columns=("name",),
+        phonetic_columns=("name",),
+    )
+    out = {r["id"]: r["block_keys"] for r in B.add_blocking_keys(df, cfg).collect()}
+    pa = {k for k in out["a"] if k.startswith("p:")}
+    pb = {k for k in out["b"] if k.startswith("p:")}
+    pc = {k for k in out["c"] if k.startswith("p:")}
+    assert pa == pb == {"p:J525"}
+    assert pc == {"p:G620"}
+    # the other passes disagree on this pair (that is WHY the pass exists)
+    assert not ({k for k in out["a"] if not k.startswith("p:")}
+                & {k for k in out["b"] if not k.startswith("p:")})

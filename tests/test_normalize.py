@@ -154,3 +154,33 @@ def test_normalize_entity_adds_companions(spark):
     assert out["state_normalized"] == "TX"
     assert out["zip_normalized"] == "12345"
     assert out["city_normalized"] == "new york"
+
+
+# --- phonetic blocking key (engine extension) ------------------------------
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        ("Robert", "R163"),
+        ("Rupert", "R163"),          # classic Soundex collision pair
+        ("Tymczak", "T522"),
+        ("Jackson", "J250"),
+        ("Smith", "S530"),
+        ("SMYTHE", "S530"),          # case + misspelling share the key
+        ("Pfister", "P236"),         # adjacent same-code first letters collapse
+        ("Honeyman", "H555"),
+        # simplified-variant divergence from American Soundex (A261):
+        # H/W break runs like vowels do
+        ("Ashcraft", "A226"),
+        ("", ""),
+        ("123-456", ""),             # letterless -> no key
+        ("a" * 73 + "b", "A000"),    # 64-letter prefix: trailing b ignored
+    ],
+)
+def test_phonetic_key(spark, raw, want):
+    assert _run(spark, N.phonetic_key, [raw]) == [want]
+
+
+def test_phonetic_key_null(spark):
+    df = spark.createDataFrame([(None,)], "x string")
+    assert df.select(N.phonetic_key(F.col("x")).alias("y")).collect()[0][0] == ""
