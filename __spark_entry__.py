@@ -1244,6 +1244,19 @@ def _q72_phonetic_blocking(spark, sf_dir):  # Soundex-family blocking pass
     )
 
 
+def _q73_bpe_merges(spark, sf_dir):  # BPE merge-candidate table
+    """bpe_merge_candidates: corpus-wide adjacent-token-pair counts,
+    top-100 — the first-round merge table of BPE tokenizer induction
+    (and a collocation/boilerplate detector). One map-side-combinable
+    shuffle + TakeOrderedAndProject; counts are exact longs and the
+    (cnt DESC, pair ASC) order is total, so the top-k cut is unique
+    across engines."""
+    from resolve_spark.operators.corpus_stats import bpe_merge_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merge_candidates(d, "text", top_k=100, min_count=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1318,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_blocking_quality": _q70_blocking_quality,
         "q71_match_metrics": _q71_match_metrics,
         "q72_phonetic_blocking": _q72_phonetic_blocking,
+        "q73_bpe_merges": _q73_bpe_merges,
     }
 
 
@@ -2590,5 +2604,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey, 'p:' || " + _phonetic_sql("p_name")
             + " AS phonetic_key FROM part WHERE " + _phonetic_sql("p_name")
             + " <> ''"
+        ),
+        "q73_bpe_merges": (
+            "WITH toks AS (SELECT list_filter(string_split_regex(lower(text), "
+            "'\\s+'), x -> x <> '') AS t FROM documents), "
+            "p AS (SELECT unnest(list_transform(range(1, len(t)), "
+            "i -> t[i] || ' ' || t[i + 1])) AS pair FROM toks "
+            "WHERE len(t) >= 2), "
+            "c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1) "
+            "SELECT pair, cnt FROM c WHERE cnt >= 2 "
+            "ORDER BY cnt DESC, pair LIMIT 100"
         ),
     }

@@ -199,3 +199,44 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "rid", "n_matched", "score_scaled", "score"
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str = "text", top_k: int = 200, min_count: int = 2
+) -> DataFrame:
+    """First-iteration BPE merge table: corpus-wide counts of ADJACENT
+    token pairs, top-``top_k`` by count — (pair, cnt).
+
+    This is the inner statistic of byte-pair-encoding tokenizer
+    induction (Sennrich et al. 2016) lifted to word level: each BPE
+    round merges the corpus's most frequent adjacent symbol pair, and
+    this operator computes that round's candidate table (re-run it on
+    re-tokenized text for subsequent rounds). Also useful on its own as
+    a collocation/boilerplate detector ("all rights reserved").
+
+    Determinism: ordering is (cnt DESC, pair ASC) — a total order over
+    pairs, so the top-k cut is unique; counts are exact longs.
+
+    Scale plan (100 TB): the pair stream explodes ~1 row per corpus
+    token into ONE map-side-combinable groupBy (partial aggregation
+    collapses the Zipf head before the shuffle, exactly like a word
+    count); the global top-k is TakeOrderedAndProject over the
+    vocabulary-sized count table — never a full sort of it. Fully
+    native (zip_with over sliced token arrays; no Python).
+    """
+    t = _tokens(text_col)
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    return counted.orderBy(F.desc("cnt"), F.asc("pair")).limit(top_k)

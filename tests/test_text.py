@@ -228,3 +228,30 @@ def test_bm25_case_fold_and_errors(spark):
     assert len(got) == 1 and got[0]["n_matched"] == 1
     with _pytest.raises(ValueError):
         bm25_scores(df, "rid", [])
+
+
+# corpus_stats: BPE merge-candidate table
+
+
+def test_bpe_merge_candidates_exact(spark):
+    from resolve_spark.operators.corpus_stats import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "b c B C"), (3, "x")], ["rid", "text"]
+    )
+    # adjacent pairs (case-folded): doc1 {a b, b a, a b, b c};
+    # doc2 {b c, c b, b c}; doc3 none
+    got = [tuple(r) for r in bpe_merge_candidates(df, top_k=10).collect()]
+    assert got == [("b c", 3), ("a b", 2)]  # min_count=2 drops the singletons
+
+
+def test_bpe_merge_candidates_topk_tiebreak(spark):
+    from resolve_spark.operators.corpus_stats import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [(1, "z y z y"), (2, "a b a b")], ["rid", "text"]
+    )
+    # 'a b' and 'z y' both count 2; the pair-ASC tiebreak makes the
+    # k=1 cut deterministic
+    got = [tuple(r) for r in bpe_merge_candidates(df, top_k=1).collect()]
+    assert got == [("a b", 2)]
