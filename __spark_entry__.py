@@ -1257,6 +1257,21 @@ def _q73_bpe_merges(spark, sf_dir):  # BPE merge-candidate table
     return bpe_merge_candidates(d, "text", top_k=100, min_count=2)
 
 
+def _q74_containment_pairs(spark, sf_dir):  # prefix-filtered containment join
+    """containment_pairs: |A∩B| / min(|A|,|B|) >= 0.7 over distinct
+    token sets — the quoted/embedded-document class Jaccard-LSH misses.
+    Candidates via PPJoin rarest-token prefix filtering (EXACT recall,
+    no hashing), verify by integer comparison 100*overlap >= 70*min, so
+    the cut cannot diverge across engines. Subset to doc_id % 5 = 0:
+    the synthetic corpus's tiny shared vocabulary makes token-SET
+    containment dense (~90% of all pairs qualify at 0.7), so the full
+    table's result would be quasi-all-pairs noise, not a dedup signal."""
+    from resolve_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return containment_pairs(d, "doc_id", "text", threshold_pct=70)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1332,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_match_metrics": _q71_match_metrics,
         "q72_phonetic_blocking": _q72_phonetic_blocking,
         "q73_bpe_merges": _q73_bpe_merges,
+        "q74_containment_pairs": _q74_containment_pairs,
     }
 
 
@@ -2614,5 +2630,29 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1) "
             "SELECT pair, cnt FROM c WHERE cnt >= 2 "
             "ORDER BY cnt DESC, pair LIMIT 100"
+        ),
+        "q74_containment_pairs": (
+            "WITH tok AS (SELECT doc_id, "
+            + _TOKENS_SQL.format(c="text") + " AS t FROM documents "
+            "WHERE doc_id % 5 = 0 AND len("
+            + _TOKENS_SQL.format(c="text") + ") > 0), "
+            "s AS (SELECT doc_id, len(t) AS m, unnest(t) AS tok FROM tok), "
+            "dfq AS (SELECT tok, count(*) AS dfq FROM s GROUP BY 1), "
+            "r AS (SELECT s.doc_id, s.m, s.tok, row_number() OVER "
+            "(PARTITION BY s.doc_id ORDER BY dfq, s.tok) AS pos "
+            "FROM s JOIN dfq USING (tok)), "
+            "pre AS (SELECT doc_id, tok FROM r "
+            "WHERE pos <= m - ((70 * m + 99) // 100) + 1), "
+            "cand AS (SELECT DISTINCT least(p.doc_id, s.doc_id) AS id_a, "
+            "greatest(p.doc_id, s.doc_id) AS id_b "
+            "FROM pre p JOIN s ON p.tok = s.tok AND p.doc_id <> s.doc_id), "
+            "v AS (SELECT id_a, id_b, "
+            "len(list_intersect(a.t, b.t)) AS overlap, "
+            "len(a.t) AS n_a, len(b.t) AS n_b "
+            "FROM cand JOIN tok a ON a.doc_id = id_a "
+            "JOIN tok b ON b.doc_id = id_b) "
+            "SELECT id_a, id_b, overlap, n_a, n_b, "
+            "round(overlap::DOUBLE / least(n_a, n_b), 6) AS containment "
+            "FROM v WHERE 100 * overlap >= 70 * least(n_a, n_b)"
         ),
     }

@@ -18,6 +18,9 @@ set, built from the same primitives as the ER pipeline:
   hamming distance -> connected components
 - embedding_duplicates: cosine near-dup over LSH-bucketed vectors
   (see ann.py for the bucketing)
+- containment_pairs: asymmetric set-containment join (doc quoted/
+  embedded inside a larger doc) via PPJoin-style rarest-token prefix
+  filtering — exact recall, no LSH
 - repeated_ngram_stats: span-level duplication profile (fraction of a
   doc's n-token windows repeated across the corpus)
 - remove_repeated_spans: drop the tokens those duplicated windows
@@ -163,6 +166,102 @@ def tfidf_weighted_jaccard_pairs(
             ).alias("wjaccard"),
         )
         .where(F.col("wjaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    threshold_pct: int = 80,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric set-containment join: (id_a, id_b, overlap, n_a, n_b,
+    containment) where containment = |A∩B| / min(|A|, |B|) >=
+    threshold_pct/100 over the distinct-token sets of ``content_col``.
+
+    Catches the near-dup class Jaccard-targeted MinHash-LSH structurally
+    MISSES: a document quoted or embedded inside a much larger one has
+    high containment but low Jaccard (|A∩B|/|A∪B| shrinks with the size
+    gap), so its band-collision probability vanishes. Candidates come
+    from PPJoin-family prefix filtering (Chaudhuri/Ganti/Kaushik 2006;
+    Xiao et al. PPJoin) instead: rank each doc's tokens by global
+    document frequency ASCENDING (rarest first) and index only its
+    first m - ceil(t*m) + 1 tokens. Pigeonhole: a qualifying pair
+    shares >= ceil(t*min_size) tokens, more than fit outside the
+    smaller doc's prefix, so some shared token IS in that prefix —
+    candidate recall is EXACT, not probabilistic.
+
+    Determinism: the threshold test is the integer comparison
+    100*overlap >= threshold_pct*min(n_a, n_b) — no float compare, so
+    Spark and a SQL oracle can never disagree on the cut; the reported
+    containment double is display-only (rounded to 6).
+
+    Scale plan (100 TB): document frequencies are one map-side-
+    combinable groupBy; the per-doc rarest-first ranking is a window
+    over the (rid, token) stream keyed by rid (bounded by tokens/doc);
+    candidate generation is an equi-join of the PREFIX stream (~(1-t)
+    of tokens, globally rarest-first so the join key distribution is
+    skew-LIGHT by construction) against the full inverted index; verify
+    touches candidates only. ``max_token_df`` optionally drops
+    generation rows whose token appears in more than that many docs —
+    a pair budget for adversarial corpora (sacrifices the exactness
+    guarantee for pairs ONLY reachable through such tokens; dropped
+    work is the standard budget/recall trade documented in pairs.py).
+    """
+    if not 0 < threshold_pct <= 100:
+        raise ValueError("threshold_pct must be in (0, 100]")
+    toks = df.select(
+        F.col(id_col).alias("rid"), S.tokens(F.col(content_col)).alias("t")
+    ).where(F.size("t") > 0)
+    stream = toks.select("rid", F.size("t").alias("m"), F.explode("t").alias("tok"))
+    dfreq = stream.groupBy("tok").agg(F.count("*").alias("dfq"))
+    ranked = stream.join(dfreq, "tok").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("rid").orderBy(F.asc("dfq"), F.asc("tok"))
+        ),
+    )
+    prefix_len = F.expr(f"m - (({threshold_pct} * m + 99) DIV 100) + 1")
+    prefix = ranked.where(F.col("pos") <= prefix_len)
+    index = stream.select(F.col("rid").alias("_rb"), "tok")
+    if max_token_df is not None:
+        hot = dfreq.where(F.col("dfq") > max_token_df).select("tok")
+        prefix = prefix.join(F.broadcast(hot), "tok", "left_anti")
+        index = index.join(F.broadcast(hot), "tok", "left_anti")
+    cand = (
+        prefix.select(F.col("rid").alias("_ra"), "tok")
+        .join(index, "tok")
+        .where(F.col("_ra") != F.col("_rb"))
+        .select(
+            F.least("_ra", "_rb").alias("id_a"),
+            F.greatest("_ra", "_rb").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = toks.selectExpr("rid as id_a", "t as ta")
+    b = toks.selectExpr("rid as id_b", "t as tb")
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("overlap"),
+            F.size("ta").alias("n_a"),
+            F.size("tb").alias("n_b"),
+        )
+        .where(
+            100 * F.col("overlap")
+            >= threshold_pct * F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("overlap") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ),
+        )
     )
 
 

@@ -278,3 +278,48 @@ def test_tfidf_weighted_jaccard_threshold_and_order_stability(spark):
     )
     assert a.count() > 0
     assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+# containment_pairs: PPJoin-style prefix-filtered set-containment join
+
+
+def test_containment_pairs_catches_low_jaccard_embedding(spark):
+    """d1 fully embedded in d2: containment 1.0 but Jaccard only 0.4 —
+    the pair class Jaccard-LSH structurally misses."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "foo bar baz qux"),
+            (4, "alpha beta zzz www"),  # overlap 2/4 = 0.5 with d1
+        ],
+        ["rid", "text"],
+    )
+    got = [tuple(r) for r in dedup.containment_pairs(
+        df, "rid", "text", threshold_pct=80
+    ).collect()]
+    assert got == [(1, 2, 4, 4, 10, 1.0)]
+
+
+def test_containment_pairs_threshold_integer_cut(spark):
+    """overlap 3 of min 4 = 0.75: kept at 75, cut at 80 — the integer
+    comparison (100*overlap >= pct*min) decides, no float epsilon."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x y z")], ["rid", "text"]
+    )
+    at75 = dedup.containment_pairs(df, "rid", "text", threshold_pct=75).collect()
+    at80 = dedup.containment_pairs(df, "rid", "text", threshold_pct=80).collect()
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in at75] == [(1, 2, 0.75)]
+    assert at80 == []
+
+
+def test_containment_pairs_max_token_df_budget(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e f")], ["rid", "text"]
+    )
+    # every shared token has df=2 > 1: the budget drops all generation
+    # rows, so the (documented) recall trade removes the pair
+    got = dedup.containment_pairs(
+        df, "rid", "text", threshold_pct=80, max_token_df=1
+    ).collect()
+    assert got == []
