@@ -1272,6 +1272,32 @@ def _q74_containment_pairs(spark, sf_dir):  # prefix-filtered containment join
     return containment_pairs(d, "doc_id", "text", threshold_pct=70)
 
 
+def _q75_block_skew(spark, sf_dir):  # per-pass block-size skew profile
+    """block_skew_profile over two real passes on part (the q03 canopy
+    keys incl. the 'default' block, and the q72 phonetic keys): exact
+    rank-based percentiles of block sizes plus the hottest key's share
+    of candidate-pair work — the read-before-pair-generation skew
+    diagnostic. All counts are exact longs; percentiles are values AT
+    integer ranks (no interpolation), so engines cannot disagree."""
+    from resolve_spark.config import BlockingConfig
+    from resolve_spark.operators.diagnostics import block_skew_profile
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_name").alias("name")
+    )
+    p = p.withColumn("name_normalized", N.normalize_name(F.col("name")))
+    canopy = p.select(
+        F.col("p_partkey").alias("id"),
+        F.concat(F.lit("c:"), B.canopy_key(p.columns, ("name",))).alias(
+            "block_key"
+        ),
+    )
+    phon = B.add_blocking_keys(
+        p, BlockingConfig(enable_canopy=False, phonetic_columns=("name",))
+    ).select(F.col("p_partkey").alias("id"), F.explode("block_keys").alias("block_key"))
+    return block_skew_profile(canopy.unionByName(phon)).orderBy("pass")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1348,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_phonetic_blocking": _q72_phonetic_blocking,
         "q73_bpe_merges": _q73_bpe_merges,
         "q74_containment_pairs": _q74_containment_pairs,
+        "q75_block_skew": _q75_block_skew,
     }
 
 
@@ -2654,5 +2681,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, overlap, n_a, n_b, "
             "round(overlap::DOUBLE / least(n_a, n_b), 6) AS containment "
             "FROM v WHERE 100 * overlap >= 70 * least(n_a, n_b)"
+        ),
+        "q75_block_skew": (
+            "WITH blocks AS ("
+            "SELECT p_partkey AS id, 'c:' || (CASE WHEN comp = '' "
+            "THEN 'default' ELSE substring(md5(comp || '|'), 1, 16) END) "
+            "AS key FROM (SELECT p_partkey, "
+            f"substring({_norm_name_sql('p_name')}, 1, 3) AS comp FROM part) "
+            "UNION ALL SELECT p_partkey, 'p:' || " + _phonetic_sql("p_name")
+            + " FROM part WHERE " + _phonetic_sql("p_name") + " <> ''), "
+            "sizes AS (SELECT split_part(key, ':', 1) AS pass, key, "
+            "count(*) AS c FROM blocks GROUP BY 1, 2), "
+            "r AS (SELECT pass, c, row_number() OVER (PARTITION BY pass "
+            "ORDER BY c, key) AS rn, count(*) OVER (PARTITION BY pass) AS nk "
+            "FROM sizes), "
+            "a AS (SELECT pass, max(nk) AS n_keys, "
+            "sum(c)::BIGINT AS n_assignments, max(c) AS max_block, "
+            "max(CASE WHEN rn = (50 * nk + 99) // 100 THEN c END) AS p50_block, "
+            "max(CASE WHEN rn = (90 * nk + 99) // 100 THEN c END) AS p90_block, "
+            "max(CASE WHEN rn = (99 * nk + 99) // 100 THEN c END) AS p99_block, "
+            "sum(c * (c - 1) // 2)::BIGINT AS candidate_pairs "
+            "FROM r GROUP BY 1) "
+            "SELECT pass, n_keys, n_assignments, max_block, p50_block, "
+            "p90_block, p99_block, candidate_pairs, "
+            "CASE WHEN candidate_pairs > 0 THEN "
+            "round((max_block * (max_block - 1) // 2)::DOUBLE / "
+            "candidate_pairs, 6) ELSE 0.0 END AS top1_pairs_share "
+            "FROM a ORDER BY pass"
         ),
     }

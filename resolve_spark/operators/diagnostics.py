@@ -31,7 +31,7 @@ count, never as dataflow.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -188,3 +188,79 @@ def match_metrics(
     if thresholds is None:
         return out.drop("threshold")
     return out
+
+
+def block_skew_profile(
+    blocks: DataFrame, id_col: str = "id", key_col: str = "block_key"
+) -> DataFrame:
+    """Per-pass block-size distribution — the skew diagnostic read
+    BEFORE launching pair generation at scale (hot keys, not totals,
+    decide whether a blocking pass survives 100x data).
+
+    Input is the multi-pass (id, key) assignment with namespaced keys
+    (``c:``/``t:``/``p:``/``q:``/``m<band>:`` — blocking.py); the pass
+    is everything before the first ':' (keys without ':' form their own
+    pass). One output row per pass:
+
+    - ``n_keys`` / ``n_assignments`` / ``max_block``
+    - ``p50_block`` / ``p90_block`` / ``p99_block`` — EXACT percentiles:
+      the size at rank ceil(q * n_keys) of the sizes sorted ascending
+      (integer rank arithmetic, no interpolation — any rank's value is
+      unique even under ties, so engines cannot disagree)
+    - ``candidate_pairs`` — sum over keys of C(c, 2): the work this
+      pass feeds pair generation
+    - ``top1_pairs_share`` — the hottest key's fraction of that work:
+      the number the pair budget / salting machinery (pairs.py) exists
+      to cap. > ~0.5 means one key dominates the stage.
+
+    Scale plan: one map-side-combinable groupBy(pass, key) count, then
+    a window over the KEY-size table (vocabulary-of-keys sized, far
+    smaller than the corpus) partitioned by pass; output is |passes|
+    rows. Nothing touches record pairs.
+    """
+    sizes = (
+        blocks.select(
+            F.substring_index(F.col(key_col), ":", 1).alias("pass"),
+            F.col(key_col).alias("_k"),
+        )
+        .groupBy("pass", "_k")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("pass")
+    ranked = sizes.select(
+        "pass",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("pass").orderBy(F.asc("c"), F.asc("_k")))
+        .alias("rn"),
+        F.count("*").over(w).alias("nk"),
+    )
+    pct = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(f"({q} * nk + 99) DIV 100"), F.col("c"))
+    ).alias(f"p{q}_block")
+    agg = ranked.groupBy("pass").agg(
+        F.max("nk").alias("n_keys"),
+        F.sum("c").alias("n_assignments"),
+        F.max("c").alias("max_block"),
+        pct(50),
+        pct(90),
+        pct(99),
+        F.sum(F.expr("c * (c - 1) DIV 2")).alias("candidate_pairs"),
+    )
+    top1 = F.expr("max_block * (max_block - 1) DIV 2")
+    return agg.select(
+        "pass",
+        "n_keys",
+        "n_assignments",
+        "max_block",
+        "p50_block",
+        "p90_block",
+        "p99_block",
+        "candidate_pairs",
+        F.when(
+            F.col("candidate_pairs") > 0,
+            F.round(top1.cast("double") / F.col("candidate_pairs"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top1_pairs_share"),
+    )

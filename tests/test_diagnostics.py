@@ -92,3 +92,24 @@ def test_match_metrics_sweep(spark):
         match_metrics(pred, truth, thresholds=[0.5])
     with _pytest.raises(ValueError):
         match_metrics(pred, truth, score_col="score", thresholds=[])
+
+
+def test_block_skew_profile_exact(spark):
+    from resolve_spark.operators.diagnostics import block_skew_profile
+
+    rows = (
+        [(i, "c:hot") for i in range(4)]          # one hot key, C(4,2)=6 pairs
+        + [(10, "c:k1"), (11, "c:k1")]            # C(2,2)=1
+        + [(12, "c:k2")]                          # singleton
+        + [(i, f"p:{i}") for i in range(5)]       # balanced pass: all singletons
+    )
+    df = spark.createDataFrame(rows, ["id", "block_key"])
+    got = {r["pass"]: r.asDict() for r in block_skew_profile(df).collect()}
+    c = got["c"]
+    # sizes for pass c sorted asc: [1, 2, 4] -> p50 = rank ceil(1.5)=2 -> 2
+    assert (c["n_keys"], c["n_assignments"], c["max_block"]) == (3, 7, 4)
+    assert (c["p50_block"], c["p90_block"], c["p99_block"]) == (2, 4, 4)
+    assert c["candidate_pairs"] == 7 and c["top1_pairs_share"] == round(6 / 7, 6)
+    p = got["p"]
+    assert (p["n_keys"], p["max_block"], p["candidate_pairs"]) == (5, 1, 0)
+    assert p["top1_pairs_share"] == 0.0
