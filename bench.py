@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "q67_tfidf_dedup_pairs",
     "q68_semantic_decontamination",
     "q69_bm25_topk",
+    "q72_phonetic_blocking",
+    "q73_bpe_merges",
+    "q74_containment_pairs",
 ]
 
 
