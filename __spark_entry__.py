@@ -2417,7 +2417,8 @@ def oracle_sql() -> dict[str, str]:
             "tm AS (SELECT min(c / share) AS t_max "
             "FROM cnt JOIN tgt USING (lang)), "
             "cuts AS (SELECT lang, "
-            "floor(1000000.0 * share * t_max / c)::BIGINT AS ppm "
+            "CASE WHEN c / share = t_max THEN 1000000 "
+            "ELSE floor(1000000.0 * share * t_max / c)::BIGINT END AS ppm "
             "FROM cnt JOIN tgt USING (lang), tm) "
             "SELECT doc_id, lang, source FROM documents JOIN cuts USING (lang) "
             "WHERE (" + _ph_sql("'mx62:' || doc_id") + ") % 1000000 < ppm"

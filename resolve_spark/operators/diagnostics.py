@@ -157,7 +157,12 @@ def match_metrics(
         F.col("_s"), F.coalesce("_t", F.lit(0)).alias("_t")
     )
     if thresholds is None:
-        rows = joined.select(F.lit(1.0).alias("threshold"), "_s", "_t")
+        # every pred pair counts as predicted (docstring contract) —
+        # -inf, not 1.0: with score_col set, a 1.0 gate would silently
+        # drop every pair scored below 1.0 from tp/fp
+        rows = joined.select(
+            F.lit(float("-inf")).alias("threshold"), "_s", "_t"
+        )
     else:
         ts = sorted(float(t) for t in thresholds)
         if not ts:

@@ -232,6 +232,11 @@ def find_matches_fields(
     if not fields:
         raise ValueError("query entity has no fields")
     present = [f for f in fields if f in entities.columns]
+    if not present:
+        raise ValueError(
+            "none of the query's fields exist in the entity table: "
+            f"{sorted(fields)} vs entity columns {sorted(entities.columns)}"
+        )
     specs = specs_from_options(
         present, field_type_mappings, force_exact_match_fields, field_weights
     )

@@ -154,6 +154,28 @@ def quota_sample(
     return out.unionByName(rescued, allowMissingColumns=True).select(*df.columns)
 
 
+def _mixture_cuts(
+    counts: dict[str, int], targets: dict[str, float], t_max: float
+) -> dict[str, int]:
+    """Per-stratum ppm keep-cuts for :func:`mixture_sample`. The binding
+    stratum (count/share == t_max — the SAME float division that
+    produced t_max, so the equality is exact) gets the full-scale cut
+    outright: the float round-trip share * (cnt/share) / cnt can land a
+    hair below 1.0 (e.g. share 0.1, cnt 3 -> 0.9999999999999999) and
+    floor() would then shave ~1ppm off the stratum mixture_sample
+    promises to keep whole. Mirrored verbatim in the q62 oracle SQL."""
+    import math
+
+    return {
+        s: (
+            FRACTION_SCALE
+            if counts[s] / targets[s] == t_max
+            else math.floor(1000000.0 * targets[s] * t_max / counts[s])
+        )
+        for s in targets
+    }
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,
@@ -204,9 +226,7 @@ def mixture_sample(
     t_max = min(counts[s] / targets[s] for s in targets)
     if total is not None:
         t_max = min(t_max, float(total))
-    cuts = {
-        s: math.floor(1000000.0 * targets[s] * t_max / counts[s]) for s in targets
-    }
+    cuts = _mixture_cuts(counts, targets, t_max)
     coin = _sample_hash(F.col(id_col), salt, hash_impl) % FRACTION_SCALE
     cut: Column = F.lit(-1)
     for value, ppm in sorted(cuts.items()):

@@ -40,7 +40,12 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    # NULL text folds into the empty-document case (one empty chunk);
+    # without the coalesce every downstream column would be NULL and
+    # pack_shards' token sums would silently skip the rows
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda t: t != ""
+    )
     n = F.size(toks)
     # start offsets 0, stride, 2*stride, ... strictly below n (>= 1 start)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
@@ -64,6 +69,7 @@ def pack_shards(
     order_col: str = "doc_id",
     tokens_per_shard: int = 100_000,
     num_partitions: int | None = None,
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each row a ``shard_id`` so consecutive rows (in
     ``order_col`` order) accumulate ~``tokens_per_shard`` tokens per
@@ -75,6 +81,15 @@ def pack_shards(
     on ``order_col``, per-partition cumsum (parallel), then add each
     partition's broadcast starting offset. Adds columns
     ``tokens_before`` and ``shard_id``.
+
+    The cumsum uses an explicit ROWS frame, so rows with EQUAL order
+    keys still get an exclusive running prefix (the default RANGE frame
+    would hand every tied row the whole peer group's total, breaking
+    the packing — e.g. chunk_documents output, many rows per doc_id).
+    Pass ``tiebreak_cols`` (e.g. ``("chunk_idx",)``) to make the order
+    among ties — and therefore the exact shard assignment — fully
+    deterministic; without it, tied rows get a valid greedy packing
+    whose within-tie order is partition-arbitrary.
     """
     if tokens_per_shard <= 0:
         raise ValueError("tokens_per_shard must be positive")
@@ -99,7 +114,11 @@ def pack_shards(
         ),
         F.col("_pid"),
     ) if offsets else F.lit(0)
-    w = Window.partitionBy("_pid").orderBy(order_col)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col, *tiebreak_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     within = (F.sum(token_col).over(w) - F.col(token_col)).cast("bigint")
     out = ranged.withColumn(
         "tokens_before", (within + offset_expr).cast("bigint")

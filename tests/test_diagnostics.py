@@ -113,3 +113,16 @@ def test_block_skew_profile_exact(spark):
     p = got["p"]
     assert (p["n_keys"], p["max_block"], p["candidate_pairs"]) == (5, 1, 0)
     assert p["top1_pairs_share"] == 0.0
+
+
+def test_match_metrics_score_col_without_thresholds(spark):
+    """With score_col but NO sweep, every pred pair counts as predicted
+    (regression: a 1.0 gate silently zeroed tp/fp for scores < 1.0)."""
+    from resolve_spark.operators.diagnostics import match_metrics
+
+    pred = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.6), (5, 6, 0.4)], ["id_a", "id_b", "score"]
+    )
+    truth = spark.createDataFrame([(1, 2), (3, 4), (7, 8)], ["id_a", "id_b"])
+    row = match_metrics(pred, truth, score_col="score").collect()[0]
+    assert (row["tp"], row["fp"], row["fn"]) == (2, 1, 1)

@@ -282,3 +282,13 @@ def test_block_key_candidates_bounded(spark):
     got = {(r["id_a"], r["id_b"])
            for r in block_key_candidates(q, e).collect()}
     assert got == {("q1", "e1"), ("q1", "e2")}
+
+
+def test_find_matches_fields_no_known_fields_raises(spark):
+    """A query whose fields all miss the entity schema must raise a
+    clear ValueError, not IndexError on present[0]."""
+    from resolve_spark.operators.matching import find_matches_text
+
+    store = spark.createDataFrame([("e1", "Acme")], ["id", "name"])
+    with pytest.raises(ValueError, match="none of the query's fields"):
+        find_matches_text(spark, "unknown_field=x", store, block_key="block_key")

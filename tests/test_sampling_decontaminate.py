@@ -441,3 +441,20 @@ def test_contamination_shuffle_mode_identical(spark):
         assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[[^\]]*\], \[[^\]]*\], LeftSemi", plan), plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_mixture_cuts_binding_stratum_kept_whole():
+    """Regression: share 0.65 / count 2 makes the float round-trip
+    share * (cnt/share) / cnt land a hair below 1.0 — a bare floor()
+    gives 999_999 ppm and shaves the stratum the docstring promises to
+    keep whole. The binding stratum must get the full-scale cut."""
+    from resolve_spark.operators.sampling import FRACTION_SCALE, _mixture_cuts
+
+    counts, targets = {"a": 2, "b": 1000}, {"a": 0.65, "b": 0.35}
+    t_max = min(counts[s] / targets[s] for s in targets)  # binding: a
+    cuts = _mixture_cuts(counts, targets, t_max)
+    assert cuts["a"] == FRACTION_SCALE
+    assert 0 < cuts["b"] < FRACTION_SCALE
+    # the shave this guards against is real: the naive floor is 1 low
+    import math
+    assert math.floor(1000000.0 * targets["a"] * t_max / counts["a"]) == 999_999

@@ -44,3 +44,35 @@ def test_pack_shards_distributed_prefix_sum(spark):
 
     with pytest.raises(ValueError):
         pack_shards(df, tokens_per_shard=0)
+
+
+def test_pack_shards_duplicate_order_keys_rows_frame(spark):
+    """Tied order keys must still get an EXCLUSIVE running prefix (the
+    default RANGE frame hands every tied row the peer-group total):
+    chunk-style input, many rows per doc_id."""
+    from resolve_spark.operators.sharding import pack_shards
+
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 10), (1, 2, 10), (2, 0, 5)],
+        ["doc_id", "chunk_idx", "n_tokens"],
+    )
+    out = pack_shards(
+        df, order_col="doc_id", tokens_per_shard=20,
+        tiebreak_cols=("chunk_idx",),
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["tokens_before"], r["shard_id"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): (0, 0), (1, 1): (10, 0), (1, 2): (20, 1), (2, 0): (30, 1)
+    }
+
+
+def test_chunk_documents_null_text_single_empty_chunk(spark):
+    from resolve_spark.operators.sharding import chunk_documents
+
+    df = spark.createDataFrame([(1, None), (2, "a b")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in chunk_documents(df, chunk_tokens=4).collect()}
+    assert (got[1]["chunk_idx"], got[1]["chunk_text"], got[1]["n_tokens"]) == (0, "", 0)
+    assert got[2]["n_tokens"] == 2
