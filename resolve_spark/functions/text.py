@@ -29,6 +29,14 @@ def _tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda t: t != "")
 
 
+def ws_tokens(col: Column) -> Column:
+    """Case-folded WHITESPACE tokens (punctuation kept inside tokens) —
+    the shared token stream of the corpus-statistics and span-dedup
+    operators (corpus_stats.py, dedup.py). Distinct from :func:`_tokens`
+    above, which splits on every non-alphanumeric run."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
 def lang_id(col: Column) -> Column:
     """Best-guess language code by function-word hit rate; 'zh' when han
     characters dominate; 'und' when nothing scores."""

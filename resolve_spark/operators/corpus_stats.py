@@ -30,7 +30,9 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text_col: str):
-    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    from resolve_spark.functions.text import ws_tokens
+
+    return ws_tokens(F.col(text_col))
 
 
 def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -453,7 +453,7 @@ def repeated_ngram_stats(
     """
     if n < 2:
         raise ValueError(f"window length must be >= 2 tokens: {n}")
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    toks = TX.ws_tokens(F.col(text_col))
     base = df.select(F.col(id_col).alias("rid"), toks.alias("toks"))
     idx = F.explode(F.sequence(F.lit(1), F.size("toks") - n + 1)).alias("i")
     windows = (
