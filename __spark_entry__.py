@@ -1298,6 +1298,70 @@ def _q75_block_skew(spark, sf_dir):  # per-pass block-size skew profile
     return block_skew_profile(canopy.unionByName(phon)).orderBy("pass")
 
 
+_DOC_VEC_EXPR = (
+    "transform(sequence(0, 15), i -> CASE WHEN i < length(text) "
+    "THEN (ascii(substring(text, i + 1, 1)) - 100.0) / 10.0 "
+    "ELSE 0.0 END)"
+)
+
+
+# DuckDB replica of the q76/q77 k-means chain: v = text-derived doc
+# vectors (the q54 idiom), c0 = init centroids from the 8 smallest ids
+# (labels 0..7 in id order), a0/a1 = assignment passes (round-6 cosine,
+# ties to the smaller label), c1 = round-6 per-dim mean update.
+_KMEANS_VEC_SQL = (
+    "list_transform(range(0, 16), i -> CASE WHEN i < length(text) THEN "
+    "(ascii(substr(text, (i + 1)::INT, 1)) - 100.0) / 10.0 ELSE 0.0 END)"
+)
+_KMEANS_ASSIGN_SQL = (
+    "SELECT id, cl FROM (SELECT v.id, c.cl, row_number() OVER "
+    "(PARTITION BY v.id ORDER BY "
+    "round(list_cosine_similarity(v.vec, c.c), 6) DESC, c.cl ASC) AS rk "
+    "FROM v CROSS JOIN {cte} c) WHERE rk = 1"
+)
+_KMEANS_CTE = (
+    "v AS (SELECT doc_id AS id, " + _KMEANS_VEC_SQL + " AS vec FROM documents), "
+    "c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cl, vec AS c "
+    "FROM (SELECT id, vec FROM v ORDER BY id LIMIT 8)), "
+    "a0 AS (" + _KMEANS_ASSIGN_SQL.format(cte="c0") + "), "
+    "c1 AS (SELECT a0.cl AS cl, ["
+    + ", ".join(f"round(avg(vec[{i + 1}]), 6)" for i in range(16))
+    + "] AS c FROM a0 JOIN v USING (id) GROUP BY a0.cl), "
+    "a1 AS (" + _KMEANS_ASSIGN_SQL.format(cte="c1") + ")"
+)
+
+
+def _q76_kmeans_clusters(spark, sf_dir):  # Lloyd's k-means over embeddings
+    """kmeans_assign over the q54 text-derived 16-dim doc vectors
+    (DuckDB recomputes them exactly). k=8 seeded by the 8 smallest
+    doc_ids, 2 assignment passes with one centroid update between;
+    every centroid component and cosine rounds to 6 decimals BEFORE
+    comparison so both engines compare identical multiples of 1e-6
+    (ties -> smaller cluster label). Output is integers only."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.expr(_DOC_VEC_EXPR).alias("vec"))
+    out = ANN.kmeans_assign(base, "doc_id", "vec", k=8, iters=2)
+    return out.select("doc_id", F.col("cluster").cast("bigint").alias("cluster"))
+
+
+def _q77_semantic_dedup(spark, sf_dir):  # SemDeDup keep/drop decisions
+    """semantic_dedup (SemDeDup, arXiv:2303.09540) over the same
+    vectors: q76's k-means partition, then inside each cluster drop
+    every doc with a lower-id neighbor at round-6 cosine >= 0.95
+    (measured cosine gap: nearest round-6 values 0.949996/0.950007 at
+    sf0.001, 0.949975/0.950008 at sf0.01 — far beyond any float64
+    engine divergence). Output is integers only."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.expr(_DOC_VEC_EXPR).alias("vec"))
+    out = DD.semantic_dedup(base, "doc_id", "vec", k=8, iters=2,
+                            cosine_threshold=0.95)
+    return out.select(
+        "doc_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1375,6 +1439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_bpe_merges": _q73_bpe_merges,
         "q74_containment_pairs": _q74_containment_pairs,
         "q75_block_skew": _q75_block_skew,
+        "q76_kmeans_clusters": _q76_kmeans_clusters,
+        "q77_semantic_dedup": _q77_semantic_dedup,
     }
 
 
@@ -2709,5 +2775,22 @@ def oracle_sql() -> dict[str, str]:
             "round((max_block * (max_block - 1) // 2)::DOUBLE / "
             "candidate_pairs, 6) ELSE 0.0 END AS top1_pairs_share "
             "FROM a ORDER BY pass"
+        ),
+        # Lloyd's k-means, unrolled (init = 8 smallest ids; assign ->
+        # update -> assign); round-6 quantization before every compare
+        "q76_kmeans_clusters": (
+            "WITH " + _KMEANS_CTE + " SELECT id AS doc_id, cl AS cluster FROM a1"
+        ),
+        # SemDeDup: drop ids with a lower-id in-cluster neighbor at
+        # round-6 cosine >= 0.95 (measured gap 0.9499xx/0.95000x)
+        "q77_semantic_dedup": (
+            "WITH " + _KMEANS_CTE + ", "
+            "d AS (SELECT DISTINCT b.id AS id FROM a1 a "
+            "JOIN a1 b ON a.cl = b.cl AND a.id < b.id "
+            "JOIN v va ON va.id = a.id JOIN v vb ON vb.id = b.id "
+            "WHERE round(list_cosine_similarity(va.vec, vb.vec), 6) >= 0.95) "
+            "SELECT a1.id AS doc_id, a1.cl AS cluster, "
+            "CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS kept "
+            "FROM a1 LEFT JOIN d ON d.id = a1.id"
         ),
     }

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "q72_phonetic_blocking",
     "q73_bpe_merges",
     "q74_containment_pairs",
+    "q77_semantic_dedup",
 ]
 
 

@@ -149,6 +149,79 @@ def lsh_topk(
     )
 
 
+def kmeans_assign(
+    df: DataFrame, id_col: str, vec_col: str = "embedding",
+    k: int = 8, iters: int = 2, quant: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column with cosine assignment:
+    (id_col, cluster, cos) for the FINAL assignment pass.
+
+    Deterministic and SQL-oracle-reproducible by construction:
+
+    - init: the k rows with the smallest ids seed the centroids, and
+      cluster labels 0..k-1 follow that id order (orderBy+limit compiles
+      to TakeOrderedAndProject — per-partition top-k heap, no global
+      sort, same trick as ivf_topk);
+    - every recomputed centroid component and every cosine rounds to
+      ``quant`` decimals BEFORE any comparison, so both engines compare
+      identical multiples of 10^-quant; assignment ties break to the
+      smaller cluster label;
+    - ``iters`` assignment passes with one centroid update between each
+      (iters=2 -> assign, update, assign). Clusters that empty out
+      simply drop from the centroid set; surviving labels are stable.
+
+    Scale: the only driver-side state is k x dim doubles per update (a
+    collect of a k-row aggregate — the same bounded-collect class as the
+    CC fingerprint). Assignment is pure whole-stage codegen over literal
+    centroid arrays — zero shuffle, no UDF; each update is ONE
+    map-side-combinable groupBy. Beyond ~1e5 k*dim literals the plan
+    gets unwieldy and a broadcast-matrix pandas-UDF argmax is the right
+    variant; at SemDeDup's prescription (k grows with corpus size so
+    cluster population stays bounded) that switch matters before 100 TB
+    and is a drop-in swap of the assign step.
+    """
+    pts = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    init = pts.orderBy(id_col).limit(k).collect()
+    if not init:
+        raise ValueError("kmeans_assign: empty input")
+    cents = [(j, [float(x) for x in r["_v"]]) for j, r in enumerate(init)]
+    dim = len(cents[0][1])
+
+    def assign(centroids):
+        scored = F.array(*[
+            F.struct(
+                F.round(
+                    cosine_similarity_native(
+                        F.col("_v"), F.array(*[F.lit(c) for c in cvec])
+                    ),
+                    quant,
+                ).alias("cos"),
+                F.lit(-j).alias("_nj"),
+            )
+            for j, cvec in centroids
+        ])
+        best = F.array_max(scored)
+        return pts.select(
+            F.col(id_col),
+            (-best["_nj"]).alias("cluster"),
+            best["cos"].alias("cos"),
+            F.col("_v"),
+        )
+
+    for _ in range(iters - 1):
+        a = assign(cents)
+        rows = a.groupBy("cluster").agg(
+            *[F.round(F.avg(F.col("_v")[i]), quant).alias(f"d{i}") for i in range(dim)]
+        ).collect()
+        cents = sorted(
+            (r["cluster"], [float(r[f"d{i}"]) for i in range(dim)]) for r in rows
+        )
+    return assign(cents).select(id_col, "cluster", "cos")
+
+
 def ivf_topk(
     queries: DataFrame, candidates: DataFrame, k: int = 10,
     query_id: str = "query_id", cand_id: str = "cand_id", vec: str = "embedding",

@@ -18,6 +18,8 @@ set, built from the same primitives as the ER pipeline:
   hamming distance -> connected components
 - embedding_duplicates: cosine near-dup over LSH-bucketed vectors
   (see ann.py for the bucketing)
+- semantic_dedup: SemDeDup — k-means-partition the embedding space,
+  keep the earliest id per in-cluster near-dup neighborhood
 - containment_pairs: asymmetric set-containment join (doc quoted/
   embedded inside a larger doc) via PPJoin-style rarest-token prefix
   filtering — exact recall, no LSH
@@ -410,6 +412,61 @@ def embedding_duplicates(
         .withColumn("cos", cosine_similarity_native(F.col("va"), F.col("vb")))
     )
     return _verify_and_cluster(df, id_col, pairs, F.col("cos"), cosine_threshold)
+
+
+def semantic_dedup(
+    df: DataFrame, id_col: str, vec_col: str,
+    k: int = 8, iters: int = 2, cosine_threshold: float = 0.95,
+    quant: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-partition
+    the embedding space, then inside each cluster drop every point that
+    has a LOWER-id neighbor at cosine >= ``cosine_threshold`` — the
+    earliest id in each near-dup neighborhood survives. Returns
+    (id_col, cluster, kept) with kept as 0/1.
+
+    The keeper rule is the deterministic greedy (keep iff no smaller-id
+    near neighbor in-cluster) rather than the paper's
+    distance-to-centroid rank: it needs no per-cluster sort, no CC, and
+    a SQL oracle states it as one anti-join. Cross-cluster near-dups
+    are NOT examined — that recall loss is SemDeDup's documented
+    tradeoff vs all-pairs LSH (embedding_duplicates covers that class).
+
+    Scale: clustering cost is kmeans_assign's (zero-shuffle assignment,
+    one groupBy per update); the pair stage joins each cluster against
+    itself, so the quadratic term is (n/k)^2 per cluster — the paper's
+    own prescription is k ∝ n to hold cluster population (and therefore
+    per-cluster pair cost) constant. AQE's skew-join split handles the
+    residual imbalance between clusters; see block_skew_profile for
+    measuring it.
+    """
+    from resolve_spark.functions.embedding import cosine_similarity_native
+    from resolve_spark.operators.ann import kmeans_assign
+
+    assign = kmeans_assign(df, id_col, vec_col, k=k, iters=iters, quant=quant)
+    pts = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    m = assign.join(pts, id_col)
+    a = m.select(F.col(id_col).alias("_ia"), "cluster", F.col("_v").alias("_va"))
+    b = m.select(F.col(id_col).alias("_ib"), "cluster", F.col("_v").alias("_vb"))
+    dups = (
+        a.join(b, "cluster")
+        .where(F.col("_ia") < F.col("_ib"))
+        .where(
+            F.round(cosine_similarity_native(F.col("_va"), F.col("_vb")), quant)
+            >= cosine_threshold
+        )
+        .select(F.col("_ib").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return assign.join(dups, id_col, "left").select(
+        id_col,
+        "cluster",
+        F.when(F.col("_dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+    )
 
 
 def _span_window_hash(toks_col, i, n: int, hash_impl: str):

@@ -115,6 +115,59 @@ def test_embedding_duplicates(spark, vectors):
     assert got[0] != got[1]
 
 
+def test_kmeans_assign_two_blobs(spark):
+    """Two well-separated direction blobs, k=2 seeded by ids 1 (blob A)
+    and 2 (blob B): every point lands with its blob, labels follow the
+    init-id order, and a rerun is bit-identical."""
+    rows = [
+        (1, [1.0, 0.05, 0.0]), (2, [0.0, 1.0, 0.05]),
+        (3, [1.0, -0.05, 0.02]), (4, [0.02, 1.0, -0.05]),
+        (5, [0.98, 0.0, 0.01]), (6, [0.01, 0.97, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "vec"])
+    out = ann.kmeans_assign(df, "rid", "vec", k=2, iters=2)
+    got = {r["rid"]: r["cluster"] for r in out.collect()}
+    assert got == {1: 0, 3: 0, 5: 0, 2: 1, 4: 1, 6: 1}
+    again = {r["rid"]: r["cluster"]
+             for r in ann.kmeans_assign(df, "rid", "vec", k=2, iters=2).collect()}
+    assert again == got
+
+
+def test_kmeans_assign_empty_cluster_drops(spark):
+    """Init centroid 2 duplicates centroid 0's vector: the tie breaks
+    to the smaller label everywhere, cluster 2 empties after the first
+    pass, and the final assignment only uses surviving labels."""
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.0]),
+        (4, [0.9, 0.1]), (5, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "vec"])
+    out = ann.kmeans_assign(df, "rid", "vec", k=3, iters=2).collect()
+    labels = {r["cluster"] for r in out}
+    assert labels == {0, 1}
+    assert len(out) == 5
+
+
+def test_semantic_dedup_keeps_earliest_in_cluster(spark):
+    """A near-exact pair (cos ~ 1) keeps the smaller id and drops the
+    larger; the isolated point survives; cluster labels match q76-style
+    k-means semantics."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+        (3, [0.999, 0.001, 0.0]),  # near-dup of 1 (cos ~ 0.9999995)
+        (4, [0.1, 0.9, 0.0]),      # same blob as 2, cos(2,4) ~ 0.9939
+    ]
+    df = spark.createDataFrame(rows, ["rid", "vec"])
+    out = dedup.semantic_dedup(df, "rid", "vec", k=2, iters=2,
+                               cosine_threshold=0.999)
+    got = {r["rid"]: (r["cluster"], r["kept"]) for r in out.collect()}
+    assert got[1] == (0, 1)
+    assert got[3] == (0, 0)  # dropped: lower-id neighbor 1 at cos >= 0.999
+    assert got[2] == (1, 1)
+    assert got[4] == (1, 1)  # in-cluster but below the threshold
+    assert len(got) == 4
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synth_media(spark, n=30)
     feats = multimodal.extract_features(media, dim=8)
