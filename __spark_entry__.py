@@ -1314,8 +1314,9 @@ _KMEANS_VEC_SQL = (
     "(ascii(substr(text, (i + 1)::INT, 1)) - 100.0) / 10.0 ELSE 0.0 END)"
 )
 _KMEANS_ASSIGN_SQL = (
-    "SELECT id, cl FROM (SELECT v.id, c.cl, row_number() OVER "
-    "(PARTITION BY v.id ORDER BY "
+    "SELECT id, cl, cos FROM (SELECT v.id, c.cl, "
+    "round(list_cosine_similarity(v.vec, c.c), 6) AS cos, "
+    "row_number() OVER (PARTITION BY v.id ORDER BY "
     "round(list_cosine_similarity(v.vec, c.c), 6) DESC, c.cl ASC) AS rk "
     "FROM v CROSS JOIN {cte} c) WHERE rk = 1"
 )
@@ -1358,6 +1359,24 @@ def _q77_semantic_dedup(spark, sf_dir):  # SemDeDup keep/drop decisions
     return out.select(
         "doc_id",
         F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
+def _q78_prototype_prune(spark, sf_dir):  # SSL-prototype data pruning
+    """prototype_prune (Sorscher et al. 2022) over the q76 clustering:
+    keep the 20 hardest (least prototypical) docs per cluster, ranked
+    on the round-6 assignment cosine with the doc_id tiebreak — exact
+    text dups share a cosine, so the id decides. Integer-only output."""
+    from resolve_spark.operators.sampling import prototype_prune
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.expr(_DOC_VEC_EXPR).alias("vec"))
+    out = prototype_prune(base, "doc_id", "vec", k=8, iters=2,
+                          keep_per_cluster=20, keep="hard")
+    return out.select(
+        "doc_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("rank").cast("bigint").alias("rank"),
         F.col("kept").cast("int").alias("kept"),
     )
 
@@ -1441,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_block_skew": _q75_block_skew,
         "q76_kmeans_clusters": _q76_kmeans_clusters,
         "q77_semantic_dedup": _q77_semantic_dedup,
+        "q78_prototype_prune": _q78_prototype_prune,
     }
 
 
@@ -2792,5 +2812,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a1.id AS doc_id, a1.cl AS cluster, "
             "CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS kept "
             "FROM a1 LEFT JOIN d ON d.id = a1.id"
+        ),
+        # SSL-prototype pruning: rank hardest-first (round-6 cosine
+        # ASC, id tiebreak) within each k-means cluster, keep top 20
+        "q78_prototype_prune": (
+            "WITH " + _KMEANS_CTE + ", "
+            "r AS (SELECT id, cl, row_number() OVER (PARTITION BY cl "
+            "ORDER BY cos ASC, id ASC) AS rank FROM a1) "
+            "SELECT id AS doc_id, cl AS cluster, rank, "
+            "CASE WHEN rank <= 20 THEN 1 ELSE 0 END AS kept FROM r"
         ),
     }

@@ -10,6 +10,8 @@ function of the data:
   scan, trivially parallel at any scale.
 - :func:`quota_sample` — keep an exact per-stratum COUNT (the n
   hash-smallest rows of each stratum).
+- :func:`prototype_prune` — SSL-prototype pruning: per-k-means-cluster
+  rank by cosine to the centroid, keep the hardest (or easiest) n
 - :func:`mixture_sample` — down-sample to a target DOMAIN MIXTURE
   (waterfill: the largest total hitting the target shares without
   upsampling any stratum), then the same hash-threshold filter. Two-phase at scale: a hash
@@ -232,3 +234,44 @@ def mixture_sample(
     for value, ppm in sorted(cuts.items()):
         cut = F.when(F.col(strata_col) == value, F.lit(ppm)).otherwise(cut)
     return df.where(coin < cut)
+
+
+def prototype_prune(
+    df: DataFrame, id_col: str, vec_col: str,
+    k: int = 8, iters: int = 2, keep_per_cluster: int = 20,
+    keep: str = "hard", quant: int = 6,
+) -> DataFrame:
+    """SSL-prototype data pruning (Sorscher et al. 2022,
+    arXiv:2206.14486): score each example by cosine to its k-means
+    centroid, then keep ``keep_per_cluster`` examples per cluster —
+    ``keep="hard"`` keeps the LEAST prototypical (farthest from the
+    centroid; the paper's prescription when data is abundant),
+    ``keep="easy"`` the most prototypical (best when data is scarce).
+    Returns (id_col, cluster, rank, kept) with kept as 0/1.
+
+    Deterministic: the ranking orders on kmeans_assign's round-6
+    quantized cosine with the id as tiebreak (planted exact dups have
+    identical vectors, hence identical cosines — the id breaks them),
+    so a SQL oracle reproduces every rank.
+
+    Scale: kmeans_assign's cost plus ONE shuffle by cluster for the
+    per-cluster window rank. Cluster population is n/k — the same knob
+    as semantic_dedup (k grows with the corpus); AQE skew handling
+    covers stragglers. The full ranking ships with a kept flag instead
+    of filtering so callers can re-cut without re-clustering.
+    """
+    from resolve_spark.operators.ann import kmeans_assign
+
+    if keep not in ("hard", "easy"):
+        raise ValueError(f"keep must be 'hard' or 'easy': {keep}")
+    assign = kmeans_assign(df, id_col, vec_col, k=k, iters=iters, quant=quant)
+    order = F.col("cos").asc() if keep == "hard" else F.col("cos").desc()
+    w = Window.partitionBy("cluster").orderBy(order, F.col(id_col).asc())
+    return assign.select(
+        F.col(id_col),
+        "cluster",
+        F.row_number().over(w).alias("rank"),
+    ).withColumn(
+        "kept",
+        F.when(F.col("rank") <= keep_per_cluster, F.lit(1)).otherwise(F.lit(0)),
+    )

@@ -458,3 +458,37 @@ def test_mixture_cuts_binding_stratum_kept_whole():
     # the shave this guards against is real: the naive floor is 1 low
     import math
     assert math.floor(1000000.0 * targets["a"] * t_max / counts["a"]) == 999_999
+
+
+def test_prototype_prune_hard_and_easy(spark):
+    """Two blobs, k=2. In blob A (ids 1/3/5) the post-update cosine
+    order is id3 (0.925) < id1 (0.981) < id5 (0.996): hard keeps the
+    farthest-from-centroid, easy the closest."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+        (3, [0.6, 0.4, 0.0]), (4, [0.0, 0.9, 0.1]),
+        (5, [0.9, 0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "vec"])
+    hard = SM.prototype_prune(df, "rid", "vec", k=2, iters=2,
+                              keep_per_cluster=1, keep="hard")
+    got = {r["rid"]: (r["cluster"], r["rank"], r["kept"]) for r in hard.collect()}
+    assert got[3] == (0, 1, 1) and got[1][2] == 0 and got[5][2] == 0
+    assert got[3][0] == got[1][0] == got[5][0] == 0
+    easy = SM.prototype_prune(df, "rid", "vec", k=2, iters=2,
+                              keep_per_cluster=1, keep="easy")
+    egot = {r["rid"]: r["kept"] for r in easy.collect()}
+    assert egot[5] == 1 and egot[3] == 0 and egot[1] == 0
+
+
+def test_prototype_prune_tiebreak_on_id(spark):
+    """Exact duplicate vectors share a cosine; the id breaks the tie."""
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [1.0, 0.0]), (4, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, ["rid", "vec"])
+    out = SM.prototype_prune(df, "rid", "vec", k=2, iters=2,
+                             keep_per_cluster=2, keep="hard")
+    got = {r["rid"]: (r["rank"], r["kept"]) for r in out.collect()}
+    assert got[1] == (1, 1) and got[3] == (2, 1) and got[4] == (3, 0)
+    with pytest.raises(ValueError):
+        SM.prototype_prune(df, "rid", "vec", keep="random")
