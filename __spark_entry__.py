@@ -1381,6 +1381,44 @@ def _q78_prototype_prune(spark, sf_dir):  # SSL-prototype data pruning
     )
 
 
+def _q79_hash_split(spark, sf_dir):  # deterministic train/val/test split
+    """hash_split with the portable coin: cumulative ppm cutoffs
+    (train 900000 / val 950000 / remainder test) over
+    portable_hash60('sp79:' || doc_id) % 1e6 — every row labeled, no
+    shuffle, reproducible in SQL verbatim."""
+    from resolve_spark.operators.sampling import hash_split
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(d, "doc_id",
+                     {"train": 0.9, "val": 0.05, "test": 0.05},
+                     salt="sp79", hash_impl="portable")
+    return out.select("doc_id", "lang", "split")
+
+
+def _q80_dedup_lines(spark, sf_dir):  # within-doc duplicate-line removal
+    """dedup_lines over synthesized line structure (documents.text has
+    no newlines, so build the q56-style 4-line docs: line 1 repeats at
+    position 3). Output keeps the first occurrence of every line; the
+    oracle replays the identical keep-first lambda."""
+    d = _t(spark, sf_dir, "documents")
+    lined = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60), F.lit("\n"),
+            F.lit("doc "), F.col("doc_id").cast("string"), F.lit("\n"),
+            F.substring("text", 1, 60), F.lit("\n"),
+            F.lit("tail"),
+        ).alias("text"),
+    )
+    out = lined.select(
+        "doc_id",
+        F.size(F.split("text", r"\n")).alias("n_lines"),
+        TX.dedup_lines(F.col("text")).alias("deduped"),
+    )
+    return out.withColumn(
+        "n_kept", F.size(F.split("deduped", r"\n"))
+    ).select("doc_id", "n_lines", "n_kept", "deduped")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1461,6 +1499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_kmeans_clusters": _q76_kmeans_clusters,
         "q77_semantic_dedup": _q77_semantic_dedup,
         "q78_prototype_prune": _q78_prototype_prune,
+        "q79_hash_split": _q79_hash_split,
+        "q80_dedup_lines": _q80_dedup_lines,
     }
 
 
@@ -2821,5 +2861,25 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cos ASC, id ASC) AS rank FROM a1) "
             "SELECT id AS doc_id, cl AS cluster, rank, "
             "CASE WHEN rank <= 20 THEN 1 ELSE 0 END AS kept FROM r"
+        ),
+        # deterministic split: cumulative ppm cutoffs on the portable coin
+        "q79_hash_split": (
+            "SELECT doc_id, lang, CASE WHEN coin < 900000 THEN 'train' "
+            "WHEN coin < 950000 THEN 'val' ELSE 'test' END AS split "
+            "FROM (SELECT doc_id, lang, "
+            "(" + _ph_sql("'sp79:' || doc_id") + ") % 1000000 AS coin "
+            "FROM documents)"
+        ),
+        # keep-first line dedup over the synthesized 4-line docs
+        "q80_dedup_lines": (
+            "WITH t AS (SELECT doc_id, substr(text, 1, 60) || chr(10) || "
+            "'doc ' || doc_id || chr(10) || substr(text, 1, 60) || "
+            "chr(10) || 'tail' AS text FROM documents), "
+            "s AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM t), "
+            "k AS (SELECT doc_id, len(lines)::INT AS n_lines, "
+            "list_filter(lines, (x, i) -> "
+            "list_position(lines[1:i-1], x) = 0) AS kept FROM s) "
+            "SELECT doc_id, n_lines, len(kept)::INT AS n_kept, "
+            "array_to_string(kept, chr(10)) AS deduped FROM k"
         ),
     }

@@ -199,6 +199,22 @@ def duplicate_line_fraction(col: Column) -> Column:
     )
 
 
+def dedup_lines(col: Column) -> Column:
+    """Remove exact duplicate lines within a document, keeping the
+    FIRST occurrence of each (blank lines dedup like any other) — the
+    repair counterpart of duplicate_line_fraction, for boilerplate- and
+    scrape-artifact-heavy corpora. Pure whole-stage codegen: keep-first
+    is array_position over the running line prefix (quadratic in a
+    doc's LINE count, linear in characters — fine at any corpus scale
+    because the cost is per-row, shuffle-free)."""
+    lines = F.split(col, r"\n")
+    kept = F.filter(
+        lines,
+        lambda x, i: F.array_position(F.slice(lines, F.lit(1), i), x) == 0,
+    )
+    return F.array_join(kept, "\n")
+
+
 def duplicate_word_fraction(col: Column) -> Column:
     """Fraction of tokens that repeat an earlier token."""
     toks = _tokens(col)

@@ -12,6 +12,8 @@ function of the data:
   hash-smallest rows of each stratum).
 - :func:`prototype_prune` — SSL-prototype pruning: per-k-means-cluster
   rank by cosine to the centroid, keep the hardest (or easiest) n
+- :func:`hash_split` — deterministic train/val/test labeling via
+  cumulative hash-coin cutoffs (every row gets exactly one label)
 - :func:`mixture_sample` — down-sample to a target DOMAIN MIXTURE
   (waterfill: the largest total hitting the target shares without
   upsampling any stratum), then the same hash-threshold filter. Two-phase at scale: a hash
@@ -275,3 +277,35 @@ def prototype_prune(
         "kept",
         F.when(F.col("rank") <= keep_per_cluster, F.lit(1)).otherwise(F.lit(0)),
     )
+
+
+def hash_split(
+    df: DataFrame, id_col: str, weights: dict[str, float] | None = None,
+    salt: str = "split", split_col: str = "split", hash_impl: str = "fast",
+) -> DataFrame:
+    """Deterministic train/val/test split: the (salt, id) hash coin
+    lands each row in exactly one named bucket. Boundaries are
+    cumulative ppm cutoffs in the given dict order and the LAST split
+    absorbs the rounding remainder, so every row is labeled. The split
+    is a pure function of the data — reproducible across runs, engines
+    and cluster sizes, order-independent, and rows keep their label
+    when the corpus grows (no global count, sort or shuffle: the label
+    is one projected expression, scan-speed at any scale).
+
+    Weights must sum to 1 (+-1e-9). Returns df plus ``split_col``.
+    """
+    weights = dict(weights or {"train": 0.9, "val": 0.05, "test": 0.05})
+    if len(weights) < 2:
+        raise ValueError("hash_split needs at least two splits")
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1: {weights}")
+    coin = _sample_hash(F.col(id_col), salt, hash_impl) % FRACTION_SCALE
+    names = list(weights)
+    expr = None
+    cum = 0
+    for name in names[:-1]:
+        cum += _threshold(weights[name])
+        cond = coin < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)

@@ -492,3 +492,28 @@ def test_prototype_prune_tiebreak_on_id(spark):
     assert got[1] == (1, 1) and got[3] == (2, 1) and got[4] == (3, 0)
     with pytest.raises(ValueError):
         SM.prototype_prune(df, "rid", "vec", keep="random")
+
+
+def test_hash_split_exhaustive_and_deterministic(docs):
+    out = SM.hash_split(docs, "id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1}, salt="t")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()  # every row labeled once
+    assert set(counts) == {"train", "val", "test"}
+    # hash-uniform coin: 80/10/10 within a loose band
+    total = sum(counts.values())
+    assert 0.7 < counts["train"] / total < 0.9
+    again = {r["id"]: r["split"] for r in
+             SM.hash_split(docs, "id",
+                           {"train": 0.8, "val": 0.1, "test": 0.1},
+                           salt="t").collect()}
+    first = {r["id"]: r["split"] for r in out.collect()}
+    assert again == first
+
+
+def test_hash_split_validation(docs):
+    with pytest.raises(ValueError):
+        SM.hash_split(docs, "id", {"train": 0.5, "val": 0.4})
+    with pytest.raises(ValueError):
+        SM.hash_split(docs, "id", {"all": 1.0})

@@ -255,3 +255,16 @@ def test_bpe_merge_candidates_topk_tiebreak(spark):
     # k=1 cut deterministic
     got = [tuple(r) for r in bpe_merge_candidates(df, top_k=1).collect()]
     assert got == [("a b", 2)]
+
+
+def test_dedup_lines_keep_first(spark):
+    from resolve_spark.functions.text import dedup_lines
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"), (2, "x\n\n\nx\ny"), (3, "solo")],
+        ["rid", "t"],
+    )
+    got = {r["rid"]: r["d"] for r in
+           df.select("rid", dedup_lines(F.col("t")).alias("d")).collect()}
+    assert got[1] == "a\nb\nc"
+    assert got[2] == "x\n\ny"   # second blank and repeated x removed
+    assert got[3] == "solo"
