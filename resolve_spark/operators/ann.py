@@ -151,7 +151,7 @@ def lsh_topk(
 
 def kmeans_assign(
     df: DataFrame, id_col: str, vec_col: str = "embedding",
-    k: int = 8, iters: int = 2, quant: int = 6,
+    k: int = 8, iters: int = 2, quant: int = 6, keep_vec: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column with cosine assignment:
     (id_col, cluster, cos) for the FINAL assignment pass.
@@ -219,7 +219,12 @@ def kmeans_assign(
         cents = sorted(
             (r["cluster"], [float(r[f"d{i}"]) for i in range(dim)]) for r in rows
         )
-    return assign(cents).select(id_col, "cluster", "cos")
+    final = assign(cents)
+    if keep_vec:
+        # downstream pair stages (semantic_dedup) reuse the double-cast
+        # vector without a join back by id — two fewer exchanges
+        return final.select(id_col, "cluster", "cos", F.col("_v").alias(vec_col))
+    return final.select(id_col, "cluster", "cos")
 
 
 def ivf_topk(

@@ -443,14 +443,11 @@ def semantic_dedup(
     from resolve_spark.functions.embedding import cosine_similarity_native
     from resolve_spark.operators.ann import kmeans_assign
 
-    assign = kmeans_assign(df, id_col, vec_col, k=k, iters=iters, quant=quant)
-    pts = df.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    )
-    m = assign.join(pts, id_col)
-    a = m.select(F.col(id_col).alias("_ia"), "cluster", F.col("_v").alias("_va"))
-    b = m.select(F.col(id_col).alias("_ib"), "cluster", F.col("_v").alias("_vb"))
+    m = kmeans_assign(df, id_col, vec_col, k=k, iters=iters, quant=quant,
+                      keep_vec=True)
+    a = m.select(F.col(id_col).alias("_ia"), "cluster", F.col(vec_col).alias("_va"))
+    b = m.select(F.col(id_col).alias("_ib"), "cluster", F.col(vec_col).alias("_vb"))
+    assign = m.select(id_col, "cluster")
     dups = (
         a.join(b, "cluster")
         .where(F.col("_ia") < F.col("_ib"))
