@@ -1419,6 +1419,76 @@ def _q80_dedup_lines(spark, sf_dir):  # within-doc duplicate-line removal
     ).select("doc_id", "n_lines", "n_kept", "deduped")
 
 
+def _q81_fs_pairs(spark, sf_dir):
+    """Shared pair stream for q81: nation-blocked customer pairs with
+    three native 0/1 agreement indicators (segment equality, synthesized
+    phone-area-code equality — the q07 phone formula's area code —
+    and an account-balance band)."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+            ((F.col("c_custkey") * 7) % 1000).alias("ph"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("balc"),
+        )
+    )
+    a = c.select(*[F.col(x).alias(f"{x}_a") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"{x}_b") for x in c.columns])
+    return (
+        a.join(b, (F.col("nk_a") == F.col("nk_b")) & (F.col("k_a") < F.col("k_b")))
+        .select(
+            (F.col("seg_a") == F.col("seg_b")).cast("int").alias("g_seg"),
+            (F.col("ph_a") == F.col("ph_b")).cast("int").alias("g_phone"),
+            (F.abs(F.col("balc_a") - F.col("balc_b")) < 100000)
+            .cast("int")
+            .alias("g_bal"),
+        )
+    )
+
+
+def _q81_fs_params(spark, sf_dir):  # Fellegi-Sunter EM weight learning
+    """estimate_fs (Fellegi & Sunter 1969, EM over the agreement-pattern
+    contingency table — the Splink-style unsupervised weight learner)
+    on nation-blocked customer pairs, 3 binary fields, 3 iterations
+    from the canonical (lam .1, m .9, u .1) inits. The oracle unrolls
+    the SAME 3 EM iterations in SQL over the identical pattern counts;
+    all products are spelled left-to-right in field order in both
+    engines, so the only cross-engine float freedom is the <= 8-term
+    pattern-sum order (round 6 absorbs it)."""
+    from resolve_spark.operators.fellegi_sunter import estimate_fs, fs_params_df
+
+    pairs = _q81_fs_pairs(spark, sf_dir)
+    params = estimate_fs(pairs, ["g_seg", "g_phone", "g_bal"], iterations=3)
+    out = fs_params_df(spark, params)
+    return out.select(
+        "field",
+        F.round("m", 6).alias("m"),
+        F.round("u", 6).alias("u"),
+        F.round("agree_weight", 6).alias("agree_weight"),
+        F.round("disagree_weight", 6).alias("disagree_weight"),
+        F.round("lam", 6).alias("lam"),
+    ).orderBy("field")
+
+
+def _q82_cluster_metrics(spark, sf_dir):  # per-cluster graph diagnostics
+    """cluster_graph_metrics over a brand-clustered part graph: edges =
+    same-brand pairs with key distance <= 100, assignments = brand.
+    Density/avg_degree are single divisions of exact longs; triangle
+    and bridge counts are exact longs — oracle-exact by construction."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_brand").alias("br"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_brand").alias("br"))
+    edges = a.join(b, "br").where(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("id_b") - F.col("id_a") <= 100)
+    ).select("id_a", "id_b")
+    asg = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("cluster_id"))
+    return C.cluster_graph_metrics(edges, asg).orderBy("cluster_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1501,6 +1571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_prototype_prune": _q78_prototype_prune,
         "q79_hash_split": _q79_hash_split,
         "q80_dedup_lines": _q80_dedup_lines,
+        "q81_fs_params": _q81_fs_params,
+        "q82_cluster_metrics": _q82_cluster_metrics,
     }
 
 
@@ -1855,6 +1927,79 @@ _CC_CTE = (
     "UNION SELECT r.s, sym.d FROM reach r JOIN sym ON r.d = sym.s), "
     "comp AS (SELECT s AS rid, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)"
 )
+
+
+def _q81_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled fixed-iteration Fellegi-Sunter EM in DuckDB SQL over
+    the same agreement-pattern contingency table estimate_fs collects.
+    Every product is spelled in the same left-to-right field order as
+    the Python loop (IEEE doubles agree when the expression tree
+    agrees); the pattern sums (<= 8 terms) are the only order-unpinned
+    float ops and the 6-dp rounding absorbs them."""
+    fields = ["g_seg", "g_phone", "g_bal"]
+    nf = len(fields)
+
+    def prod(kind: str, params: str) -> str:
+        # lam * PROD_f (m_f if g_f else 1-m_f), left-to-right
+        head = f"{params}.l" if kind == "m" else f"(1e0 - {params}.l)"
+        terms = [
+            f"(CASE WHEN {g} = 1 THEN {params}.{kind}{i + 1} "
+            f"ELSE 1e0 - {params}.{kind}{i + 1} END)"
+            for i, g in enumerate(fields)
+        ]
+        return head + " * " + " * ".join(terms)
+
+    clip = lambda x: f"greatest(least({x}, 1e0 - 1e-6), 1e-6)"  # noqa: E731
+    cte = [
+        "WITH c AS (SELECT c_custkey AS k, c_nationkey AS nk, "
+        "c_mktsegment AS seg, (c_custkey * 7) % 1000 AS ph, "
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS balc "
+        "FROM customer WHERE c_custkey % 3 = 0)",
+        "g AS (SELECT CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g_seg, "
+        "CASE WHEN a.ph = b.ph THEN 1 ELSE 0 END AS g_phone, "
+        "CASE WHEN abs(a.balc - b.balc) < 100000 THEN 1 ELSE 0 END AS g_bal "
+        "FROM c a JOIN c b ON a.nk = b.nk AND a.k < b.k)",
+        f"pc AS (SELECT {', '.join(fields)}, count(*)::BIGINT AS cnt "
+        f"FROM g GROUP BY {', '.join(str(i + 1) for i in range(nf))})",
+        "tot AS (SELECT sum(cnt) AS t FROM pc)",
+        "p0 AS (SELECT 1e-1 AS l, "
+        + ", ".join(f"9e-1 AS m{i + 1}" for i in range(nf))
+        + ", "
+        + ", ".join(f"1e-1 AS u{i + 1}" for i in range(nf))
+        + ")",
+    ]
+    for it in range(1, iterations + 1):
+        prev = f"p{it - 1}"
+        cte.append(
+            f"x{it} AS (SELECT pc.*, CASE WHEN a + b > 0 "
+            f"THEN a / (a + b) ELSE 0e0 END AS p FROM "
+            f"(SELECT pc.*, {prod('m', 'p')} AS a, {prod('u', 'p')} AS b "
+            f"FROM pc, {prev} p) pc)"
+        )
+        m_terms = ", ".join(
+            clip(f"sum(cnt * p * {g}) / sum(cnt * p)") + f" AS m{i + 1}"
+            for i, g in enumerate(fields)
+        )
+        u_terms = ", ".join(
+            clip(f"sum(cnt * (1e0 - p) * {g}) / sum(cnt * (1e0 - p))")
+            + f" AS u{i + 1}"
+            for i, g in enumerate(fields)
+        )
+        cte.append(
+            f"p{it} AS (SELECT "
+            + clip("sum(cnt * p) / (SELECT t FROM tot)")
+            + f" AS l, {m_terms}, {u_terms} FROM x{it})"
+        )
+    last = f"p{iterations}"
+    rows = " UNION ALL ".join(
+        f"SELECT '{g}' AS field, round(m{i + 1}, 6) AS m, "
+        f"round(u{i + 1}, 6) AS u, "
+        f"round(log2(m{i + 1} / u{i + 1}), 6) AS agree_weight, "
+        f"round(log2((1e0 - m{i + 1}) / (1e0 - u{i + 1})), 6) AS disagree_weight, "
+        f"round(l, 6) AS lam FROM {last}"
+        for i, g in enumerate(fields)
+    )
+    return ", ".join(cte) + f" SELECT * FROM ({rows}) ORDER BY field"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2881,5 +3026,39 @@ def oracle_sql() -> dict[str, str]:
             "list_position(lines[1:i-1], x) = 0) AS kept FROM s) "
             "SELECT doc_id, n_lines, len(kept)::INT AS n_kept, "
             "array_to_string(kept, chr(10)) AS deduped FROM k"
+        ),
+        # Fellegi-Sunter EM, 3 unrolled iterations over pattern counts
+        "q81_fs_params": _q81_oracle_sql(iterations=3),
+        # per-cluster graph diagnostics on the brand-clustered part graph
+        "q82_cluster_metrics": (
+            "WITH e AS (SELECT a.p_partkey AS ea, b.p_partkey AS eb, "
+            "a.p_brand AS cl FROM part a JOIN part b "
+            "ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey "
+            "AND b.p_partkey - a.p_partkey <= 100), "
+            "adj AS (SELECT ea AS x, eb AS y FROM e "
+            "UNION ALL SELECT eb, ea FROM e), "
+            "cn AS (SELECT e.ea, e.eb, count(*) AS cn FROM e "
+            "JOIN adj a1 ON a1.x = e.ea JOIN adj a2 ON a2.x = e.eb "
+            "AND a2.y = a1.y WHERE a1.y <> e.ea AND a1.y <> e.eb "
+            "GROUP BY 1, 2), "
+            "pe AS (SELECT e.ea, e.eb, e.cl, coalesce(cn.cn, 0) AS cn "
+            "FROM e LEFT JOIN cn ON cn.ea = e.ea AND cn.eb = e.eb), "
+            "nodes AS (SELECT p_brand AS cluster_id, "
+            "count(DISTINCT p_partkey) AS n_nodes FROM part GROUP BY 1), "
+            "ea_ AS (SELECT cl AS cluster_id, count(*)::BIGINT AS n_edges, "
+            "(sum(cn) // 3)::BIGINT AS n_triangles, "
+            "sum(CASE WHEN cn = 0 THEN 1 ELSE 0 END)::BIGINT AS zcn "
+            "FROM pe GROUP BY 1) "
+            "SELECT cluster_id, n_nodes, "
+            "coalesce(n_edges, 0) AS n_edges, "
+            "CASE WHEN n_nodes > 1 THEN round(coalesce(n_edges, 0) * 2 / "
+            "(n_nodes * (n_nodes - 1)), 6) ELSE 0.0 END AS density, "
+            "CASE WHEN n_nodes > 0 THEN "
+            "round(coalesce(n_edges, 0) * 2 / n_nodes, 6) "
+            "ELSE 0.0 END AS avg_degree, "
+            "coalesce(n_triangles, 0) AS n_triangles, "
+            "CASE WHEN n_nodes >= 3 THEN coalesce(zcn, 0) ELSE 0 END "
+            "AS n_bridges "
+            "FROM nodes LEFT JOIN ea_ USING (cluster_id) ORDER BY cluster_id"
         ),
     }

@@ -333,3 +333,100 @@ def group_statistics(
         (F.col("cnt") / F.col("cluster_size")).alias("agreement"),
         (F.col("cnt") / F.col("cluster_size") * F.col("avg_score")).alias("confidence"),
     )
+
+
+def cluster_graph_metrics(
+    edges: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Per-cluster GRAPH-quality diagnostics for an entity-resolution
+    clustering — the standard post-CC health check (the ideas behind
+    Splink's cluster metrics / "graph metrics for linked-data
+    clustering"): a good entity cluster is dense; a cluster held
+    together by a single low-support edge is a likely over-merge.
+
+    Input: undirected match ``edges`` (id_a, id_b; direction and
+    duplicates ignored) and node->cluster ``assignments``. Edges whose
+    endpoints land in different clusters are dropped (CC output never
+    produces them; exogenous assignments might).
+
+    Output, one row per cluster (including edge-less singleton
+    clusters): n_nodes, n_edges, density = 2E/(n(n-1)), avg_degree =
+    2E/n, n_triangles, n_bridges — edges with ZERO common neighbors in
+    a cluster of >= 3 nodes, the cheap articulation-edge proxy (a true
+    bridge in the graph-theory sense always has no common neighbor;
+    flagged edges deserve clerical review before trusting the merge).
+
+    Determinism: every count is an exact long; density/avg_degree are
+    single divisions rounded to 6 dp — oracle-safe.
+
+    Scale plan (100 TB): common-neighbor counting is ONE self-join of
+    the adjacency list keyed on the edge endpoints — sum(deg^2) work,
+    bounded because candidate degrees are bounded by the pair budget
+    (pairs.py); no per-cluster collect, no quadratic in cluster count.
+    Triangles = sum(common)/3 per cluster, counted once per edge.
+    """
+    und = (
+        edges.select(
+            F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    asg = assignments.select(F.col(id_col).alias("_n"), F.col(cluster_col).alias("_c"))
+    e = (
+        und.join(asg.withColumnRenamed("_n", "a").withColumnRenamed("_c", "_ca"), "a")
+        .join(asg.withColumnRenamed("_n", "b").withColumnRenamed("_c", "_cb"), "b")
+        .where(F.col("_ca") == F.col("_cb"))
+        .select("a", "b", F.col("_ca").alias("_c"))
+    )
+    adj = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    common = (
+        e.join(adj.select(F.col("x").alias("a"), F.col("y").alias("w1")), "a")
+        .join(adj.select(F.col("x").alias("b"), F.col("y").alias("w2")), "b")
+        .where((F.col("w1") == F.col("w2")) & (F.col("w1") != F.col("a")) & (F.col("w1") != F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    per_edge = e.join(common, ["a", "b"], "left").withColumn(
+        "cn", F.coalesce("cn", F.lit(0))
+    )
+    nodes = asg.groupBy(F.col("_c").alias(cluster_col)).agg(
+        F.countDistinct("_n").alias("n_nodes")
+    )
+    eagg = per_edge.groupBy(F.col("_c").alias(cluster_col)).agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.expr("sum(cn) DIV 3").alias("n_triangles"),
+        F.sum(F.when(F.col("cn") == 0, 1).otherwise(0)).alias("_zero_cn"),
+    )
+    out = nodes.join(eagg, cluster_col, "left").select(
+        cluster_col,
+        "n_nodes",
+        F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        F.when(
+            F.col("n_nodes") >= 3, F.coalesce("_zero_cn", F.lit(0))
+        ).otherwise(F.lit(0)).alias("n_bridges"),
+    )
+    density = F.when(
+        F.col("n_nodes") > 1,
+        F.round(
+            F.col("n_edges") * 2 / (F.col("n_nodes") * (F.col("n_nodes") - 1)), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    avg_deg = F.when(
+        F.col("n_nodes") > 0, F.round(F.col("n_edges") * 2 / F.col("n_nodes"), 6)
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        cluster_col,
+        "n_nodes",
+        "n_edges",
+        density.alias("density"),
+        avg_deg.alias("avg_degree"),
+        "n_triangles",
+        "n_bridges",
+    )

@@ -1,0 +1,187 @@
+"""Fellegi–Sunter match-weight estimation via EM (unsupervised).
+
+The classic probabilistic record-linkage model (Fellegi & Sunter 1969;
+the approach behind Splink and most production linkers): for candidate
+pairs with binary per-field agreement indicators g_f, estimate
+
+- ``lam``  P(pair is a match) among the candidate pairs,
+- ``m_f``  P(field f agrees | match),
+- ``u_f``  P(field f agrees | non-match),
+
+by EM, assuming conditional independence of fields given match status.
+The derived log2(m/u) / log2((1-m)/(1-u)) agreement weights are the
+interpretable per-field evidence scores users tune thresholds against,
+and the per-pattern posterior P(match | g) is a drop-in pair score for
+corpora with no labeled truth (the supervised path is match_metrics in
+diagnostics.py).
+
+The reference engine has no unsupervised weight learning — its field
+weights are user-supplied (SURVEY.md §2.7 M4, match.go:378-384); this
+operator LEARNS them from the candidate-pair distribution itself and
+is part of the beyond-the-reference training-data toolkit.
+
+Scale plan (100 TB): EM never iterates over pairs. Binary agreement
+vectors take at most 2^F distinct values (F = #fields, so <= 1024 rows
+for F = 10), and both EM steps depend on the data only through the
+pattern contingency table, so the operator does ONE map-side-combinable
+groupBy over the pair stream, collects the <= 2^F (pattern, count)
+rows, and runs EM driver-side in plain Python — O(2^F * iterations)
+arithmetic, independent of corpus size. Scoring rejoins the learned
+per-pattern posterior as a chained literal CASE expression (broadcast
+of nothing; whole-stage codegen, no shuffle).
+
+Determinism: pattern counts are exact longs; EM arithmetic is IEEE
+doubles evaluated in a fixed field order and a fixed pattern order
+(sorted by agreement tuple), so repeated runs are bit-identical. The
+DuckDB oracle (q81) unrolls the same fixed-iteration EM in SQL; sums
+over the <= 2^F pattern rows are the only order-unpinned float ops,
+and results are rounded to 6 dp before comparison.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class FSParams:
+    """Learned model: field order is the estimation order (fixed)."""
+
+    fields: tuple[str, ...]
+    lam: float
+    m: tuple[float, ...]
+    u: tuple[float, ...]
+    iterations: int
+
+    def posterior(self, pattern: tuple[int, ...]) -> float:
+        """P(match | agreement pattern), the E-step formula."""
+        a, b = self.lam, 1.0 - self.lam
+        for g, m_f, u_f in zip(pattern, self.m, self.u):
+            a = a * (m_f if g else 1.0 - m_f)
+            b = b * (u_f if g else 1.0 - u_f)
+        return a / (a + b) if a + b > 0 else 0.0
+
+
+def _clip(x: float, lo: float = 1e-6, hi: float = 1.0 - 1e-6) -> float:
+    return lo if x < lo else hi if x > hi else x
+
+
+def estimate_fs(
+    pairs: DataFrame,
+    agreement_cols: list[str],
+    iterations: int = 20,
+    init_lambda: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> FSParams:
+    """Fit the FS model over candidate ``pairs`` whose ``agreement_cols``
+    are 0/1 ints (build them with native expressions — exact equality,
+    normalized-field equality, band membership — so the pair stream
+    stays codegen'd).
+
+    One Spark job (the pattern groupBy); EM runs on the collected
+    contingency table. m/u are clipped to (1e-6, 1-1e-6) so degenerate
+    all-agree / never-agree fields cannot produce 0/0 or log(0)."""
+    counts = (
+        pairs.groupBy(*agreement_cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    # fixed pattern order => deterministic float accumulation
+    patt = sorted(
+        (tuple(int(r[c]) for c in agreement_cols), int(r["cnt"])) for r in counts
+    )
+    total = sum(c for _, c in patt)
+    if total == 0:
+        raise ValueError("estimate_fs: empty pair set")
+    nf = len(agreement_cols)
+    lam = init_lambda
+    m = [init_m] * nf
+    u = [init_u] * nf
+    for _ in range(iterations):
+        # E-step per pattern, in sorted-pattern order
+        sp = 0.0  # sum cnt * p
+        sq = 0.0  # sum cnt * (1-p) — spelled as the SQL oracle spells it
+        sm = [0.0] * nf  # sum cnt * p * g_f
+        su = [0.0] * nf  # sum cnt * (1-p) * g_f
+        for g, cnt in patt:
+            a, b = lam, 1.0 - lam
+            for f in range(nf):
+                a = a * (m[f] if g[f] else 1.0 - m[f])
+                b = b * (u[f] if g[f] else 1.0 - u[f])
+            p = a / (a + b) if a + b > 0 else 0.0
+            sp += cnt * p
+            sq += cnt * (1.0 - p)
+            for f in range(nf):
+                if g[f]:
+                    sm[f] += cnt * p
+                    su[f] += cnt * (1.0 - p)
+        # M-step
+        lam = _clip(sp / total)
+        m = [_clip(sm[f] / sp) if sp > 0 else init_m for f in range(nf)]
+        u = [_clip(su[f] / sq) if sq > 0 else init_u for f in range(nf)]
+    return FSParams(
+        fields=tuple(agreement_cols),
+        lam=lam,
+        m=tuple(m),
+        u=tuple(u),
+        iterations=iterations,
+    )
+
+
+def fs_params_df(spark, params: FSParams) -> DataFrame:
+    """(field, m, u, agree_weight, disagree_weight, lam) — one row per
+    field in estimation order. Weights are the classic log2 evidence
+    scores: agree = log2(m/u) (>0: agreement is match evidence),
+    disagree = log2((1-m)/(1-u)) (<0)."""
+    rows = [
+        (
+            f,
+            params.m[i],
+            params.u[i],
+            math.log2(params.m[i] / params.u[i]),
+            math.log2((1.0 - params.m[i]) / (1.0 - params.u[i])),
+            params.lam,
+        )
+        for i, f in enumerate(params.fields)
+    ]
+    return spark.createDataFrame(
+        rows, "field string, m double, u double, agree_weight double, "
+        "disagree_weight double, lam double"
+    )
+
+
+def fs_pattern_df(spark, params: FSParams) -> DataFrame:
+    """(g_<field>..., match_probability) for every 2^F pattern — the
+    learned scoring table, inspectable and joinable."""
+    nf = len(params.fields)
+    rows = []
+    for i in range(2**nf):
+        g = tuple((i >> (nf - 1 - f)) & 1 for f in range(nf))
+        rows.append((*g, params.posterior(g)))
+    schema = (
+        ", ".join(f"g_{f} int" for f in params.fields)
+        + ", match_probability double"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def fs_match_probability(params: FSParams) -> F.Column:
+    """A literal Column computing P(match | pattern) from the
+    agreement columns — a chained CASE over at most 2^F branches, fully
+    whole-stage-codegen (no join, no UDF, no shuffle). Attach with
+    ``pairs.withColumn('match_probability', fs_match_probability(p))``."""
+    nf = len(params.fields)
+    expr = F.lit(None).cast("double")
+    for i in range(2**nf):
+        g = tuple((i >> (nf - 1 - f)) & 1 for f in range(nf))
+        cond = None
+        for f, col in enumerate(params.fields):
+            c = F.col(col) == F.lit(g[f])
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(params.posterior(g))).otherwise(expr)
+    return expr

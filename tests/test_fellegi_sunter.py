@@ -1,0 +1,121 @@
+"""Fellegi-Sunter EM estimation and cluster graph metrics.
+
+FS: a planted two-population pair set (matches agree on most fields,
+non-matches rarely) must recover m >> u per field, a lambda near the
+planted match rate, and a near-1 posterior for the all-agree pattern.
+Cluster metrics: hand-computed counts on a toy graph (triangle, path,
+singleton, cross-cluster edge).
+"""
+
+import pytest
+
+from resolve_spark.operators.clustering import cluster_graph_metrics
+from resolve_spark.operators.fellegi_sunter import (
+    estimate_fs,
+    fs_match_probability,
+    fs_params_df,
+    fs_pattern_df,
+)
+
+
+def _planted_pairs(spark):
+    # 200 matches: g1 always, g2 90% (18/20 per block of 20), g3 80%
+    # 1800 non-matches: g1 10%, g2 5%, g3 20% — deterministic via modulo
+    rows = []
+    for i in range(200):
+        rows.append((1, 1 if i % 10 != 0 else 0, 1 if i % 5 != 0 else 0))
+    for i in range(1800):
+        rows.append((1 if i % 10 == 0 else 0,
+                     1 if i % 20 == 0 else 0,
+                     1 if i % 5 == 0 else 0))
+    return spark.createDataFrame(rows, "g1 int, g2 int, g3 int")
+
+
+def test_estimate_fs_recovers_planted_structure(spark):
+    pairs = _planted_pairs(spark)
+    params = estimate_fs(pairs, ["g1", "g2", "g3"], iterations=30)
+    assert params.fields == ("g1", "g2", "g3")
+    # match class found at roughly the planted 10% rate
+    assert 0.05 < params.lam < 0.25
+    for f in range(3):
+        assert params.m[f] > params.u[f] + 0.3, (params.m, params.u)
+    # all-agree pattern is near-certainly a match, all-disagree is not
+    assert params.posterior((1, 1, 1)) > 0.95
+    assert params.posterior((0, 0, 0)) < 0.05
+
+
+def test_estimate_fs_deterministic(spark):
+    pairs = _planted_pairs(spark)
+    a = estimate_fs(pairs, ["g1", "g2", "g3"], iterations=7)
+    b = estimate_fs(pairs, ["g1", "g2", "g3"], iterations=7)
+    assert a == b  # bit-identical floats: fixed pattern + field order
+
+
+def test_fs_params_and_pattern_dfs(spark):
+    pairs = _planted_pairs(spark)
+    params = estimate_fs(pairs, ["g1", "g2", "g3"], iterations=10)
+    pdf = fs_params_df(spark, params).collect()
+    assert [r["field"] for r in pdf] == ["g1", "g2", "g3"]
+    for r in pdf:
+        # agreement is match evidence -> positive log2(m/u); disagree <0
+        assert r["agree_weight"] > 0 > r["disagree_weight"]
+        assert r["lam"] == pytest.approx(params.lam)
+    patt = fs_pattern_df(spark, params)
+    rows = {tuple(r[:3]): r["match_probability"] for r in patt.collect()}
+    assert len(rows) == 8
+    assert rows[(1, 1, 1)] == pytest.approx(params.posterior((1, 1, 1)))
+
+
+def test_fs_match_probability_column_is_native_and_exact(spark):
+    pairs = _planted_pairs(spark)
+    params = estimate_fs(pairs, ["g1", "g2", "g3"], iterations=5)
+    scored = pairs.withColumn("p", fs_match_probability(params))
+    # literal CASE chain: no python workers in the plan
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan
+    for r in scored.distinct().collect():
+        g = (r["g1"], r["g2"], r["g3"])
+        assert r["p"] == pytest.approx(params.posterior(g), abs=0)
+
+
+def test_estimate_fs_degenerate_field_clipped(spark):
+    # g2 agrees on EVERY pair -> m and u both clip toward 1-1e-6 and
+    # the field carries ~zero evidence either way
+    pairs = spark.createDataFrame(
+        [(1, 1), (1, 1), (0, 1), (0, 1)] * 25, "g1 int, g2 int"
+    )
+    params = estimate_fs(pairs, ["g1", "g2"], iterations=10)
+    assert 0 < params.m[1] < 1 and 0 < params.u[1] < 1
+    assert abs(params.posterior((1, 1)) - params.posterior((1, 0))) >= 0
+    with pytest.raises(ValueError):
+        estimate_fs(pairs.where("g1 > 5"), ["g1", "g2"])
+
+
+def test_cluster_graph_metrics_hand_computed(spark):
+    # cluster A: triangle 1-2-3 (+duplicate/reversed edge noise)
+    # cluster B: path 4-5-6 (two bridge edges)
+    # cluster C: singleton 7
+    # cross-cluster edge (1, 4) must be dropped
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (4, 5), (5, 6), (1, 4)],
+        "id_a bigint, id_b bigint",
+    )
+    asg = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B"), (6, "B"), (7, "C")],
+        "id bigint, cluster_id string",
+    )
+    out = {r["cluster_id"]: r for r in cluster_graph_metrics(edges, asg).collect()}
+    a, b, c = out["A"], out["B"], out["C"]
+    assert (a["n_nodes"], a["n_edges"], a["n_triangles"], a["n_bridges"]) == (3, 3, 1, 0)
+    assert a["density"] == 1.0 and a["avg_degree"] == 2.0
+    assert (b["n_nodes"], b["n_edges"], b["n_triangles"], b["n_bridges"]) == (3, 2, 0, 2)
+    assert b["density"] == round(2 * 2 / 6, 6)
+    assert (c["n_nodes"], c["n_edges"], c["density"], c["n_bridges"]) == (1, 0, 0.0, 0)
+
+
+def test_cluster_graph_metrics_two_node_cluster_not_bridge(spark):
+    # a 2-node cluster's only edge has no common neighbor but n<3 -> 0
+    edges = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    asg = spark.createDataFrame([(1, "X"), (2, "X")], "id bigint, cluster_id string")
+    r = cluster_graph_metrics(edges, asg).collect()[0]
+    assert (r["n_edges"], r["n_bridges"], r["density"]) == (1, 0, 1.0)
