@@ -1489,6 +1489,33 @@ def _q82_cluster_metrics(spark, sf_dir):  # per-cluster graph diagnostics
     return C.cluster_graph_metrics(edges, asg).orderBy("cluster_id")
 
 
+def _q83_tf_weights(spark, sf_dir):  # Winkler/Splink TF adjustment
+    """tf_adjusted_weights: agreement on a rare value is stronger match
+    evidence — per-value agree_weight = log2(m / share) from ONE
+    map-side-combinable groupBy over the record table (no pair pass).
+    Two fields demonstrated (segment vocabulary of 5, nation of 25)
+    with a fixed prior m = 0.95; share and weight are one division and
+    one log2 of it, oracle-exact at 6 dp."""
+    from resolve_spark.operators.fellegi_sunter import tf_adjusted_weights
+
+    c = _t(spark, sf_dir, "customer")
+    seg = tf_adjusted_weights(c, "c_mktsegment", m=0.95, field="segment")
+    nat = tf_adjusted_weights(
+        c.withColumn("nk", F.col("c_nationkey").cast("string")),
+        "nk",
+        m=0.95,
+        field="nation",
+    )
+    out = seg.unionByName(nat)
+    return out.select(
+        "field",
+        "value",
+        "n_records",
+        F.round("share", 6).alias("share"),
+        F.round("agree_weight", 6).alias("agree_weight"),
+    ).orderBy("field", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1573,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_dedup_lines": _q80_dedup_lines,
         "q81_fs_params": _q81_fs_params,
         "q82_cluster_metrics": _q82_cluster_metrics,
+        "q83_tf_weights": _q83_tf_weights,
     }
 
 
@@ -3060,5 +3088,23 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n_nodes >= 3 THEN coalesce(zcn, 0) ELSE 0 END "
             "AS n_bridges "
             "FROM nodes LEFT JOIN ea_ USING (cluster_id) ORDER BY cluster_id"
+        ),
+        # TF-adjusted agreement weights: log2(m / value share)
+        "q83_tf_weights": (
+            "WITH v AS (SELECT 'segment' AS field, c_mktsegment AS value "
+            "FROM customer WHERE c_mktsegment IS NOT NULL "
+            "AND c_mktsegment <> '' "
+            "UNION ALL SELECT 'nation', CAST(c_nationkey AS VARCHAR) "
+            "FROM customer WHERE c_nationkey IS NOT NULL "
+            "AND CAST(c_nationkey AS VARCHAR) <> ''), "
+            "c AS (SELECT field, value, count(*)::BIGINT AS n_records "
+            "FROM v GROUP BY 1, 2), "
+            "t AS (SELECT field, sum(n_records)::BIGINT AS tt "
+            "FROM c GROUP BY 1) "
+            "SELECT c.field, c.value, c.n_records, "
+            "round(c.n_records / t.tt, 6) AS share, "
+            "round(log2(95e-2 / greatest(c.n_records / t.tt, 1e-9)), 6) "
+            "AS agree_weight "
+            "FROM c JOIN t USING (field) ORDER BY field, value"
         ),
     }

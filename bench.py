@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "q73_bpe_merges",
     "q74_containment_pairs",
     "q77_semantic_dedup",
+    "q81_fs_params",
+    "q82_cluster_metrics",
 ]
 
 

@@ -119,3 +119,20 @@ def test_cluster_graph_metrics_two_node_cluster_not_bridge(spark):
     asg = spark.createDataFrame([(1, "X"), (2, "X")], "id bigint, cluster_id string")
     r = cluster_graph_metrics(edges, asg).collect()[0]
     assert (r["n_edges"], r["n_bridges"], r["density"]) == (1, 0, 1.0)
+
+
+def test_tf_adjusted_weights(spark):
+    from resolve_spark.operators.fellegi_sunter import tf_adjusted_weights
+    import math
+    # value shares: x 6/10, y 3/10, z 1/10; NULL and '' excluded
+    recs = spark.createDataFrame(
+        [("x",)] * 6 + [("y",)] * 3 + [("z",)] + [(None,), ("",)],
+        "v string",
+    )
+    out = {r["value"]: r for r in tf_adjusted_weights(recs, "v", m=0.9).collect()}
+    assert set(out) == {"x", "y", "z"}
+    assert out["x"]["share"] == 0.6 and out["z"]["n_records"] == 1
+    # rare value -> much stronger agreement evidence
+    assert out["z"]["agree_weight"] > out["x"]["agree_weight"] + 2.0
+    assert out["z"]["agree_weight"] == pytest.approx(math.log2(0.9 / 0.1))
+    assert all(r["field"] == "v" for r in out.values())
