@@ -1516,6 +1516,49 @@ def _q83_tf_weights(spark, sf_dir):  # Winkler/Splink TF adjustment
     ).orderBy("field", "value")
 
 
+def _q84_fs_posterior(spark, sf_dir):  # unsupervised edge posterior
+    """fs_posterior_edges end-to-end: a scored pair stream (brand-
+    blocked part pairs with a field_scores map of levenshtein name sim
+    + size/type equality) binarized at agree_at=0.7, EM-fit (3
+    iterations), posterior attached as the native literal CASE column.
+    Output = the observed pattern table with n_pairs and the learned
+    match_probability; the oracle replays the identical EM + posterior
+    (same left-to-right products; 6-dp rounding)."""
+    from resolve_spark.operators.fellegi_sunter import fs_posterior_edges
+
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 4 == 0)
+    a = p.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("na"),
+        F.col("p_size").alias("sa"), F.col("p_type").alias("ca"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("nb"),
+        F.col("p_size").alias("sb"), F.col("p_type").alias("cb"),
+        F.col("p_brand").alias("brand"),
+    )
+    pairs = a.join(b, "brand").where(F.col("id_a") < F.col("id_b"))
+    edges = pairs.select(
+        "id_a",
+        "id_b",
+        F.create_map(
+            F.lit("name"), S.levenshtein_similarity(F.col("na"), F.col("nb")),
+            F.lit("size"), (F.col("sa") == F.col("sb")).cast("double"),
+            F.lit("cont"), (F.col("ca") == F.col("cb")).cast("double"),
+        ).alias("field_scores"),
+    )
+    scored, _params = fs_posterior_edges(
+        edges, ["name", "size", "cont"], agree_at=0.7, iterations=3
+    )
+    out = scored.groupBy("g_name", "g_size", "g_cont", "match_probability").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    return out.select(
+        "g_name", "g_size", "g_cont", "n_pairs",
+        F.round("match_probability", 6).alias("match_probability"),
+    ).orderBy("g_name", "g_size", "g_cont")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1601,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_fs_params": _q81_fs_params,
         "q82_cluster_metrics": _q82_cluster_metrics,
         "q83_tf_weights": _q83_tf_weights,
+        "q84_fs_posterior": _q84_fs_posterior,
     }
 
 
@@ -1957,36 +2001,31 @@ _CC_CTE = (
 )
 
 
-def _q81_oracle_sql(iterations: int = 3) -> str:
+def _fs_prod_sql(fields: list[str], kind: str, params: str) -> str:
+    """lam * PROD_f (m_f if g_f else 1-m_f), spelled left-to-right in
+    field order — the same expression tree the Python EM evaluates, so
+    IEEE doubles agree bit-for-bit per pattern."""
+    head = f"{params}.l" if kind == "m" else f"(1e0 - {params}.l)"
+    terms = [
+        f"(CASE WHEN {g} = 1 THEN {params}.{kind}{i + 1} "
+        f"ELSE 1e0 - {params}.{kind}{i + 1} END)"
+        for i, g in enumerate(fields)
+    ]
+    return head + " * " + " * ".join(terms)
+
+
+def _fs_em_ctes(g_ctes: list[str], fields: list[str], iterations: int) -> list[str]:
     """Unrolled fixed-iteration Fellegi-Sunter EM in DuckDB SQL over
-    the same agreement-pattern contingency table estimate_fs collects.
-    Every product is spelled in the same left-to-right field order as
-    the Python loop (IEEE doubles agree when the expression tree
-    agrees); the pattern sums (<= 8 terms) are the only order-unpinned
-    float ops and the 6-dp rounding absorbs them."""
-    fields = ["g_seg", "g_phone", "g_bal"]
+    the agreement-pattern contingency table estimate_fs collects.
+    ``g_ctes`` must end with a CTE named ``g`` exposing the 0/1
+    ``fields``; the returned chain adds pc/tot/p0..p{iterations}
+    (p{K} holds l, m1.., u1..). The pattern sums (<= 2^F terms) are
+    the only order-unpinned float ops vs the Python loop; callers
+    round to 6 dp, which absorbs them."""
     nf = len(fields)
-
-    def prod(kind: str, params: str) -> str:
-        # lam * PROD_f (m_f if g_f else 1-m_f), left-to-right
-        head = f"{params}.l" if kind == "m" else f"(1e0 - {params}.l)"
-        terms = [
-            f"(CASE WHEN {g} = 1 THEN {params}.{kind}{i + 1} "
-            f"ELSE 1e0 - {params}.{kind}{i + 1} END)"
-            for i, g in enumerate(fields)
-        ]
-        return head + " * " + " * ".join(terms)
-
+    prod = lambda kind, params: _fs_prod_sql(fields, kind, params)  # noqa: E731
     clip = lambda x: f"greatest(least({x}, 1e0 - 1e-6), 1e-6)"  # noqa: E731
-    cte = [
-        "WITH c AS (SELECT c_custkey AS k, c_nationkey AS nk, "
-        "c_mktsegment AS seg, (c_custkey * 7) % 1000 AS ph, "
-        "CAST(round(c_acctbal * 100) AS BIGINT) AS balc "
-        "FROM customer WHERE c_custkey % 3 = 0)",
-        "g AS (SELECT CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g_seg, "
-        "CASE WHEN a.ph = b.ph THEN 1 ELSE 0 END AS g_phone, "
-        "CASE WHEN abs(a.balc - b.balc) < 100000 THEN 1 ELSE 0 END AS g_bal "
-        "FROM c a JOIN c b ON a.nk = b.nk AND a.k < b.k)",
+    cte = list(g_ctes) + [
         f"pc AS (SELECT {', '.join(fields)}, count(*)::BIGINT AS cnt "
         f"FROM g GROUP BY {', '.join(str(i + 1) for i in range(nf))})",
         "tot AS (SELECT sum(cnt) AS t FROM pc)",
@@ -2018,6 +2057,22 @@ def _q81_oracle_sql(iterations: int = 3) -> str:
             + clip("sum(cnt * p) / (SELECT t FROM tot)")
             + f" AS l, {m_terms}, {u_terms} FROM x{it})"
         )
+    return cte
+
+
+def _q81_oracle_sql(iterations: int = 3) -> str:
+    fields = ["g_seg", "g_phone", "g_bal"]
+    g_ctes = [
+        "WITH c AS (SELECT c_custkey AS k, c_nationkey AS nk, "
+        "c_mktsegment AS seg, (c_custkey * 7) % 1000 AS ph, "
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS balc "
+        "FROM customer WHERE c_custkey % 3 = 0)",
+        "g AS (SELECT CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g_seg, "
+        "CASE WHEN a.ph = b.ph THEN 1 ELSE 0 END AS g_phone, "
+        "CASE WHEN abs(a.balc - b.balc) < 100000 THEN 1 ELSE 0 END AS g_bal "
+        "FROM c a JOIN c b ON a.nk = b.nk AND a.k < b.k)",
+    ]
+    cte = _fs_em_ctes(g_ctes, fields, iterations)
     last = f"p{iterations}"
     rows = " UNION ALL ".join(
         f"SELECT '{g}' AS field, round(m{i + 1}, 6) AS m, "
@@ -2028,6 +2083,40 @@ def _q81_oracle_sql(iterations: int = 3) -> str:
         for i, g in enumerate(fields)
     )
     return ", ".join(cte) + f" SELECT * FROM ({rows}) ORDER BY field"
+
+
+def _q84_oracle_sql(iterations: int = 3) -> str:
+    """fs_posterior_edges over a SQL-expressible scored-pair stream:
+    brand-blocked part pairs, field scores = levenshtein name sim /
+    size equality / container equality, binarized at the operator's
+    agree_at, then the unrolled EM + per-pattern posterior."""
+    fields = ["g_name", "g_size", "g_cont"]
+    g_ctes = [
+        "WITH p AS (SELECT p_partkey, p_name, p_brand, p_size, "
+        "p_type FROM part WHERE p_partkey % 4 = 0)",
+        "g AS (SELECT CASE WHEN 1e0 - levenshtein(a.p_name, b.p_name)::DOUBLE / "
+        "greatest(length(a.p_name), length(b.p_name)) >= 7e-1 "
+        "THEN 1 ELSE 0 END AS g_name, "
+        "CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS g_size, "
+        "CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS g_cont "
+        "FROM p a JOIN p b ON a.p_brand = b.p_brand "
+        "AND a.p_partkey < b.p_partkey)",
+    ]
+    cte = _fs_em_ctes(g_ctes, fields, iterations)
+    last = f"p{iterations}"
+    prod = lambda kind: _fs_prod_sql(fields, kind, "pp")  # noqa: E731
+    cte.append(
+        "post AS (SELECT g_name, g_size, g_cont, cnt, "
+        "CASE WHEN a + b > 0 THEN a / (a + b) ELSE 0e0 END AS mp FROM "
+        f"(SELECT pc.*, {prod('m')} AS a, {prod('u')} AS b "
+        f"FROM pc, {last} pp) pc)"
+    )
+    return (
+        ", ".join(cte)
+        + " SELECT g_name, g_size, g_cont, cnt AS n_pairs, "
+        "round(mp, 6) AS match_probability FROM post "
+        "ORDER BY g_name, g_size, g_cont"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3107,4 +3196,6 @@ def oracle_sql() -> dict[str, str]:
             "AS agree_weight "
             "FROM c JOIN t USING (field) ORDER BY field, value"
         ),
+        # unsupervised FS posterior over a scored pair stream
+        "q84_fs_posterior": _q84_oracle_sql(iterations=3),
     }

@@ -236,3 +236,41 @@ def tf_adjusted_weights(
             "agree_weight"
         ),
     )
+
+
+def fs_posterior_edges(
+    edges: DataFrame,
+    fields: list[str],
+    agree_at: float = 0.9,
+    iterations: int = 20,
+    scores_col: str = "field_scores",
+) -> tuple[DataFrame, FSParams]:
+    """Unsupervised posterior for a SCORED pair stream (the pipeline's
+    edges stage): binarize each per-field similarity into an agreement
+    indicator (field_scores[f] >= agree_at), fit the FS model by EM,
+    and attach P(match | pattern) as a native literal CASE column.
+
+    Returns (edges + g_<field> indicators + match_probability, params).
+    The posterior is calibrated purely from the candidate-pair
+    distribution — no labels — so it gives the weighted-sum score an
+    unsupervised probabilistic companion: rank/threshold on
+    ``match_probability`` when no tuning set exists.
+
+    Scale plan: one extra groupBy over the edges (the EM contingency
+    collect, <= 2^F rows) + a codegen'd projection. Nothing else.
+    """
+    g_cols = [f"g_{f}" for f in fields]
+    with_g = edges.select(
+        "*",
+        *[
+            (F.coalesce(F.col(scores_col).getItem(f), F.lit(0.0)) >= agree_at)
+            .cast("int")
+            .alias(g)
+            for f, g in zip(fields, g_cols)
+        ],
+    )
+    params = estimate_fs(with_g, g_cols, iterations=iterations)
+    return (
+        with_g.withColumn("match_probability", fs_match_probability(params)),
+        params,
+    )

@@ -136,3 +136,30 @@ def test_tf_adjusted_weights(spark):
     assert out["z"]["agree_weight"] > out["x"]["agree_weight"] + 2.0
     assert out["z"]["agree_weight"] == pytest.approx(math.log2(0.9 / 0.1))
     assert all(r["field"] == "v" for r in out.values())
+
+
+def test_fs_posterior_edges(spark):
+    from resolve_spark.operators.fellegi_sunter import fs_posterior_edges
+    # 40 strong pairs (both fields ~1.0), 160 weak; one row with a
+    # missing map key (treated as 0.0 via coalesce)
+    rows = []
+    for i in range(40):
+        rows.append((i, 1000 + i, {"name": 0.95, "zip": 1.0}))
+    for i in range(160):
+        rows.append((i, 2000 + i, {"name": 0.3, "zip": 0.0 if i % 4 else 1.0}))
+    rows.append((99, 3000, {"zip": 1.0}))  # no "name" key
+    edges = spark.createDataFrame(
+        rows, "id_a bigint, id_b bigint, field_scores map<string,double>"
+    )
+    scored, params = fs_posterior_edges(
+        edges, ["name", "zip"], agree_at=0.9, iterations=25
+    )
+    assert set(["g_name", "g_zip", "match_probability"]) <= set(scored.columns)
+    got = {(r["g_name"], r["g_zip"]): r["match_probability"]
+           for r in scored.select("g_name", "g_zip", "match_probability")
+           .distinct().collect()}
+    assert got[(1, 1)] > 0.9 > got[(0, 0)]
+    assert got[(1, 1)] == pytest.approx(params.posterior((1, 1)))
+    # the keyless row binarized to (0, 1)
+    missing = scored.where("id_b = 3000").collect()[0]
+    assert (missing["g_name"], missing["g_zip"]) == (0, 1)
