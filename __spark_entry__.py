@@ -1559,6 +1559,56 @@ def _q84_fs_posterior(spark, sf_dir):  # unsupervised edge posterior
     ).orderBy("g_name", "g_size", "g_cont")
 
 
+def _q85_fs_levels(spark, sf_dir):  # multi-level comparison vectors
+    """estimate_fs_levels (the Splink 'comparison levels' FS model):
+    3-level vectors on brand-blocked part pairs — name levenshtein
+    banded (>=0.85 / >=0.65 / else), size distance (equal / within 2 /
+    else), type (exact / same first word / else) — EM over the 27-row
+    pattern table, 3 iterations from the geometric fs_level_inits.
+    Output is the long-form per-level params with log2 evidence
+    weights; the oracle unrolls the identical EM."""
+    from resolve_spark.operators.fellegi_sunter import (
+        estimate_fs_levels,
+        fs_level_params_df,
+    )
+
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 4 == 0).select(
+        "p_partkey", "p_name", "p_brand", "p_size", "p_type",
+        F.split("p_type", " ").getItem(0).alias("t1"),
+    )
+    a = p.select(*[F.col(x).alias(f"{x}_a") for x in p.columns])
+    b = p.select(*[F.col(x).alias(f"{x}_b") for x in p.columns])
+    pr = a.join(
+        b,
+        (F.col("p_brand_a") == F.col("p_brand_b"))
+        & (F.col("p_partkey_a") < F.col("p_partkey_b")),
+    )
+    s = S.levenshtein_similarity(F.col("p_name_a"), F.col("p_name_b"))
+    g = pr.select(
+        F.when(s >= 0.85, 2).when(s >= 0.65, 1).otherwise(0).alias("g_name"),
+        F.when(F.col("p_size_a") == F.col("p_size_b"), 2)
+        .when(F.abs(F.col("p_size_a") - F.col("p_size_b")) <= 2, 1)
+        .otherwise(0)
+        .alias("g_size"),
+        F.when(F.col("p_type_a") == F.col("p_type_b"), 2)
+        .when(F.col("t1_a") == F.col("t1_b"), 1)
+        .otherwise(0)
+        .alias("g_type"),
+    )
+    params = estimate_fs_levels(
+        g, [("g_name", 3), ("g_size", 3), ("g_type", 3)], iterations=3
+    )
+    out = fs_level_params_df(spark, params)
+    return out.select(
+        "field",
+        "level",
+        F.round("m", 6).alias("m"),
+        F.round("u", 6).alias("u"),
+        F.round("weight", 6).alias("weight"),
+        F.round("lam", 6).alias("lam"),
+    ).orderBy("field", "level")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1645,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_cluster_metrics": _q82_cluster_metrics,
         "q83_tf_weights": _q83_tf_weights,
         "q84_fs_posterior": _q84_fs_posterior,
+        "q85_fs_levels": _q85_fs_levels,
     }
 
 
@@ -2083,6 +2134,105 @@ def _q81_oracle_sql(iterations: int = 3) -> str:
         for i, g in enumerate(fields)
     )
     return ", ".join(cte) + f" SELECT * FROM ({rows}) ORDER BY field"
+
+
+def _fs_em_levels_ctes(
+    g_ctes: list[str], level_fields: list[tuple[str, int]], iterations: int
+) -> list[str]:
+    """Levels variant of _fs_em_ctes (estimate_fs_levels): per field f
+    and level l the params CTEs carry m{f}_{l} / u{f}_{l}; products
+    select the level's probability via CASE (a pure lookup, no
+    arithmetic — matching Python's m[f][g[f]] indexing)."""
+    from resolve_spark.operators.fellegi_sunter import fs_level_inits
+
+    fields = [f for f, _ in level_fields]
+
+    def prod(kind: str, params: str) -> str:
+        head = f"{params}.l" if kind == "m" else f"(1e0 - {params}.l)"
+        terms = []
+        for fi, (g, L) in enumerate(level_fields):
+            whens = " ".join(
+                f"WHEN {l} THEN {params}.{kind}{fi}_{l}" for l in range(L)
+            )
+            terms.append(f"(CASE {g} {whens} END)")
+        return head + " * " + " * ".join(terms)
+
+    clip = lambda x: f"greatest(least({x}, 1e0 - 1e-6), 1e-6)"  # noqa: E731
+    dbl = lambda x: f"CAST({x!r} AS DOUBLE)"  # noqa: E731
+    init_cols = ["1e-1 AS l"]
+    for fi, (_, L) in enumerate(level_fields):
+        m0, u0 = fs_level_inits(L)
+        init_cols += [f"{dbl(m0[l])} AS m{fi}_{l}" for l in range(L)]
+        init_cols += [f"{dbl(u0[l])} AS u{fi}_{l}" for l in range(L)]
+    cte = list(g_ctes) + [
+        f"pc AS (SELECT {', '.join(fields)}, count(*)::BIGINT AS cnt "
+        f"FROM g GROUP BY {', '.join(str(i + 1) for i in range(len(fields)))})",
+        "tot AS (SELECT sum(cnt) AS t FROM pc)",
+        "p0 AS (SELECT " + ", ".join(init_cols) + ")",
+    ]
+    for it in range(1, iterations + 1):
+        prev = f"p{it - 1}"
+        cte.append(
+            f"x{it} AS (SELECT pc.*, CASE WHEN a + b > 0 "
+            f"THEN a / (a + b) ELSE 0e0 END AS p FROM "
+            f"(SELECT pc.*, {prod('m', 'p')} AS a, {prod('u', 'p')} AS b "
+            f"FROM pc, {prev} p) pc)"
+        )
+        terms = [clip("sum(cnt * p) / (SELECT t FROM tot)") + " AS l"]
+        for fi, (g, L) in enumerate(level_fields):
+            terms += [
+                clip(
+                    f"sum(cnt * p * CASE WHEN {g} = {l} THEN 1e0 ELSE 0e0 END)"
+                    " / sum(cnt * p)"
+                )
+                + f" AS m{fi}_{l}"
+                for l in range(L)
+            ]
+            terms += [
+                clip(
+                    f"sum(cnt * (1e0 - p) * CASE WHEN {g} = {l} "
+                    "THEN 1e0 ELSE 0e0 END) / sum(cnt * (1e0 - p))"
+                )
+                + f" AS u{fi}_{l}"
+                for l in range(L)
+            ]
+        cte.append(f"p{it} AS (SELECT {', '.join(terms)} FROM x{it})")
+    return cte
+
+
+def _q85_oracle_sql(iterations: int = 3) -> str:
+    """estimate_fs_levels over 3-level comparison vectors on part
+    pairs: name levenshtein banded (>=0.85 / >=0.65 / else), size
+    distance banded (equal / within 2 / else), type (exact / same
+    first word / else)."""
+    level_fields = [("g_name", 3), ("g_size", 3), ("g_type", 3)]
+    g_ctes = [
+        "WITH p AS (SELECT p_partkey, p_name, p_brand, p_size, p_type, "
+        "string_split(p_type, ' ')[1] AS t1 "
+        "FROM part WHERE p_partkey % 4 = 0)",
+        "g AS (SELECT CASE WHEN s >= 85e-2 THEN 2 WHEN s >= 65e-2 THEN 1 "
+        "ELSE 0 END AS g_name, "
+        "CASE WHEN sa = sb THEN 2 WHEN abs(sa - sb) <= 2 THEN 1 ELSE 0 END "
+        "AS g_size, "
+        "CASE WHEN ta = tb THEN 2 WHEN wa = wb THEN 1 ELSE 0 END AS g_type "
+        "FROM (SELECT 1e0 - levenshtein(a.p_name, b.p_name)::DOUBLE / "
+        "greatest(length(a.p_name), length(b.p_name)) AS s, "
+        "a.p_size AS sa, b.p_size AS sb, a.p_type AS ta, b.p_type AS tb, "
+        "a.t1 AS wa, b.t1 AS wb "
+        "FROM p a JOIN p b ON a.p_brand = b.p_brand "
+        "AND a.p_partkey < b.p_partkey))",
+    ]
+    cte = _fs_em_levels_ctes(g_ctes, level_fields, iterations)
+    last = f"p{iterations}"
+    rows = " UNION ALL ".join(
+        f"SELECT '{g}' AS field, {l} AS level, round(m{fi}_{l}, 6) AS m, "
+        f"round(u{fi}_{l}, 6) AS u, "
+        f"round(log2(m{fi}_{l} / u{fi}_{l}), 6) AS weight, "
+        f"round(l, 6) AS lam FROM {last}"
+        for fi, (g, L) in enumerate(level_fields)
+        for l in range(L)
+    )
+    return ", ".join(cte) + f" SELECT * FROM ({rows}) ORDER BY field, level"
 
 
 def _q84_oracle_sql(iterations: int = 3) -> str:
@@ -3198,4 +3348,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         # unsupervised FS posterior over a scored pair stream
         "q84_fs_posterior": _q84_oracle_sql(iterations=3),
+        # multi-level (Splink comparison-levels) FS estimation
+        "q85_fs_levels": _q85_oracle_sql(iterations=3),
     }

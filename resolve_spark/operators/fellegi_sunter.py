@@ -274,3 +274,133 @@ def fs_posterior_edges(
         with_g.withColumn("match_probability", fs_match_probability(params)),
         params,
     )
+
+
+@dataclass(frozen=True)
+class FSLevelParams:
+    """Multi-level model: per field f, m[f][l] = P(gamma_f = l | match)
+    and u[f][l] likewise, l in 0..levels[f]-1 (higher = more similar)."""
+
+    fields: tuple[str, ...]
+    levels: tuple[int, ...]
+    lam: float
+    m: tuple[tuple[float, ...], ...]
+    u: tuple[tuple[float, ...], ...]
+    iterations: int
+
+    def posterior(self, pattern: tuple[int, ...]) -> float:
+        a, b = self.lam, 1.0 - self.lam
+        for f, l in enumerate(pattern):
+            a = a * self.m[f][l]
+            b = b * self.u[f][l]
+        return a / (a + b) if a + b > 0 else 0.0
+
+
+def fs_level_inits(n_levels: int) -> tuple[list[float], list[float]]:
+    """Deterministic EM inits for an L-level field: m puts geometric
+    mass on HIGH levels (2^(l+1) weights), u the mirror image — both
+    exactly reproducible as SQL double literals."""
+    tot = float(2 ** (n_levels + 1) - 2)
+    m0 = [2.0 ** (l + 1) / tot for l in range(n_levels)]
+    u0 = [2.0 ** (n_levels - l) / tot for l in range(n_levels)]
+    return m0, u0
+
+
+def estimate_fs_levels(
+    pairs: DataFrame,
+    level_cols: list[tuple[str, int]],
+    iterations: int = 20,
+    init_lambda: float = 0.1,
+) -> FSLevelParams:
+    """Fellegi-Sunter with MULTI-LEVEL comparison vectors (the Splink
+    'comparison levels' model): each field's column holds an int level
+    0..L-1 (0 = most dissimilar), and EM estimates the per-level m/u
+    distributions instead of a single agree probability. NULL-aware
+    comparisons fit naturally: dedicate a level to 'either side NULL'
+    so missingness stops counting as disagreement.
+
+    Same scale shape as estimate_fs: ONE groupBy, prod(L_f) collected
+    pattern rows, driver-side EM; per-level probabilities are clipped
+    to [1e-6, 1-1e-6] (no renormalization after clipping — the clip
+    only engages for degenerate levels; documented divergence from
+    renormalizing implementations, mirrored exactly by the SQL oracle).
+    """
+    fields = [f for f, _ in level_cols]
+    levels = [n for _, n in level_cols]
+    counts = pairs.groupBy(*fields).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    patt = sorted(
+        (tuple(int(r[c]) for c in fields), int(r["cnt"])) for r in counts
+    )
+    total = sum(c for _, c in patt)
+    if total == 0:
+        raise ValueError("estimate_fs_levels: empty pair set")
+    for g, _ in patt:
+        for f, l in enumerate(g):
+            if not (0 <= l < levels[f]):
+                raise ValueError(
+                    f"level {l} out of range for field {fields[f]} "
+                    f"(expected 0..{levels[f] - 1})"
+                )
+    nf = len(fields)
+    lam = init_lambda
+    m = []
+    u = []
+    for L in levels:
+        m0, u0 = fs_level_inits(L)
+        m.append(m0)
+        u.append(u0)
+    for _ in range(iterations):
+        sp = 0.0
+        sq = 0.0
+        sm = [[0.0] * L for L in levels]
+        su = [[0.0] * L for L in levels]
+        for g, cnt in patt:
+            a, b = lam, 1.0 - lam
+            for f in range(nf):
+                a = a * m[f][g[f]]
+                b = b * u[f][g[f]]
+            p = a / (a + b) if a + b > 0 else 0.0
+            sp += cnt * p
+            sq += cnt * (1.0 - p)
+            for f in range(nf):
+                sm[f][g[f]] += cnt * p
+                su[f][g[f]] += cnt * (1.0 - p)
+        lam = _clip(sp / total)
+        m = [
+            [_clip(sm[f][l] / sp) if sp > 0 else m[f][l] for l in range(levels[f])]
+            for f in range(nf)
+        ]
+        u = [
+            [_clip(su[f][l] / sq) if sq > 0 else u[f][l] for l in range(levels[f])]
+            for f in range(nf)
+        ]
+    return FSLevelParams(
+        fields=tuple(fields),
+        levels=tuple(levels),
+        lam=lam,
+        m=tuple(tuple(v) for v in m),
+        u=tuple(tuple(v) for v in u),
+        iterations=iterations,
+    )
+
+
+def fs_level_params_df(spark, params: FSLevelParams) -> DataFrame:
+    """(field, level, m, u, weight, lam) long-form params table;
+    weight = log2(m/u) per level (positive = evidence FOR a match)."""
+    rows = []
+    for f, name in enumerate(params.fields):
+        for l in range(params.levels[f]):
+            rows.append(
+                (
+                    name,
+                    l,
+                    params.m[f][l],
+                    params.u[f][l],
+                    math.log2(params.m[f][l] / params.u[f][l]),
+                    params.lam,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "field string, level int, m double, u double, weight double, lam double",
+    )

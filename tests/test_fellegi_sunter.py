@@ -163,3 +163,55 @@ def test_fs_posterior_edges(spark):
     # the keyless row binarized to (0, 1)
     missing = scored.where("id_b = 3000").collect()[0]
     assert (missing["g_name"], missing["g_zip"]) == (0, 1)
+
+
+def test_estimate_fs_levels_recovers_bands(spark):
+    from resolve_spark.operators.fellegi_sunter import estimate_fs_levels
+    rows = []
+    # 150 matches: name mostly level 2; zip level 2 with a 30% NULL
+    # level (3) planted INDEPENDENTLY at the same rate in both classes
+    for i in range(150):
+        rows.append((2 if i % 20 else 0, 3 if i % 10 < 3 else 2))
+    # 1350 non-matches: name mostly level 0
+    for i in range(1350):
+        rows.append((1 if i % 20 == 0 else 0, 3 if i % 10 < 3 else 0))
+    pairs = spark.createDataFrame(rows, "g_name int, g_zip int")
+    params = estimate_fs_levels(
+        pairs, [("g_name", 3), ("g_zip", 4)], iterations=30
+    )
+    assert 0.05 < params.lam < 0.2
+    # level 2 is match evidence, level 0 is non-match evidence
+    assert params.m[0][2] > params.u[0][2]
+    assert params.m[0][0] < params.u[0][0]
+    assert params.posterior((2, 2)) > 0.9 > params.posterior((0, 0))
+    # the NULL level (3) appears at the SAME rate in both classes ->
+    # far weaker evidence than the informative level 2 (the Splink
+    # null-level property; unsupervised EM leaves ~1-bit finite-sample
+    # drift, so compare against the informative weight, not zero)
+    import math
+    null_w = math.log2(params.m[1][3] / params.u[1][3])
+    info_w = math.log2(params.m[1][2] / params.u[1][2])
+    assert abs(null_w) < 1.5 < info_w / 2
+    # per-class level distributions stay distributions (pre-clip sums)
+    assert sum(params.m[0]) == pytest.approx(1.0, abs=1e-4)
+    assert sum(params.u[1]) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_estimate_fs_levels_validates_range(spark):
+    from resolve_spark.operators.fellegi_sunter import estimate_fs_levels
+    pairs = spark.createDataFrame([(0,), (1,), (2,)], "g int")
+    with pytest.raises(ValueError):
+        estimate_fs_levels(pairs, [("g", 2)], iterations=2)
+
+
+def test_fs_level_params_df_shape(spark):
+    from resolve_spark.operators.fellegi_sunter import (
+        estimate_fs_levels, fs_level_params_df)
+    pairs = spark.createDataFrame(
+        [(0, 0)] * 50 + [(1, 2)] * 10 + [(2, 1)] * 5, "ga int, gb int"
+    )
+    params = estimate_fs_levels(pairs, [("ga", 3), ("gb", 3)], iterations=5)
+    rows = fs_level_params_df(spark, params).collect()
+    assert len(rows) == 6
+    assert {(r["field"], r["level"]) for r in rows} == {
+        ("ga", 0), ("ga", 1), ("ga", 2), ("gb", 0), ("gb", 1), ("gb", 2)}
