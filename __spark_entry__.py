@@ -1609,6 +1609,32 @@ def _q85_fs_levels(spark, sf_dir):  # multi-level comparison vectors
     ).orderBy("field", "level")
 
 
+def _q86_fuse_clusters(spark, sf_dir):  # survivorship / golden record
+    """fuse_clusters survivorship fusion over an exogenous clustering
+    (customers by nation, so the oracle needs no recursive CC): one
+    golden record per cluster — modal segment (ties -> smallest),
+    longest name (ties -> smallest), max balance, min-id canonical.
+    Every rule has a total tie order, so no rounding is needed."""
+    from resolve_spark.operators.fusion import fuse_clusters
+
+    c = _t(spark, sf_dir, "customer")
+    asg = c.select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias(
+            "cluster_id"
+        ),
+    )
+    ents = c.select(
+        F.col("c_custkey").alias("id"), "c_mktsegment", "c_name", "c_acctbal"
+    )
+    out = fuse_clusters(
+        ents,
+        asg,
+        {"c_mktsegment": "mode", "c_name": "longest", "c_acctbal": "max"},
+    )
+    return out.orderBy("cluster_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1696,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_tf_weights": _q83_tf_weights,
         "q84_fs_posterior": _q84_fs_posterior,
         "q85_fs_levels": _q85_fs_levels,
+        "q86_fuse_clusters": _q86_fuse_clusters,
     }
 
 
@@ -3350,4 +3377,27 @@ def oracle_sql() -> dict[str, str]:
         "q84_fs_posterior": _q84_oracle_sql(iterations=3),
         # multi-level (Splink comparison-levels) FS estimation
         "q85_fs_levels": _q85_oracle_sql(iterations=3),
+        # survivorship fusion -> one golden record per cluster
+        "q86_fuse_clusters": (
+            "WITH l AS (SELECT 'n' || c_nationkey AS cid, "
+            "c_custkey AS id, c_mktsegment AS seg, c_name AS nm, "
+            "c_acctbal AS bal FROM customer), "
+            "base AS (SELECT cid, count(*)::BIGINT AS cluster_size, "
+            "min(id) AS canonical_id, max(bal) AS c_acctbal "
+            "FROM l GROUP BY 1), "
+            "mc AS (SELECT cid, seg AS c_mktsegment FROM "
+            "(SELECT cid, seg, row_number() OVER (PARTITION BY cid "
+            "ORDER BY count(*) DESC, seg) AS rk FROM l "
+            "WHERE seg IS NOT NULL AND seg <> '' GROUP BY cid, seg) "
+            "WHERE rk = 1), "
+            "ln_ AS (SELECT cid, nm AS c_name FROM "
+            "(SELECT cid, nm, row_number() OVER (PARTITION BY cid "
+            "ORDER BY length(nm) DESC, nm) AS rk FROM "
+            "(SELECT DISTINCT cid, nm FROM l "
+            "WHERE nm IS NOT NULL AND nm <> '')) WHERE rk = 1) "
+            "SELECT cid AS cluster_id, cluster_size, canonical_id, "
+            "c_mktsegment, c_name, c_acctbal FROM base "
+            "LEFT JOIN mc USING (cid) LEFT JOIN ln_ USING (cid) "
+            "ORDER BY cluster_id"
+        ),
     }
