@@ -1635,6 +1635,25 @@ def _q86_fuse_clusters(spark, sf_dir):  # survivorship / golden record
     return out.orderBy("cluster_id")
 
 
+def _q87_bridge_prune(spark, sf_dir):  # structural over-merge repair
+    """prune_bridge_edges + connected_components: drop every
+    zero-common-neighbor edge inside a >= 3-node cluster of the q82
+    part graph (the structurally weakest links — one false positive
+    welding two real entities), then re-cluster what survives. Output
+    is the repaired (rid, cluster_id) assignment; the oracle replays
+    the prune in plain SQL and the closure as a recursive CTE."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_brand").alias("br"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_brand").alias("br"))
+    edges = a.join(b, "br").where(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("id_b") - F.col("id_a") <= 100)
+    ).select("id_a", "id_b")
+    asg = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("cluster_id"))
+    pruned = C.prune_bridge_edges(edges, asg)
+    return C.connected_components(pruned).select("rid", "cluster_id").orderBy("rid")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1723,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_fs_posterior": _q84_fs_posterior,
         "q85_fs_levels": _q85_fs_levels,
         "q86_fuse_clusters": _q86_fuse_clusters,
+        "q87_bridge_prune": _q87_bridge_prune,
     }
 
 
@@ -3399,5 +3419,30 @@ def oracle_sql() -> dict[str, str]:
             "c_mktsegment, c_name, c_acctbal FROM base "
             "LEFT JOIN mc USING (cid) LEFT JOIN ln_ USING (cid) "
             "ORDER BY cluster_id"
+        ),
+        # bridge-pruned reclustering: structural prune + recursive CC
+        "q87_bridge_prune": (
+            "WITH RECURSIVE e AS (SELECT a.p_partkey AS ea, "
+            "b.p_partkey AS eb, a.p_brand AS cl FROM part a JOIN part b "
+            "ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey "
+            "AND b.p_partkey - a.p_partkey <= 100), "
+            "adj AS (SELECT ea AS x, eb AS y FROM e "
+            "UNION ALL SELECT eb, ea FROM e), "
+            "cn AS (SELECT e.ea, e.eb, count(*) AS cn FROM e "
+            "JOIN adj a1 ON a1.x = e.ea JOIN adj a2 ON a2.x = e.eb "
+            "AND a2.y = a1.y WHERE a1.y <> e.ea AND a1.y <> e.eb "
+            "GROUP BY 1, 2), "
+            "sz AS (SELECT p_brand AS cl, count(DISTINCT p_partkey) AS nn "
+            "FROM part GROUP BY 1), "
+            "pruned AS (SELECT e.ea, e.eb FROM e "
+            "LEFT JOIN cn ON cn.ea = e.ea AND cn.eb = e.eb "
+            "JOIN sz ON sz.cl = e.cl "
+            "WHERE coalesce(cn.cn, 0) >= 1 OR sz.nn < 3), "
+            "sym AS (SELECT ea AS s, eb AS d FROM pruned "
+            "UNION SELECT eb, ea FROM pruned), "
+            "reach AS (SELECT s, d FROM sym "
+            "UNION SELECT r.s, sym.d FROM reach r JOIN sym ON r.d = sym.s) "
+            "SELECT s AS rid, least(s, min(d)) AS cluster_id "
+            "FROM reach GROUP BY s ORDER BY rid"
         ),
     }

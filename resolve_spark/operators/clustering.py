@@ -335,6 +335,81 @@ def group_statistics(
     )
 
 
+def _edges_with_common_neighbors(
+    edges: DataFrame,
+    assignments: DataFrame,
+    id_col: str,
+    cluster_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of cluster_graph_metrics / prune_bridge_edges:
+    normalize edges to same-cluster undirected (a < b), count each
+    edge's common neighbors via ONE adjacency self-join (sum(deg^2)
+    work, bounded by the pair budget). Returns
+    ((a, b, _c, cn), normalized (_n, _c) assignments)."""
+    und = (
+        edges.select(
+            F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    asg = assignments.select(F.col(id_col).alias("_n"), F.col(cluster_col).alias("_c"))
+    e = (
+        und.join(asg.withColumnRenamed("_n", "a").withColumnRenamed("_c", "_ca"), "a")
+        .join(asg.withColumnRenamed("_n", "b").withColumnRenamed("_c", "_cb"), "b")
+        .where(F.col("_ca") == F.col("_cb"))
+        .select("a", "b", F.col("_ca").alias("_c"))
+    )
+    adj = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    common = (
+        e.join(adj.select(F.col("x").alias("a"), F.col("y").alias("w1")), "a")
+        .join(adj.select(F.col("x").alias("b"), F.col("y").alias("w2")), "b")
+        .where((F.col("w1") == F.col("w2")) & (F.col("w1") != F.col("a")) & (F.col("w1") != F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    per_edge = e.join(common, ["a", "b"], "left").withColumn(
+        "cn", F.coalesce("cn", F.lit(0))
+    )
+    return per_edge, asg
+
+
+def prune_bridge_edges(
+    edges: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    min_common: int = 1,
+    min_cluster_size: int = 3,
+) -> DataFrame:
+    """Structural over-merge repair, step 1: drop every intra-cluster
+    edge with fewer than ``min_common`` common neighbors when its
+    cluster has >= ``min_cluster_size`` nodes — the zero-support
+    "bridge" edges cluster_graph_metrics flags are exactly the edges a
+    single false positive uses to weld two real entities together
+    (clerical-review practice; Splink's cluster-studio workflow).
+    Returns the SURVIVING (id_a, id_b) edges; feed them back through
+    connected_components to materialize the repaired clustering.
+
+    Smaller clusters are left intact (a 2-node cluster's only edge
+    never has a common neighbor; pruning it would dissolve every pair).
+    Same sum(deg^2) bound as cluster_graph_metrics; one extra
+    broadcast-joinable cluster-size aggregate."""
+    per_edge, asg = _edges_with_common_neighbors(
+        edges, assignments, id_col, cluster_col
+    )
+    sizes = asg.groupBy("_c").agg(F.countDistinct("_n").alias("_nn"))
+    return (
+        per_edge.join(sizes, "_c")
+        .where(
+            (F.col("cn") >= min_common) | (F.col("_nn") < min_cluster_size)
+        )
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    )
+
+
 def cluster_graph_metrics(
     edges: DataFrame,
     assignments: DataFrame,
@@ -368,32 +443,8 @@ def cluster_graph_metrics(
     (pairs.py); no per-cluster collect, no quadratic in cluster count.
     Triangles = sum(common)/3 per cluster, counted once per edge.
     """
-    und = (
-        edges.select(
-            F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    asg = assignments.select(F.col(id_col).alias("_n"), F.col(cluster_col).alias("_c"))
-    e = (
-        und.join(asg.withColumnRenamed("_n", "a").withColumnRenamed("_c", "_ca"), "a")
-        .join(asg.withColumnRenamed("_n", "b").withColumnRenamed("_c", "_cb"), "b")
-        .where(F.col("_ca") == F.col("_cb"))
-        .select("a", "b", F.col("_ca").alias("_c"))
-    )
-    adj = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
-        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
-    )
-    common = (
-        e.join(adj.select(F.col("x").alias("a"), F.col("y").alias("w1")), "a")
-        .join(adj.select(F.col("x").alias("b"), F.col("y").alias("w2")), "b")
-        .where((F.col("w1") == F.col("w2")) & (F.col("w1") != F.col("a")) & (F.col("w1") != F.col("b")))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("cn"))
-    )
-    per_edge = e.join(common, ["a", "b"], "left").withColumn(
-        "cn", F.coalesce("cn", F.lit(0))
+    per_edge, asg = _edges_with_common_neighbors(
+        edges, assignments, id_col, cluster_col
     )
     nodes = asg.groupBy(F.col("_c").alias(cluster_col)).agg(
         F.countDistinct("_n").alias("n_nodes")

@@ -215,3 +215,29 @@ def test_fs_level_params_df_shape(spark):
     assert len(rows) == 6
     assert {(r["field"], r["level"]) for r in rows} == {
         ("ga", 0), ("ga", 1), ("ga", 2), ("gb", 0), ("gb", 1), ("gb", 2)}
+
+
+def test_prune_bridge_edges(spark):
+    from resolve_spark.operators.clustering import (
+        connected_components, prune_bridge_edges)
+    # cluster A: triangle 1-2-3 + bridge 3-4 + triangle 4-5-6 -> the
+    # bridge (no common neighbor) must go, splitting A in two;
+    # cluster B: pair 7-8 (n<3 -> its only edge survives)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (7, 8)],
+        "id_a bigint, id_b bigint",
+    )
+    asg = spark.createDataFrame(
+        [(i, "A") for i in range(1, 7)] + [(7, "B"), (8, "B")],
+        "id bigint, cluster_id string",
+    )
+    kept = prune_bridge_edges(edges, asg)
+    kept_pairs = {(r["id_a"], r["id_b"]) for r in kept.collect()}
+    assert (3, 4) not in kept_pairs
+    assert (7, 8) in kept_pairs and len(kept_pairs) == 7
+    cc = {r["rid"]: r["cluster_id"] for r in
+          connected_components(kept).collect()}
+    assert cc[1] == cc[2] == cc[3]
+    assert cc[4] == cc[5] == cc[6]
+    assert cc[3] != cc[4]  # the over-merge is repaired
+    assert cc[7] == cc[8]
