@@ -1654,6 +1654,31 @@ def _q87_bridge_prune(spark, sf_dir):  # structural over-merge repair
     return C.connected_components(pruned).select("rid", "cluster_id").orderBy("rid")
 
 
+def _q88_monge_elkan(spark, sf_dir):  # compound token-level kernel
+    """Symmetric Monge-Elkan over brand-blocked part-name pairs via the
+    Arrow-batched kernel (all token pairs of the batch -> ONE
+    jaro_winkler_batch call -> vectorized best-match maxima; per-row
+    means summed sequentially for bit-parity with the scalar kernel).
+    The oracle replays the reference JW as the shared recursive CTE
+    over DISTINCT token pairs, then the same max/mean/symmetric-mean;
+    part names are never token-empty so only the generic path runs."""
+    me = FD.monge_elkan_udf()
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 20 == 0)
+    a = p.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("na"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("nb"),
+        F.col("p_brand").alias("brand"),
+    )
+    pairs = a.join(b, "brand").where(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(me(F.col("na"), F.col("nb")), 6).alias("monge_elkan"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1743,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_fs_levels": _q85_fs_levels,
         "q86_fuse_clusters": _q86_fuse_clusters,
         "q87_bridge_prune": _q87_bridge_prune,
+        "q88_monge_elkan": _q88_monge_elkan,
     }
 
 
@@ -3419,6 +3445,38 @@ def oracle_sql() -> dict[str, str]:
             "c_mktsegment, c_name, c_acctbal FROM base "
             "LEFT JOIN mc USING (cid) LEFT JOIN ln_ USING (cid) "
             "ORDER BY cluster_id"
+        ),
+        # symmetric Monge-Elkan: reference JW per DISTINCT token pair
+        "q88_monge_elkan": (
+            "WITH RECURSIVE mep AS (SELECT p_partkey, p_name, p_brand "
+            "FROM part WHERE p_partkey % 20 = 0), "
+            "pr AS (SELECT a.p_partkey AS ia, b.p_partkey AS ib, "
+            + _TOKENS_RAW_SQL.format(c="a.p_name") + " AS ta, "
+            + _TOKENS_RAW_SQL.format(c="b.p_name") + " AS tb "
+            "FROM mep a JOIN mep b ON a.p_brand = b.p_brand "
+            "AND a.p_partkey < b.p_partkey), "
+            "ti AS (SELECT ia, ib, ta, tb, len(ta) AS na, len(tb) AS nb, "
+            "unnest(range(1, len(ta) + 1)) AS i FROM pr), "
+            "tj AS (SELECT ia, ib, na, nb, i, ta[i] AS t, tb, "
+            "unnest(range(1, len(tb) + 1)) AS j FROM ti), "
+            "tpx AS (SELECT ia, ib, na, nb, i, t, j, tb[j] AS u FROM tj), "
+            "jwp AS (SELECT DISTINCT t AS id_a, u AS id_b, t AS pa, "
+            "u AS pb FROM tpx WHERE t <> u), "
+            + _jw_chain_sql() + ", "
+            "sc AS (SELECT x.ia, x.ib, x.na, x.nb, x.i, x.j, "
+            "CASE WHEN x.t = x.u THEN 1e0 ELSE w.jw END AS s "
+            "FROM tpx x LEFT JOIN jwd w ON w.id_a = x.t AND w.id_b = x.u), "
+            "mi AS (SELECT ia, ib, na, i, max(s) AS mx FROM sc "
+            "GROUP BY 1, 2, 3, 4), "
+            "meab AS (SELECT ia, ib, sum(mx) / max(na) AS ab FROM mi "
+            "GROUP BY 1, 2), "
+            "mj AS (SELECT ia, ib, nb, j, max(s) AS mx FROM sc "
+            "GROUP BY 1, 2, 3, 4), "
+            "meba AS (SELECT ia, ib, sum(mx) / max(nb) AS ba FROM mj "
+            "GROUP BY 1, 2) "
+            "SELECT ia AS id_a, ib AS id_b, "
+            "round((ab + ba) / 2, 6) AS monge_elkan "
+            "FROM meab JOIN meba USING (ia, ib)"
         ),
         # bridge-pruned reclustering: structural prune + recursive CC
         "q87_bridge_prune": (

@@ -184,3 +184,18 @@ def explanation_column(score: Column, matched_on: Column) -> Column:
         score,
         F.array_join(matched_on, ", "),
     )
+
+
+def monge_elkan_udf():
+    """(col_a, col_b) -> double pandas UDF for the symmetric
+    Monge-Elkan compound kernel (vectorized.monge_elkan_batch: one
+    jaro_winkler_batch call per Arrow batch over all token pairs)."""
+
+    @pandas_udf(DoubleType())
+    def scorer(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            vectorized.monge_elkan_batch(a.tolist(), b.tolist()),
+            dtype="float64",
+        )
+
+    return scorer.asNondeterministic()

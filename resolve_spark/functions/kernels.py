@@ -382,6 +382,36 @@ def zip_similarity(a: str, b: str) -> float:
 # Registry aliases — registry.go:50-83 (GetByName) and :86-103 (GetByFieldType)
 # ---------------------------------------------------------------------------
 
+
+
+def monge_elkan(a: str, b: str) -> float:
+    """Symmetric Monge-Elkan (Monge & Elkan 1996): mean over each
+    side's tokens of its best Jaro-Winkler match on the other side,
+    averaged over both directions. The classic compound kernel for
+    multi-word fields with reordered/missing words ("acme corp intl"
+    vs "intl acme corporation") where whole-string JW collapses.
+    Beyond-the-reference addition (the reference registry stops at
+    whole-string kernels, registry.go:50-83)."""
+    ta, tb = tokenize(a or ""), tokenize(b or "")
+    if not ta and not tb:
+        return 1.0
+    if not ta or not tb:
+        return 0.0
+
+    def direction(ts: list[str], us: list[str]) -> float:
+        s = 0.0
+        for t in ts:
+            best = 0.0
+            for u in us:
+                jw = jaro_winkler(t, u)
+                if jw > best:
+                    best = jw
+            s += best
+        return s / len(ts)
+
+    return (direction(ta, tb) + direction(tb, ta)) / 2.0
+
+
 KERNELS_BY_NAME = {
     "name": name_similarity, "namesimilarity": name_similarity,
     "address": address_similarity, "addresssimilarity": address_similarity,
@@ -398,6 +428,7 @@ KERNELS_BY_NAME = {
     "jaccard": jaccard, "token": jaccard,
     "cosine": cosine_tf, "cosinesimilarity": cosine_tf,
     "contains": contained_in, "containedin": contained_in,
+    "mongeelkan": monge_elkan, "monge_elkan": monge_elkan,
 }
 
 KERNELS_BY_FIELD_TYPE = {

@@ -404,3 +404,40 @@ def apply_distinct(batch_fn, a: list[str], b: list[str]) -> np.ndarray:
     ub_list = ub.tolist()
     vals = batch_fn([ua_list[i] for i in ia], [ub_list[i] for i in ib])
     return np.asarray(vals, np.float64)[inv]
+
+
+def monge_elkan_batch(a: list[str], b: list[str]) -> np.ndarray:
+    """Symmetric Monge-Elkan over an Arrow batch: all token pairs of
+    all rows flatten into ONE jaro_winkler_batch call (which itself
+    dedups to distinct pairs and buckets by length), then per-row
+    best-match maxima reduce vectorized; only the tiny per-row mean
+    (<= tokens-per-field values) runs in the interpreter — summed
+    sequentially to stay bit-identical to kernels.monge_elkan."""
+    n = len(a)
+    out = np.zeros(n, dtype=np.float64)
+    ta = [kernels.tokenize(x or "") for x in a]
+    tb = [kernels.tokenize(x or "") for x in b]
+    flat_a: list[str] = []
+    flat_b: list[str] = []
+    rows: list[int] = []
+    for r in range(n):
+        if not ta[r] and not tb[r]:
+            out[r] = 1.0
+        elif ta[r] and tb[r]:
+            rows.append(r)
+            for t in ta[r]:
+                for u in tb[r]:
+                    flat_a.append(t)
+                    flat_b.append(u)
+    if not rows:
+        return out
+    jw = jaro_winkler_batch(flat_a, flat_b)
+    pos = 0
+    for r in rows:
+        na, nb = len(ta[r]), len(tb[r])
+        m = jw[pos: pos + na * nb].reshape(na, nb)
+        pos += na * nb
+        ab = sum(float(x) for x in m.max(axis=1)) / na
+        ba = sum(float(x) for x in m.max(axis=0)) / nb
+        out[r] = (ab + ba) / 2.0
+    return out

@@ -108,3 +108,25 @@ def test_throughput_sanity():
         K.name_similarity(x, y)
     slow_per_pair = (time.time() - t0) / 2000
     assert fast / 20_000 < slow_per_pair, (fast / 20_000, slow_per_pair)
+
+
+def test_monge_elkan_batch_matches_scalar():
+    from resolve_spark.functions.kernels import monge_elkan
+    from resolve_spark.functions.vectorized import monge_elkan_batch
+    cases = [
+        ("acme corp intl", "intl acme corporation"),
+        ("goldenrod lavender spring", "lavender goldenrod spring"),
+        ("one", "one"),
+        ("", ""),
+        ("left side", ""),
+        ("", "right"),
+        ("exact same words", "exact same words"),
+        ("alpha beta", "gamma delta epsilon"),
+    ]
+    got = monge_elkan_batch([a for a, _ in cases], [b for _, b in cases])
+    for (a, b), g in zip(cases, got):
+        assert g == monge_elkan(a, b), (a, b)
+    # word reorder keeps ME high where whole-string JW collapses
+    from resolve_spark.functions.kernels import jaro_winkler
+    assert got[1] > 0.95 > jaro_winkler(*cases[1])
+    assert got[3] == 1.0 and got[4] == 0.0 and got[5] == 0.0
