@@ -36,7 +36,8 @@ def _config(name: str, threshold: float):
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="resolve_spark")
     ap.add_argument("verb", choices=["ingest", "match", "resolve",
-                                     "recompute-clusters", "group", "serve"])
+                                     "recompute-clusters", "group", "serve",
+                                     "estimate-weights"])
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--input")
     ap.add_argument("--store")
@@ -74,6 +75,11 @@ def main(argv: list[str] | None = None) -> int:
                          "produced --increment-from (re-normalized "
                          "map-side; never re-paired or re-scored)")
     ap.add_argument("--checkpoint")
+    ap.add_argument("--agree-at", type=float, default=0.9, dest="agree_at",
+                    help="estimate-weights: per-field similarity at or "
+                         "above this counts as agreement for the EM fit")
+    ap.add_argument("--em-iterations", type=int, default=20,
+                    dest="em_iterations")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -220,6 +226,59 @@ def main(argv: list[str] | None = None) -> int:
         re_blocked = pipe.blocked(store.drop(*drop))
         re_blocked.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"recomputed": re_blocked.count(), "out": args.out}))
+
+    elif args.verb == "estimate-weights":
+        # Unsupervised FieldWeights suggestion: block + score the input
+        # at threshold 0 (every candidate pair kept), binarize per-field
+        # similarities at --agree-at, EM-fit the Fellegi-Sunter model
+        # over the pattern contingency table, and print per-field log2
+        # evidence weights plus a ready-to-use FieldWeights suggestion
+        # (positive agree weights scaled to mean 1 — the weighted score
+        # is scale-invariant, only ratios matter). No labels needed.
+        import dataclasses
+        import math as _math
+
+        from resolve_spark.operators.fellegi_sunter import fs_posterior_edges
+        from resolve_spark.operators.pairs import candidate_pairs
+
+        df = spark.read.parquet(args.input)
+        normalized = pipe.normalized(df).persist()
+        blocked = pipe.blocked(normalized).select(cfg.id_col, "block_keys")
+        pairs, _ = candidate_pairs(blocked, cfg.id_col, cfg.blocking,
+                                   with_stats=False, count_pairs=False)
+        open_pipe = ResolvePipeline(spark, dataclasses.replace(cfg, threshold=0.0))
+        edges = open_pipe.score(pairs, normalized)
+        fields = [s.name for s in cfg.specs]
+        _, params = fs_posterior_edges(
+            edges, fields, agree_at=args.agree_at,
+            iterations=args.em_iterations,
+        )
+        # params.fields carry the binarized g_<field> names; report the
+        # original spec names (same order by construction)
+        agree = {
+            f: _math.log2(params.m[i] / params.u[i])
+            for i, f in enumerate(fields)
+        }
+        pos = {f: max(w, 0.0) for f, w in agree.items()}
+        mean = (sum(pos.values()) / len(pos)) if any(pos.values()) else 1.0
+        print(json.dumps({
+            "lambda": params.lam,
+            "fields": {
+                f: {
+                    "m": params.m[i],
+                    "u": params.u[i],
+                    "agree_weight": agree[f],
+                    "disagree_weight": _math.log2(
+                        (1 - params.m[i]) / (1 - params.u[i])
+                    ),
+                }
+                for i, f in enumerate(fields)
+            },
+            "suggested_field_weights": {
+                f: (w / mean if mean else 1.0) for f, w in pos.items()
+            },
+            "agree_at": args.agree_at,
+        }))
 
     elif args.verb == "serve":
         # S11 — the reference's REST surface (api/server.go:70-89)

@@ -291,3 +291,25 @@ def test_cli_resolve_incremental(spark, tmp_path):
     full_cl = spark.read.parquet(f"{full_out}/clusters")
     assert inc_cl.subtract(full_cl).count() == 0
     assert full_cl.subtract(inc_cl).count() == 0
+
+
+def test_cli_estimate_weights(spark, tmp_path):
+    """estimate-weights: unsupervised FieldWeights suggestion — on the
+    planted-duplicate corpus the discriminative fields (repo/path/
+    content) must earn positive evidence and a usable weight map."""
+    from resolve_spark import datagen
+    files = datagen.with_record_id(
+        datagen.synth_files(spark, n_base=400, dup_rate=0.4))
+    inp = str(tmp_path / "files_ew")
+    files.write.parquet(inp)
+    res = _run_cli("estimate-weights", "--input", inp,
+                   "--em-iterations", "15")
+    assert 0 < res["lambda"] < 1
+    assert set(res["fields"]) == {"repo", "path", "lang", "content"}
+    sw = res["suggested_field_weights"]
+    assert set(sw) == set(res["fields"]) and all(w >= 0 for w in sw.values())
+    # planted duplicates agree on repo+content far above chance
+    for f in ("repo", "content"):
+        fd = res["fields"][f]
+        assert fd["m"] > fd["u"], (f, fd)
+        assert sw[f] > 0
