@@ -91,6 +91,14 @@ def estimate_fs(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
+    for r in counts:
+        for c in agreement_cols:
+            if r[c] is None:
+                raise ValueError(
+                    f"estimate_fs: NULL in agreement column {c!r} — "
+                    "coalesce indicators to 0/1 (or a dedicated level) "
+                    "before fitting"
+                )
     # fixed pattern order => deterministic float accumulation
     patt = sorted(
         (tuple(int(r[c]) for c in agreement_cols), int(r["cnt"])) for r in counts
@@ -174,8 +182,16 @@ def fs_match_probability(params: FSParams) -> F.Column:
     """A literal Column computing P(match | pattern) from the
     agreement columns — a chained CASE over at most 2^F branches, fully
     whole-stage-codegen (no join, no UDF, no shuffle). Attach with
-    ``pairs.withColumn('match_probability', fs_match_probability(p))``."""
+    ``pairs.withColumn('match_probability', fs_match_probability(p))``.
+
+    Guarded at 12 fields (4096 branches): beyond that the literal plan
+    bloats — join fs_pattern_df instead."""
     nf = len(params.fields)
+    if nf > 12:
+        raise ValueError(
+            "fs_match_probability: >12 fields enumerates >4096 CASE "
+            "branches; broadcast-join fs_pattern_df instead"
+        )
     expr = F.lit(None).cast("double")
     for i in range(2**nf):
         g = tuple((i >> (nf - 1 - f)) & 1 for f in range(nf))

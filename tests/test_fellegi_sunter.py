@@ -241,3 +241,11 @@ def test_prune_bridge_edges(spark):
     assert cc[4] == cc[5] == cc[6]
     assert cc[3] != cc[4]  # the over-merge is repaired
     assert cc[7] == cc[8]
+
+
+def test_estimate_fs_rejects_null_indicators(spark):
+    pairs = spark.createDataFrame(
+        [(1, 1), (None, 0), (0, 1)], "g1 int, g2 int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        estimate_fs(pairs, ["g1", "g2"], iterations=2)
