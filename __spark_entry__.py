@@ -1679,6 +1679,35 @@ def _q88_monge_elkan(spark, sf_dir):  # compound token-level kernel
     )
 
 
+def _q89_bcubed(spark, sf_dir):  # extrinsic clustering evaluation
+    """bcubed (Bagga & Baldwin; the record-weighted clustering metric
+    that stays affordable when pairwise evaluation is quadratic):
+    does the q03 canopy blocking key reconstruct p_brand? pred = the
+    canopy key as a clustering, truth = brand. Three groupBys + ONE
+    row out; per-record ratios are exact-long divisions, the two
+    averages are the only order-unpinned sums (round 6)."""
+    from resolve_spark.operators.diagnostics import bcubed
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_name").alias("name"), "p_brand"
+    )
+    pn = p.withColumn("name_normalized", N.normalize_name(F.col("name")))
+    pred = pn.select(
+        F.col("p_partkey").alias("id"),
+        B.canopy_key(pn.columns, ("name",)).alias("cluster_id"),
+    )
+    truth = p.select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("truth_id")
+    )
+    out = bcubed(pred, truth)
+    return out.select(
+        "n_records",
+        F.round("bcubed_precision", 6).alias("bcubed_precision"),
+        F.round("bcubed_recall", 6).alias("bcubed_recall"),
+        F.round("bcubed_f1", 6).alias("bcubed_f1"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1769,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_fuse_clusters": _q86_fuse_clusters,
         "q87_bridge_prune": _q87_bridge_prune,
         "q88_monge_elkan": _q88_monge_elkan,
+        "q89_bcubed": _q89_bcubed,
     }
 
 
@@ -3445,6 +3475,27 @@ def oracle_sql() -> dict[str, str]:
             "c_mktsegment, c_name, c_acctbal FROM base "
             "LEFT JOIN mc USING (cid) LEFT JOIN ln_ USING (cid) "
             "ORDER BY cluster_id"
+        ),
+        # BCubed: record-weighted clustering precision/recall/f1
+        "q89_bcubed": (
+            "WITH pr AS (SELECT p_partkey AS r, (CASE WHEN comp = '' "
+            "THEN 'default' ELSE substring(md5(comp || '|'), 1, 16) END) "
+            "AS c, t FROM (SELECT p_partkey, "
+            f"substring({_norm_name_sql('p_name')}, 1, 3) AS comp, "
+            "p_brand AS t FROM part)), "
+            "cs AS (SELECT c, count(*)::BIGINT AS nc FROM pr GROUP BY 1), "
+            "ts AS (SELECT t, count(*)::BIGINT AS nt FROM pr GROUP BY 1), "
+            "os AS (SELECT c, t, count(*)::BIGINT AS no FROM pr "
+            "GROUP BY 1, 2), "
+            "per AS (SELECT pr.r, os.no, cs.nc, ts.nt FROM pr "
+            "JOIN cs USING (c) JOIN ts USING (t) JOIN os USING (c, t)), "
+            "a AS (SELECT count(*)::BIGINT AS n_records, "
+            "sum(no / nc) / count(*) AS p, "
+            "sum(no / nt) / count(*) AS r2 FROM per) "
+            "SELECT n_records, round(p, 6) AS bcubed_precision, "
+            "round(r2, 6) AS bcubed_recall, "
+            "round(CASE WHEN p + r2 > 0 THEN 2 * p * r2 / (p + r2) "
+            "ELSE 0.0 END, 6) AS bcubed_f1 FROM a"
         ),
         # symmetric Monge-Elkan: reference JW per DISTINCT token pair
         "q88_monge_elkan": (

@@ -269,3 +269,58 @@ def block_skew_profile(
         .otherwise(F.lit(0.0))
         .alias("top1_pairs_share"),
     )
+
+
+def bcubed(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "id",
+    pred_col: str = "cluster_id",
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """BCubed extrinsic clustering evaluation (Bagga & Baldwin 1998;
+    Amigo et al. 2009 showed it's the pairwise-free metric satisfying
+    all four clustering-evaluation constraints): per RECORD r with
+    predicted cluster C and truth class T,
+
+        precision(r) = |C ∩ T| / |C|,   recall(r) = |C ∩ T| / |T|,
+
+    averaged over records; f1 is their harmonic mean. Unlike pairwise
+    P/R (match_metrics), BCubed weights records not pairs, so one
+    giant over-merged cluster can't dominate the score quadratically.
+
+    Records present in only one of ``pred``/``truth`` are excluded
+    (inner join) — evaluate coverage separately.
+
+    Determinism: every set size is an exact long from a groupBy; the
+    two averages are sums of per-record exact-ratio doubles (the only
+    order-unpinned float op — callers round, q89 uses 6 dp).
+
+    Scale plan (100 TB): three map-side-combinable groupBys (|C|, |T|,
+    |C ∩ T|) + three joins back, all keyed on cluster/class ids; ONE
+    output row, no pair materialization (BCubed is exactly the metric
+    you can afford when pairwise evaluation is quadratically out of
+    reach)."""
+    j = pred.select(F.col(id_col).alias("_r"), F.col(pred_col).alias("_c")).join(
+        truth.select(F.col(id_col).alias("_r"), F.col(truth_col).alias("_t")),
+        "_r",
+    )
+    csize = j.groupBy("_c").agg(F.count(F.lit(1)).alias("_nc"))
+    tsize = j.groupBy("_t").agg(F.count(F.lit(1)).alias("_nt"))
+    osize = j.groupBy("_c", "_t").agg(F.count(F.lit(1)).alias("_no"))
+    per = j.join(csize, "_c").join(tsize, "_t").join(osize, ["_c", "_t"])
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        (F.sum(F.col("_no") / F.col("_nc")) / F.count(F.lit(1))).alias("_p"),
+        (F.sum(F.col("_no") / F.col("_nt")) / F.count(F.lit(1))).alias("_r2"),
+    )
+    f1 = F.when(
+        F.col("_p") + F.col("_r2") > 0,
+        2 * F.col("_p") * F.col("_r2") / (F.col("_p") + F.col("_r2")),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_records",
+        F.col("_p").alias("bcubed_precision"),
+        F.col("_r2").alias("bcubed_recall"),
+        f1.alias("bcubed_f1"),
+    )

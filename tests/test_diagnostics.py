@@ -126,3 +126,26 @@ def test_match_metrics_score_col_without_thresholds(spark):
     truth = spark.createDataFrame([(1, 2), (3, 4), (7, 8)], ["id_a", "id_b"])
     row = match_metrics(pred, truth, score_col="score").collect()[0]
     assert (row["tp"], row["fp"], row["fn"]) == (2, 1, 1)
+
+
+def test_bcubed_hand_computed(spark):
+    from resolve_spark.operators.diagnostics import bcubed
+    truth = spark.createDataFrame(
+        [(1, "X"), (2, "X"), (3, "Y"), (4, "Y")], "id bigint, truth_id string"
+    )
+    # over-merge: everything in one predicted cluster
+    pred_merged = spark.createDataFrame(
+        [(i, "c") for i in (1, 2, 3, 4)], "id bigint, cluster_id string"
+    )
+    r = bcubed(pred_merged, truth).collect()[0]
+    assert r["n_records"] == 4
+    assert r["bcubed_precision"] == 0.5      # |C∩T|/|C| = 2/4 per record
+    assert r["bcubed_recall"] == 1.0
+    assert abs(r["bcubed_f1"] - 2 / 3) < 1e-12
+    # perfect clustering
+    r2 = bcubed(truth.withColumnRenamed("truth_id", "cluster_id"), truth).collect()[0]
+    assert (r2["bcubed_precision"], r2["bcubed_recall"], r2["bcubed_f1"]) == (1.0, 1.0, 1.0)
+    # record 9 only in pred -> excluded by the inner join
+    pred_extra = pred_merged.union(
+        spark.createDataFrame([(9, "c")], "id bigint, cluster_id string"))
+    assert bcubed(pred_extra, truth).collect()[0]["n_records"] == 4
