@@ -1516,14 +1516,10 @@ def _q83_tf_weights(spark, sf_dir):  # Winkler/Splink TF adjustment
     ).orderBy("field", "value")
 
 
-def _q84_fs_posterior(spark, sf_dir):  # unsupervised edge posterior
-    """fs_posterior_edges end-to-end: a scored pair stream (brand-
-    blocked part pairs with a field_scores map of levenshtein name sim
-    + size/type equality) binarized at agree_at=0.7, EM-fit (3
-    iterations), posterior attached as the native literal CASE column.
-    Output = the observed pattern table with n_pairs and the learned
-    match_probability; the oracle replays the identical EM + posterior
-    (same left-to-right products; 6-dp rounding)."""
+def _q84_scored(spark, sf_dir):
+    """Shared q84/q90 scored-pair stream: brand-blocked part pairs,
+    field_scores map (lev name sim / size equality / type equality),
+    binarized at 0.7 and EM-fit (3 iterations) via fs_posterior_edges."""
     from resolve_spark.operators.fellegi_sunter import fs_posterior_edges
 
     p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 4 == 0)
@@ -1550,6 +1546,18 @@ def _q84_fs_posterior(spark, sf_dir):  # unsupervised edge posterior
     scored, _params = fs_posterior_edges(
         edges, ["name", "size", "cont"], agree_at=0.7, iterations=3
     )
+    return scored
+
+
+def _q84_fs_posterior(spark, sf_dir):  # unsupervised edge posterior
+    """fs_posterior_edges end-to-end: a scored pair stream (brand-
+    blocked part pairs with a field_scores map of levenshtein name sim
+    + size/type equality) binarized at agree_at=0.7, EM-fit (3
+    iterations), posterior attached as the native literal CASE column.
+    Output = the observed pattern table with n_pairs and the learned
+    match_probability; the oracle replays the identical EM + posterior
+    (same left-to-right products; 6-dp rounding)."""
+    scored = _q84_scored(spark, sf_dir)
     out = scored.groupBy("g_name", "g_size", "g_cont", "match_probability").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
@@ -1679,6 +1687,27 @@ def _q88_monge_elkan(spark, sf_dir):  # compound token-level kernel
     )
 
 
+def _q90_uncertainty_sample(spark, sf_dir):  # active-learning queue
+    """uncertainty_sample over the q84 posterior stream: the 20 pairs
+    closest to P(match)=0.5 — the clerical-review queue where a human
+    label buys the most. Total order (|p-0.5|, id_a, id_b) makes the
+    selection deterministic; Catalyst compiles it to
+    TakeOrderedAndProject (no global sort)."""
+    from resolve_spark.operators.sampling import uncertainty_sample
+
+    scored = _q84_scored(spark, sf_dir)
+    out = uncertainty_sample(
+        scored.select(
+            "id_a", "id_b", "g_name", "g_size", "g_cont", "match_probability"
+        ),
+        k=20,
+    )
+    return out.select(
+        "id_a", "id_b", "g_name", "g_size", "g_cont",
+        F.round("match_probability", 6).alias("match_probability"),
+    )
+
+
 def _q89_bcubed(spark, sf_dir):  # extrinsic clustering evaluation
     """bcubed (Bagga & Baldwin; the record-weighted clustering metric
     that stays affordable when pairwise evaluation is quadratic):
@@ -1799,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_bridge_prune": _q87_bridge_prune,
         "q88_monge_elkan": _q88_monge_elkan,
         "q89_bcubed": _q89_bcubed,
+        "q90_uncertainty_sample": _q90_uncertainty_sample,
     }
 
 
@@ -2338,24 +2368,54 @@ def _q85_oracle_sql(iterations: int = 3) -> str:
     return ", ".join(cte) + f" SELECT * FROM ({rows}) ORDER BY field, level"
 
 
-def _q84_oracle_sql(iterations: int = 3) -> str:
-    """fs_posterior_edges over a SQL-expressible scored-pair stream:
-    brand-blocked part pairs, field scores = levenshtein name sim /
-    size equality / container equality, binarized at the operator's
-    agree_at, then the unrolled EM + per-pattern posterior."""
-    fields = ["g_name", "g_size", "g_cont"]
-    g_ctes = [
+def _q84_g_ctes() -> list[str]:
+    """q84/q90 shared agreement CTEs: gp carries the pair ids, g is
+    the bare pattern stream the EM generator consumes."""
+    return [
         "WITH p AS (SELECT p_partkey, p_name, p_brand, p_size, "
         "p_type FROM part WHERE p_partkey % 4 = 0)",
-        "g AS (SELECT CASE WHEN 1e0 - levenshtein(a.p_name, b.p_name)::DOUBLE / "
+        "gp AS (SELECT a.p_partkey AS ia, b.p_partkey AS ib, "
+        "CASE WHEN 1e0 - levenshtein(a.p_name, b.p_name)::DOUBLE / "
         "greatest(length(a.p_name), length(b.p_name)) >= 7e-1 "
         "THEN 1 ELSE 0 END AS g_name, "
         "CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS g_size, "
         "CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS g_cont "
         "FROM p a JOIN p b ON a.p_brand = b.p_brand "
         "AND a.p_partkey < b.p_partkey)",
+        "g AS (SELECT g_name, g_size, g_cont FROM gp)",
     ]
-    cte = _fs_em_ctes(g_ctes, fields, iterations)
+
+
+def _q90_oracle_sql(iterations: int = 3) -> str:
+    """uncertainty_sample over the q84 posterior: per-pair posterior by
+    pattern join, ordered by |p - 0.5| with (ia, ib) tiebreak, top 20.
+    The ORDER BY uses the UNROUNDED posterior, mirroring the operator."""
+    fields = ["g_name", "g_size", "g_cont"]
+    cte = _fs_em_ctes(_q84_g_ctes(), fields, iterations)
+    last = f"p{iterations}"
+    prod = lambda kind: _fs_prod_sql(fields, kind, "pp")  # noqa: E731
+    cte.append(
+        "post AS (SELECT g_name, g_size, g_cont, "
+        "CASE WHEN a + b > 0 THEN a / (a + b) ELSE 0e0 END AS mp FROM "
+        f"(SELECT pc.*, {prod('m')} AS a, {prod('u')} AS b "
+        f"FROM pc, {last} pp) pc)"
+    )
+    return (
+        ", ".join(cte)
+        + " SELECT gp.ia AS id_a, gp.ib AS id_b, gp.g_name, gp.g_size, "
+        "gp.g_cont, round(post.mp, 6) AS match_probability "
+        "FROM gp JOIN post USING (g_name, g_size, g_cont) "
+        "ORDER BY abs(post.mp - 5e-1), gp.ia, gp.ib LIMIT 20"
+    )
+
+
+def _q84_oracle_sql(iterations: int = 3) -> str:
+    """fs_posterior_edges over a SQL-expressible scored-pair stream:
+    brand-blocked part pairs, field scores = levenshtein name sim /
+    size equality / container equality, binarized at the operator's
+    agree_at, then the unrolled EM + per-pattern posterior."""
+    fields = ["g_name", "g_size", "g_cont"]
+    cte = _fs_em_ctes(_q84_g_ctes(), fields, iterations)
     last = f"p{iterations}"
     prod = lambda kind: _fs_prod_sql(fields, kind, "pp")  # noqa: E731
     cte.append(
@@ -3476,6 +3536,8 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN mc USING (cid) LEFT JOIN ln_ USING (cid) "
             "ORDER BY cluster_id"
         ),
+        # uncertainty sampling: clerical-review queue by |p - 0.5|
+        "q90_uncertainty_sample": _q90_oracle_sql(iterations=3),
         # BCubed: record-weighted clustering precision/recall/f1
         "q89_bcubed": (
             "WITH pr AS (SELECT p_partkey AS r, (CASE WHEN comp = '' "

@@ -309,3 +309,27 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = expr.otherwise(F.lit(names[-1]))
     return df.withColumn(split_col, expr)
+
+
+def uncertainty_sample(
+    scored: DataFrame,
+    k: int,
+    prob_col: str = "match_probability",
+    tiebreak_cols: tuple[str, ...] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Active-learning pair selection for clerical review: the k pairs
+    whose match probability sits closest to 0.5 — the rows where a
+    human label buys the most model improvement (uncertainty sampling;
+    pairs with posterior ~0 or ~1 teach nothing). Feed the labels to
+    match_metrics or as estimate_fs priors.
+
+    Deterministic: the order key is (|p - 0.5|, *tiebreak_cols) — a
+    total order, so the same k rows come back every run.
+
+    Scale plan: Catalyst compiles orderBy(...).limit(k) to
+    TakeOrderedAndProject — a per-partition top-k heap + single merge,
+    never a global sort (plan-asserted in tests)."""
+    key = F.abs(F.col(prob_col) - F.lit(0.5))
+    return scored.orderBy(
+        key.asc(), *[F.asc(c) for c in tiebreak_cols]
+    ).limit(k)

@@ -249,3 +249,18 @@ def test_estimate_fs_rejects_null_indicators(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         estimate_fs(pairs, ["g1", "g2"], iterations=2)
+
+
+def test_uncertainty_sample(spark):
+    from resolve_spark.operators.sampling import uncertainty_sample
+    rows = [(i, 100 + i, p) for i, p in enumerate(
+        [0.01, 0.49, 0.52, 0.98, 0.5, 0.6, 0.35, 0.95])]
+    scored = spark.createDataFrame(
+        rows, "id_a bigint, id_b bigint, match_probability double"
+    )
+    top3 = uncertainty_sample(scored, 3)
+    got = [(r["id_a"], r["match_probability"]) for r in top3.collect()]
+    assert got == [(4, 0.5), (1, 0.49), (2, 0.52)]
+    # top-k heap + merge, never a global sort
+    plan = top3._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "Sort " not in plan
