@@ -1737,6 +1737,115 @@ def _q89_bcubed(spark, sf_dir):  # extrinsic clustering evaluation
     )
 
 
+def _q91_meta_blocking(spark, sf_dir):  # blocking-graph WNP prune
+    """meta_block_prune over a 3-pass blocking of customers (nation /
+    market-segment / acctbal-bucket keys): block purging drops blocks
+    over 4/25 of the corpus (the segment blocks at every SF — the
+    three passes have FIXED key cardinalities 25/5/11, so block sizes
+    scale with the corpus and the purge threshold must too), the pair
+    groupBy computes CBS, and redistributed WNP keeps edges
+    at-or-above either endpoint's mean incident weight. CBS weights
+    are small exact ints, so the avg comparisons are deterministic
+    (meta_blocking.py docstring)."""
+    from resolve_spark.operators.meta_blocking import meta_block_prune
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 4 == 0)
+    n = c.count()
+    recs = c.select(
+        F.col("c_custkey").alias("id"),
+        F.array(
+            F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")),
+            F.concat(F.lit("s:"), F.col("c_mktsegment")),
+            F.concat(
+                F.lit("b:"), F.floor(F.col("c_acctbal") / 1000).cast("string")
+            ),
+        ).alias("block_keys"),
+    )
+    out = meta_block_prune(
+        recs, "id", weight="cbs", scheme="wnp", max_block_size=n * 4 // 25
+    )
+    return out.select("id_a", "id_b", "cbs")
+
+
+def _q92_adjusted_rand(spark, sf_dir):  # chance-corrected clustering eval
+    """adjusted_rand_index on the SAME pred/truth as q89 (canopy key vs
+    p_brand) so the record-weighted (BCubed) and chance-corrected
+    pair-counting (ARI) views of the same clustering sit side by side.
+    Contingency-table-only: exact longs everywhere, ONE final double
+    division (round 6)."""
+    from resolve_spark.operators.diagnostics import adjusted_rand_index
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_name").alias("name"), "p_brand"
+    )
+    pn = p.withColumn("name_normalized", N.normalize_name(F.col("name")))
+    pred = pn.select(
+        F.col("p_partkey").alias("id"),
+        B.canopy_key(pn.columns, ("name",)).alias("cluster_id"),
+    )
+    truth = p.select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("truth_id")
+    )
+    out = adjusted_rand_index(pred, truth)
+    return out.select("n_records", F.round("ari", 6).alias("ari"))
+
+
+def _q93_numeric_temporal(spark, sf_dir):  # Splink-style ladder kernels
+    """numeric_similarity + temporal_similarity ladders over event
+    pairs blocked on (user_id, event_type): relative-difference levels
+    for the numeric field, absolute-time-window levels for the
+    timestamp. Outputs are ladder literals (hash-exact); the block
+    join is bounded by per-(user, type) group sizes (max 24 at
+    sf0.01)."""
+    e = _t(spark, sf_dir, "events")
+    a = e.select(
+        F.col("event_id").alias("id_a"), "user_id", "event_type",
+        F.col("value").alias("va"), F.col("ts").alias("ta"),
+    )
+    b = e.select(
+        F.col("event_id").alias("id_b"), "user_id", "event_type",
+        F.col("value").alias("vb"), F.col("ts").alias("tb"),
+    )
+    pairs = a.join(b, ["user_id", "event_type"]).where(
+        F.col("id_a") < F.col("id_b")
+    )
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        S.numeric_similarity(F.col("va"), F.col("vb")).alias("value_sim"),
+        S.temporal_similarity(F.col("ta"), F.col("tb")).alias("ts_sim"),
+    )
+    return out.where((F.col("value_sim") >= 0.7) & (F.col("ts_sim") >= 0.4))
+
+
+def _q94_pprl_clk(spark, sf_dir):  # privacy-preserving linkage (CLK/Dice)
+    """clk_positions + clk_dice (Schnell et al. CLK bigram encodings,
+    portable hash family) over part names with brand-blocked
+    candidates: linkage quality WITHOUT plaintext comparison. Encoding
+    is a pure per-row projection; Dice = 2|A∩B|/(|A|+|B|) over the
+    position sets is exact-int arithmetic until one double division
+    (round 6 in both engines, filtered on the rounded value)."""
+    from resolve_spark.functions.pprl import clk_dice, clk_positions
+
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 5 == 0)
+    enc = p.select(
+        F.col("p_partkey").alias("rid"),
+        F.col("p_brand").alias("brand"),
+        clk_positions(
+            F.col("p_name"), m=512, k=4, q=2, hash_impl="portable"
+        ).alias("clk"),
+    )
+    a = enc.select(F.col("rid").alias("id_a"), "brand", F.col("clk").alias("ca"))
+    b = enc.select(F.col("rid").alias("id_b"), "brand", F.col("clk").alias("cb"))
+    pairs = a.join(b, "brand").where(F.col("id_a") < F.col("id_b"))
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(clk_dice(F.col("ca"), F.col("cb")), 6).alias("clk_dice"),
+    )
+    return out.where(F.col("clk_dice") >= 0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1829,6 +1938,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_monge_elkan": _q88_monge_elkan,
         "q89_bcubed": _q89_bcubed,
         "q90_uncertainty_sample": _q90_uncertainty_sample,
+        "q91_meta_blocking": _q91_meta_blocking,
+        "q92_adjusted_rand": _q92_adjusted_rand,
+        "q93_numeric_temporal": _q93_numeric_temporal,
+        "q94_pprl_clk": _q94_pprl_clk,
     }
 
 
@@ -3615,5 +3728,106 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.s, sym.d FROM reach r JOIN sym ON r.d = sym.s) "
             "SELECT s AS rid, least(s, min(d)) AS cluster_id "
             "FROM reach GROUP BY s ORDER BY rid"
+        ),
+        # meta-blocking: block purging -> CBS edges -> redistributed WNP
+        "q91_meta_blocking": (
+            "WITH recs AS (SELECT c_custkey AS rid, c_nationkey AS nk, "
+            "c_mktsegment AS seg, "
+            "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bkt "
+            "FROM customer WHERE c_custkey % 4 = 0), "
+            "keyed AS (SELECT rid, 'n:' || CAST(nk AS VARCHAR) AS key "
+            "FROM recs "
+            "UNION ALL SELECT rid, 's:' || seg FROM recs "
+            "UNION ALL SELECT rid, 'b:' || CAST(bkt AS VARCHAR) FROM recs), "
+            "sizes AS (SELECT key, count(*) AS c FROM keyed GROUP BY 1), "
+            "live AS (SELECT rid, key FROM keyed JOIN sizes USING (key) "
+            "WHERE c <= CAST(floor((SELECT count(*) FROM recs) * 4 / 25) "
+            "AS BIGINT)), "
+            "edges AS (SELECT a.rid AS id_a, b.rid AS id_b, "
+            "count(*)::BIGINT AS cbs FROM live a JOIN live b "
+            "ON a.key = b.key AND a.rid < b.rid GROUP BY 1, 2), "
+            "ends AS (SELECT id_a AS node, cbs FROM edges "
+            "UNION ALL SELECT id_b, cbs FROM edges), "
+            "navg AS (SELECT node, avg(cbs) AS av FROM ends GROUP BY 1) "
+            "SELECT e.id_a, e.id_b, e.cbs FROM edges e "
+            "JOIN navg na ON na.node = e.id_a "
+            "JOIN navg nb ON nb.node = e.id_b "
+            "WHERE e.cbs >= na.av OR e.cbs >= nb.av"
+        ),
+        # adjusted Rand index from the contingency table (q89's pred/truth)
+        "q92_adjusted_rand": (
+            "WITH pr AS (SELECT p_partkey AS r, (CASE WHEN comp = '' "
+            "THEN 'default' ELSE substring(md5(comp || '|'), 1, 16) END) "
+            "AS c, t FROM (SELECT p_partkey, "
+            f"substring({_norm_name_sql('p_name')}, 1, 3) AS comp, "
+            "p_brand AS t FROM part)), "
+            "cells AS (SELECT c, t, count(*)::BIGINT AS n FROM pr "
+            "GROUP BY 1, 2), "
+            "idx AS (SELECT sum(CAST(n * (n - 1) / 2 AS BIGINT)) AS ix, "
+            "sum(n)::BIGINT AS n_records FROM cells), "
+            "rs AS (SELECT sum(CAST(n * (n - 1) / 2 AS BIGINT)) AS rr "
+            "FROM (SELECT count(*)::BIGINT AS n FROM pr GROUP BY c)), "
+            "cs AS (SELECT sum(CAST(n * (n - 1) / 2 AS BIGINT)) AS cc "
+            "FROM (SELECT count(*)::BIGINT AS n FROM pr GROUP BY t)), "
+            "a AS (SELECT n_records, ix, rr, cc, "
+            "CAST(n_records * (n_records - 1) / 2 AS BIGINT) AS total "
+            "FROM idx, rs, cs) "
+            "SELECT n_records, round(CASE "
+            "WHEN (rr + cc) / 2.0 - rr * cc / total <> 0 "
+            "THEN (ix - rr * cc / total) / "
+            "((rr + cc) / 2.0 - rr * cc / total) "
+            "WHEN ix = rr * cc / total THEN 1.0 ELSE 0.0 END, 6) AS ari "
+            "FROM a"
+        ),
+        # Splink-style numeric + temporal comparison ladders
+        "q93_numeric_temporal": (
+            "WITH p AS (SELECT a.event_id AS id_a, b.event_id AS id_b, "
+            "a.value AS va, b.value AS vb, a.ts AS ta, b.ts AS tb "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND a.event_type = b.event_type "
+            "AND a.event_id < b.event_id), "
+            "s AS (SELECT id_a, id_b, "
+            "CASE WHEN va IS NULL OR vb IS NULL THEN 0.0 "
+            "WHEN va = vb THEN 1.0 "
+            "WHEN abs(va - vb) <= 0.0 * greatest(abs(va), abs(vb)) "
+            "THEN 1.0 "
+            "WHEN abs(va - vb) <= 0.01 * greatest(abs(va), abs(vb)) "
+            "THEN 0.9 "
+            "WHEN abs(va - vb) <= 0.1 * greatest(abs(va), abs(vb)) "
+            "THEN 0.7 ELSE 0.0 END AS value_sim, "
+            "CASE WHEN ta IS NULL OR tb IS NULL THEN 0.0 "
+            "WHEN abs(date_diff('second', tb, ta)) <= 0 THEN 1.0 "
+            "WHEN abs(date_diff('second', tb, ta)) <= 3600 THEN 0.9 "
+            "WHEN abs(date_diff('second', tb, ta)) <= 86400 THEN 0.7 "
+            "WHEN abs(date_diff('second', tb, ta)) <= 604800 THEN 0.4 "
+            "ELSE 0.0 END AS ts_sim FROM p) "
+            "SELECT id_a, id_b, value_sim, ts_sim FROM s "
+            "WHERE value_sim >= 0.7 AND ts_sim >= 0.4"
+        ),
+        # PPRL: CLK bigram encodings (portable hash) + Dice over candidates
+        "q94_pprl_clk": (
+            "WITH recs AS (SELECT p_partkey AS rid, p_brand AS brand, "
+            "'_' || lower(p_name) || '_' AS pad FROM part "
+            "WHERE p_partkey % 5 = 0), "
+            "pos AS (SELECT DISTINCT rid, "
+            "(('0x' || substr(md5(seed::VARCHAR || ':' || g), 1, 15))"
+            "::BIGINT) % 512 AS pos FROM ("
+            "SELECT rid, i.seed AS seed, substr(pad, j.j, 2) AS g "
+            "FROM recs, generate_series(1, 256) AS j(j), "
+            "generate_series(0, 3) AS i(seed) "
+            "WHERE j.j <= greatest(length(pad) - 1, 1))), "
+            "sizes AS (SELECT rid, count(*) AS n FROM pos GROUP BY 1), "
+            "cand AS (SELECT a.rid AS id_a, b.rid AS id_b FROM recs a "
+            "JOIN recs b ON a.brand = b.brand AND a.rid < b.rid), "
+            "inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c "
+            "JOIN pos pa ON pa.rid = c.id_a "
+            "JOIN pos pb ON pb.rid = c.id_b AND pb.pos = pa.pos "
+            "GROUP BY 1, 2), "
+            "d AS (SELECT c.id_a, c.id_b, "
+            "round(2 * coalesce(i.i, 0) / (sa.n + sb.n), 6) AS clk_dice "
+            "FROM cand c LEFT JOIN inter i USING (id_a, id_b) "
+            "JOIN sizes sa ON sa.rid = c.id_a "
+            "JOIN sizes sb ON sb.rid = c.id_b) "
+            "SELECT id_a, id_b, clk_dice FROM d WHERE clk_dice >= 0.5"
         ),
     }

@@ -161,3 +161,49 @@ def zip_similarity(a: Column, b: Column) -> Column:
         .otherwise(ladder)
     )
     return _empty_guard(a, b, digit_guard)
+
+
+def numeric_similarity(
+    a: Column,
+    b: Column,
+    rel_levels: tuple[float, ...] = (0.0, 0.01, 0.1),
+    sims: tuple[float, ...] = (1.0, 0.9, 0.7),
+) -> Column:
+    """Relative-difference ladder for numeric fields — the Splink-style
+    comparison-level pattern (exact -> within 1% -> within 10% -> 0)
+    the reference lacks (its kernels are all string-typed,
+    similarity.go). Beyond-reference, needed for amounts/quantities in
+    real ER schemas.
+
+    Level i matches when |a-b| <= rel_levels[i] * max(|a|,|b|) and
+    scores sims[i]; the first (tightest) matching level wins; no level
+    -> 0.0. NULL on either side -> 0.0; both exactly equal (incl. 0,0)
+    -> sims[0]. Pure codegen arithmetic, no UDF."""
+    if len(rel_levels) != len(sims):
+        raise ValueError("rel_levels and sims must have equal length")
+    diff = F.abs(a - b)
+    mag = F.greatest(F.abs(a), F.abs(b))
+    out = F.lit(0.0)
+    for lvl, s in reversed(list(zip(rel_levels, sims))):
+        out = F.when(diff <= F.lit(lvl) * mag, F.lit(s)).otherwise(out)
+    out = F.when(a == b, F.lit(sims[0])).otherwise(out)
+    return F.when(a.isNull() | b.isNull(), F.lit(0.0)).otherwise(out)
+
+
+def temporal_similarity(
+    a: Column,
+    b: Column,
+    windows_s: tuple[int, ...] = (0, 3600, 86400, 7 * 86400),
+    sims: tuple[float, ...] = (1.0, 0.9, 0.7, 0.4),
+) -> Column:
+    """Absolute-difference ladder for timestamps: same instant -> 1.0,
+    within an hour -> 0.9, a day -> 0.7, a week -> 0.4, else 0
+    (defaults; both ladders configurable). Timestamps compare via
+    unix seconds so the ladder is timezone-free. Pure codegen."""
+    if len(windows_s) != len(sims):
+        raise ValueError("windows_s and sims must have equal length")
+    diff = F.abs(F.unix_timestamp(a) - F.unix_timestamp(b))
+    out = F.lit(0.0)
+    for w, s in reversed(list(zip(windows_s, sims))):
+        out = F.when(diff <= F.lit(w), F.lit(s)).otherwise(out)
+    return F.when(a.isNull() | b.isNull(), F.lit(0.0)).otherwise(out)

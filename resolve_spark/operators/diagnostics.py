@@ -324,3 +324,72 @@ def bcubed(
         F.col("_r2").alias("bcubed_recall"),
         f1.alias("bcubed_f1"),
     )
+
+
+def adjusted_rand_index(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "id",
+    pred_col: str = "cluster_id",
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) — the chance-corrected
+    pair-counting complement to :func:`bcubed`: 1.0 = identical
+    clusterings, ~0 = what random assignment with the same marginals
+    would score, negative = worse than chance.
+
+    Computed ENTIRELY from the (pred, truth) contingency table, never
+    from materialized pairs:
+
+        index    = SUM_ij C(n_ij, 2)
+        expected = SUM_i C(a_i, 2) * SUM_j C(b_j, 2) / C(n, 2)
+        max      = (SUM_i C(a_i, 2) + SUM_j C(b_j, 2)) / 2
+        ari      = (index - expected) / (max - expected)
+
+    Records present in only one input are excluded (inner join), like
+    bcubed. Degenerate case (max == expected: both sides all-singleton
+    or all-one-cluster) returns ari = 1.0 when index == expected (the
+    clusterings agree trivially), else 0.0.
+
+    Determinism: every C(x, 2) and sum is an exact long (comb counts
+    stay < 2^63 to ~4.3e9 records per side); the final ratio is ONE
+    double division — oracle-hash-safe after rounding (q92 uses 6 dp).
+
+    Scale plan (100 TB): three map-side-combinable groupBys (the same
+    shape as bcubed) reduced to ONE row each, then pure arithmetic; no
+    pair materialization anywhere, so the metric costs O(contingency
+    table), not O(n^2)."""
+    j = pred.select(F.col(id_col).alias("_r"), F.col(pred_col).alias("_c")).join(
+        truth.select(F.col(id_col).alias("_r"), F.col(truth_col).alias("_t")),
+        "_r",
+    )
+
+    def _comb2(c):
+        return (c * (c - F.lit(1)) / F.lit(2)).cast("long")
+
+    cells = j.groupBy("_c", "_t").agg(F.count(F.lit(1)).alias("_n"))
+    idx = cells.agg(
+        F.sum(_comb2(F.col("_n"))).alias("_index"),
+        F.sum("_n").alias("n_records"),
+    )
+    rows = (
+        j.groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.sum(_comb2(F.col("_n"))).alias("_rows"))
+    )
+    cols = (
+        j.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.sum(_comb2(F.col("_n"))).alias("_cols"))
+    )
+    one = idx.join(F.broadcast(rows)).join(F.broadcast(cols))
+    n = F.col("n_records")
+    total = _comb2(n)
+    expected = F.col("_rows") * F.col("_cols") / total
+    mx = (F.col("_rows") + F.col("_cols")) / F.lit(2.0)
+    ari = F.when(
+        mx - expected != 0, (F.col("_index") - expected) / (mx - expected)
+    ).otherwise(
+        F.when(F.col("_index") == expected, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return one.select("n_records", ari.alias("ari"))

@@ -1,0 +1,167 @@
+"""Meta-blocking: weight and prune the blocking graph before scoring.
+
+Beyond-reference operator (the reference caps hot blocks but never
+re-weights the candidate graph — cluster.go's canopy blocking emits
+pairs straight to scoring). Meta-blocking (Papadakis et al., "Meta-
+Blocking: Taking Entity Resolution to the Next Level", IEEE TKDE 2014)
+is the standard redundancy-positive refinement: when records carry
+MULTIPLE blocking keys (multi-pass canopy/token/q-gram/MinHash — our
+``block_keys`` arrays), the NUMBER of keys two records share is
+evidence. Build the blocking graph (nodes = records, edges = candidate
+pairs, weight = co-occurrence statistic), then prune low-weight edges
+so the expensive similarity kernels never see them.
+
+Implemented weights:
+- ``cbs``  — Common Blocks Scheme: |keys(a) ∩ keys(b)| (ARCS/ECBS
+  variants reduce to size-normalized CBS; CBS itself is the
+  deterministic core).
+- ``js``   — Jaccard of the two records' (purged) key sets:
+  cbs / (|B(a)| + |B(b)| − cbs).
+
+Implemented pruning schemes:
+- ``wep``  — Weight Edge Pruning: keep edges with weight ≥ the global
+  mean edge weight.
+- ``wnp``  — Weighted Node Pruning (redistributed): each node retains
+  edges with weight ≥ that node's mean incident weight; an edge
+  survives if EITHER endpoint retains it.
+- ``cnp``  — Cardinality Node Pruning: each node retains its ``k``
+  highest-weight edges (ties broken by (id_a, id_b) so the selection
+  is total-ordered and deterministic); an edge survives if EITHER
+  endpoint retains it.
+
+Scale plan (100 TB): one explode, one map-side-combinable key-size
+groupBy, block purging (keys with > ``max_block_size`` rows are
+dropped BEFORE the self-join, so pair generation is bounded by
+purged-block sizes — the quadratic hazard never materializes), ONE
+pair-aggregation shuffle (groupBy (id_a, id_b) is simultaneously the
+dedup and the CBS count), and for wnp a combinable node-mean groupBy
+over 2|E| rows joined back by node id. No driver-side state, no
+broadcast of anything record-sized.
+
+Determinism: with ``weight="cbs"`` every weight is a small integer
+held exactly in a double, so partial-sum ordering cannot change
+``avg`` results and the prune decision is exactly reproducible (the
+q91 oracle hashes it). With ``weight="js"`` weights are ratios of
+small ints — deterministic per edge, but mean comparisons sit on
+ordinary float sums; treat borderline-equal edges as unordered (the
+pytest checks use tolerances, not hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def blocking_graph_edges(
+    df: DataFrame,
+    id_col: str,
+    keys_col: str = "block_keys",
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, cbs) blocking-graph edges with id_a < id_b after
+    block purging: keys whose block exceeds ``max_block_size`` rows
+    are dropped entirely (Papadakis' Block Purging — the oversized
+    blocks are the least informative AND the quadratic ones). The
+    groupBy that deduplicates pairs doubles as the CBS computation."""
+    keyed = df.select(F.col(id_col).alias("rid"), F.explode(keys_col).alias("key"))
+    sizes = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("_c"))
+    live = keyed.join(
+        sizes.where(F.col("_c") <= max_block_size).select("key"), "key"
+    )
+    a = live.select(F.col("rid").alias("id_a"), "key")
+    b = live.select(F.col("rid").alias("id_b"), "key")
+    return (
+        a.join(b, "key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("cbs"))
+    )
+
+
+def meta_block_prune(
+    df: DataFrame,
+    id_col: str,
+    keys_col: str = "block_keys",
+    weight: str = "cbs",
+    scheme: str = "wnp",
+    max_block_size: int = 1000,
+    k: int = 10,
+) -> DataFrame:
+    """Prune the blocking graph; returns surviving candidate edges
+    (id_a, id_b, cbs, weight). Feed the result to scoring in place of
+    the raw candidate set when multi-pass redundancy is high and the
+    kernel budget is the bottleneck. ``k`` applies to scheme="cnp"
+    only (retained edges per node)."""
+    edges = blocking_graph_edges(df, id_col, keys_col, max_block_size)
+    if weight == "cbs":
+        edges = edges.withColumn("weight", F.col("cbs").cast("double"))
+    elif weight == "js":
+        keyed = df.select(
+            F.col(id_col).alias("rid"), F.explode(keys_col).alias("key")
+        )
+        sizes = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("_c"))
+        live = keyed.join(
+            sizes.where(F.col("_c") <= max_block_size).select("key"), "key"
+        )
+        # |B(r)| over the PURGED collection (the paper's convention)
+        nb = live.groupBy("rid").agg(F.count(F.lit(1)).alias("_nb"))
+        edges = (
+            edges.join(
+                nb.select(F.col("rid").alias("id_a"), F.col("_nb").alias("_na")),
+                "id_a",
+            )
+            .join(
+                nb.select(F.col("rid").alias("id_b"), F.col("_nb").alias("_b2")),
+                "id_b",
+            )
+            .withColumn(
+                "weight",
+                F.col("cbs") / (F.col("_na") + F.col("_b2") - F.col("cbs")),
+            )
+            .drop("_na", "_b2")
+        )
+    else:
+        raise ValueError(f"unknown weight scheme: {weight!r} (cbs|js)")
+
+    if scheme == "wep":
+        thr = edges.agg(F.avg("weight").alias("_thr"))
+        return (
+            edges.join(F.broadcast(thr))
+            .where(F.col("weight") >= F.col("_thr"))
+            .drop("_thr")
+        )
+    if scheme == "wnp":
+        ends = edges.select(F.col("id_a").alias("_node"), "weight").unionByName(
+            edges.select(F.col("id_b").alias("_node"), "weight")
+        )
+        navg = ends.groupBy("_node").agg(F.avg("weight").alias("_avg"))
+        return (
+            edges.join(
+                navg.select(F.col("_node").alias("id_a"), F.col("_avg").alias("_aa")),
+                "id_a",
+            )
+            .join(
+                navg.select(F.col("_node").alias("id_b"), F.col("_avg").alias("_ab")),
+                "id_b",
+            )
+            .where((F.col("weight") >= F.col("_aa")) | (F.col("weight") >= F.col("_ab")))
+            .drop("_aa", "_ab")
+        )
+    if scheme == "cnp":
+        ends = edges.select(
+            F.col("id_a").alias("_node"), "id_a", "id_b", "weight"
+        ).unionByName(
+            edges.select(F.col("id_b").alias("_node"), "id_a", "id_b", "weight")
+        )
+        w = Window.partitionBy("_node").orderBy(
+            F.desc("weight"), F.asc("id_a"), F.asc("id_b")
+        )
+        kept_pairs = (
+            ends.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return edges.join(kept_pairs, ["id_a", "id_b"], "left_semi")
+    raise ValueError(f"unknown pruning scheme: {scheme!r} (wep|wnp|cnp)")

@@ -149,3 +149,39 @@ def test_bcubed_hand_computed(spark):
     pred_extra = pred_merged.union(
         spark.createDataFrame([(9, "c")], "id bigint, cluster_id string"))
     assert bcubed(pred_extra, truth).collect()[0]["n_records"] == 4
+
+
+def test_adjusted_rand_hand_computed(spark):
+    from resolve_spark.operators.diagnostics import adjusted_rand_index
+
+    # classic example: pred {a,b}{c,d,e}, truth {a,b,c}{d,e}
+    pred = spark.createDataFrame(
+        [("a", "p1"), ("b", "p1"), ("c", "p2"), ("d", "p2"), ("e", "p2")],
+        "id string, cluster_id string",
+    )
+    truth = spark.createDataFrame(
+        [("a", "t1"), ("b", "t1"), ("c", "t1"), ("d", "t2"), ("e", "t2")],
+        "id string, truth_id string",
+    )
+    row = adjusted_rand_index(pred, truth).collect()[0]
+    # contingency: n11=2, n21=1, n22=2 -> index = 1+0+1 = 2
+    # rows: C(2,2)+C(3,2) = 4; cols: C(3,2)+C(2,2) = 4; total C(5,2)=10
+    # expected = 16/10 = 1.6; max = 4; ari = (2-1.6)/(4-1.6) = 1/6
+    assert row.n_records == 5
+    assert abs(row.ari - 1 / 6) < 1e-12
+
+
+def test_adjusted_rand_perfect_and_degenerate(spark):
+    from resolve_spark.operators.diagnostics import adjusted_rand_index
+
+    pred = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "y")], "id string, cluster_id string"
+    )
+    same = pred.withColumnRenamed("cluster_id", "truth_id")
+    assert adjusted_rand_index(pred, same).collect()[0].ari == 1.0
+    # all-singletons on both sides: max == expected == index == 0 -> 1.0
+    p1 = spark.createDataFrame(
+        [("a", "1"), ("b", "2"), ("c", "3")], "id string, cluster_id string"
+    )
+    t1 = p1.withColumnRenamed("cluster_id", "truth_id")
+    assert adjusted_rand_index(p1, t1).collect()[0].ari == 1.0

@@ -208,3 +208,49 @@ def test_similarity_column_dispatch(spark):
     ).collect()[0]
     assert got["lev"] == pytest.approx(kernels.levenshtein_similarity("abc", "abd"))
     assert got["jw"] == pytest.approx(kernels.jaro_winkler("abc", "abd"))
+
+
+def test_numeric_similarity_ladder(spark):
+    from resolve_spark.functions.similarity import numeric_similarity
+
+    df = spark.createDataFrame(
+        [
+            (100.0, 100.0),  # exact -> 1.0
+            (100.0, 100.5),  # 0.5% -> 0.9
+            (100.0, 108.0),  # 8% (of 108) -> 0.7
+            (100.0, 150.0),  # far -> 0.0
+            (0.0, 0.0),      # both zero -> 1.0
+            (None, 100.0),   # null -> 0.0
+        ],
+        "a double, b double",
+    )
+    got = [
+        r.s for r in df.select(
+            numeric_similarity(df.a, df.b).alias("s")
+        ).collect()
+    ]
+    assert got == [1.0, 0.9, 0.7, 0.0, 1.0, 0.0]
+
+
+def test_temporal_similarity_ladder(spark):
+    import datetime as dt
+
+    from resolve_spark.functions.similarity import temporal_similarity
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (t0, t0),                                  # same -> 1.0
+            (t0, t0 + dt.timedelta(minutes=30)),       # <=1h -> 0.9
+            (t0, t0 + dt.timedelta(hours=5)),          # <=1d -> 0.7
+            (t0, t0 + dt.timedelta(days=3)),           # <=1w -> 0.4
+            (t0, t0 + dt.timedelta(days=30)),          # far -> 0.0
+        ],
+        "a timestamp, b timestamp",
+    )
+    got = [
+        r.s for r in df.select(
+            temporal_similarity(df.a, df.b).alias("s")
+        ).collect()
+    ]
+    assert got == [1.0, 0.9, 0.7, 0.4, 0.0]
