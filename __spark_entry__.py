@@ -1846,6 +1846,40 @@ def _q94_pprl_clk(spark, sf_dir):  # privacy-preserving linkage (CLK/Dice)
     return out.where(F.col("clk_dice") >= 0.5)
 
 
+def _q95_match_tiers(spark, sf_dir):  # deterministic rule-tier linkage
+    """deterministic_match_tiers over same-customer order pairs:
+    t1 = same day AND same status, t2 = same day, t3 = same priority
+    (first-match-wins, non-matching pairs dropped). One nested CASE
+    over the block join — pure codegen, the MDM audit-trail
+    complement to probabilistic scoring."""
+    from resolve_spark.operators.matching import deterministic_match_tiers
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("id_a"), F.col("o_custkey").alias("cust"),
+        F.to_date("o_orderdate").alias("da"),
+        F.col("o_orderstatus").alias("sa"),
+        F.col("o_orderpriority").alias("pa"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("id_b"), F.col("o_custkey").alias("cust"),
+        F.to_date("o_orderdate").alias("db"),
+        F.col("o_orderstatus").alias("sb"),
+        F.col("o_orderpriority").alias("pb"),
+    )
+    pairs = a.join(b, "cust").where(F.col("id_a") < F.col("id_b"))
+    out = deterministic_match_tiers(
+        pairs,
+        [
+            ("t1_same_day_status",
+             (F.col("da") == F.col("db")) & (F.col("sa") == F.col("sb"))),
+            ("t2_same_day", F.col("da") == F.col("db")),
+            ("t3_same_priority", F.col("pa") == F.col("pb")),
+        ],
+    )
+    return out.select("id_a", "id_b", "match_tier")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1942,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_adjusted_rand": _q92_adjusted_rand,
         "q93_numeric_temporal": _q93_numeric_temporal,
         "q94_pprl_clk": _q94_pprl_clk,
+        "q95_match_tiers": _q95_match_tiers,
     }
 
 
@@ -3829,5 +3864,22 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sa ON sa.rid = c.id_a "
             "JOIN sizes sb ON sb.rid = c.id_b) "
             "SELECT id_a, id_b, clk_dice FROM d WHERE clk_dice >= 0.5"
+        ),
+        # deterministic match tiers: first-match-wins CASE over pairs
+        "q95_match_tiers": (
+            "WITH o AS (SELECT o_orderkey, o_custkey, "
+            "CAST(o_orderdate AS DATE) AS d, o_orderstatus AS s, "
+            "o_orderpriority AS p FROM orders), "
+            "pairs AS (SELECT a.o_orderkey AS id_a, b.o_orderkey AS id_b, "
+            "a.d AS da, b.d AS db, a.s AS sa, b.s AS sb, "
+            "a.p AS pa, b.p AS pb FROM o a JOIN o b "
+            "ON a.o_custkey = b.o_custkey "
+            "AND a.o_orderkey < b.o_orderkey) "
+            "SELECT id_a, id_b, CASE "
+            "WHEN da = db AND sa = sb THEN 't1_same_day_status' "
+            "WHEN da = db THEN 't2_same_day' "
+            "WHEN pa = pb THEN 't3_same_priority' "
+            "ELSE NULL END AS match_tier FROM pairs "
+            "WHERE match_tier IS NOT NULL"
         ),
     }

@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "q77_semantic_dedup",
     "q81_fs_params",
     "q82_cluster_metrics",
+    "q91_meta_blocking",
+    "q93_numeric_temporal",
+    "q94_pprl_clk",
 ]
 
 

@@ -266,3 +266,25 @@ def find_matches_fields(
         candidates=candidates, vector_col=vector_col,
         blend_with_vector=blend_with_vector, threshold_on=threshold_on,
     )
+
+
+def deterministic_match_tiers(
+    pairs: DataFrame,
+    rules: list[tuple[str, "F.Column"]],
+    tier_col: str = "match_tier",
+) -> DataFrame:
+    """MDM-style deterministic linkage tiers — the rule-based
+    complement to probabilistic scoring (beyond-reference; the
+    reference only scores, match.go). ``rules`` is an ordered list of
+    (tier_name, boolean Column over the pair DataFrame) in PRIORITY
+    order; each pair gets the FIRST rule it satisfies as its tier,
+    pairs matching no rule are dropped.
+
+    First-match-wins compiles to one nested CASE (pure codegen, no
+    UDF, no shuffle beyond whatever produced ``pairs``), so tier
+    assignment is a free map stage at any scale; rule order is the
+    explicit precedence a data steward audits."""
+    expr = F.lit(None).cast("string")
+    for name, cond in reversed(rules):
+        expr = F.when(cond, F.lit(name)).otherwise(expr)
+    return pairs.withColumn(tier_col, expr).where(F.col(tier_col).isNotNull())

@@ -292,3 +292,29 @@ def test_find_matches_fields_no_known_fields_raises(spark):
     store = spark.createDataFrame([("e1", "Acme")], ["id", "name"])
     with pytest.raises(ValueError, match="none of the query's fields"):
         find_matches_text(spark, "unknown_field=x", store, block_key="block_key")
+
+
+def test_deterministic_match_tiers(spark):
+    from pyspark.sql import functions as F
+
+    from resolve_spark.operators.matching import deterministic_match_tiers
+
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b", 1, 1, "x", "x"),  # t1 (also satisfies t2 -> first wins)
+            ("a", "c", 2, 2, "x", "y"),  # t2
+            ("a", "d", 3, 4, "x", "x"),  # t3
+            ("a", "e", 5, 6, "x", "y"),  # no tier -> dropped
+        ],
+        "id_a string, id_b string, da int, db int, sa string, sb string",
+    )
+    out = deterministic_match_tiers(
+        pairs,
+        [
+            ("t1", (F.col("da") == F.col("db")) & (F.col("sa") == F.col("sb"))),
+            ("t2", F.col("da") == F.col("db")),
+            ("t3", F.col("sa") == F.col("sb")),
+        ],
+    )
+    got = {(r.id_a, r.id_b): r.match_tier for r in out.collect()}
+    assert got == {("a", "b"): "t1", ("a", "c"): "t2", ("a", "d"): "t3"}
