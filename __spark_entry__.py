@@ -1880,6 +1880,29 @@ def _q95_match_tiers(spark, sf_dir):  # deterministic rule-tier linkage
     return out.select("id_a", "id_b", "match_tier")
 
 
+def _q96_link_features(spark, sf_dir):  # per-edge structural support
+    """link_prediction_features over the q87 edge set (same-brand
+    parts within key distance 100): common neighbors, neighbor-set
+    Jaccard, preferential attachment per match edge — the re-ranking
+    signal behind bridge-prune decisions. Exact-int columns only (the
+    float RA feature is pytest-verified, not hash-oracled)."""
+    from resolve_spark.operators.clustering import link_prediction_features
+
+    p = _t(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_brand").alias("b"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_brand").alias("b"))
+    edges = a.join(b, "b").where(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("id_b") - F.col("id_a") <= 100)
+    )
+    out = link_prediction_features(edges.select("id_a", "id_b"))
+    return out.select(
+        "id_a", "id_b", "cn",
+        F.round("jaccard_nbrs", 6).alias("jaccard_nbrs"),
+        "pref_attach",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -1977,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_numeric_temporal": _q93_numeric_temporal,
         "q94_pprl_clk": _q94_pprl_clk,
         "q95_match_tiers": _q95_match_tiers,
+        "q96_link_features": _q96_link_features,
     }
 
 
@@ -3881,5 +3905,26 @@ def oracle_sql() -> dict[str, str]:
             "WHEN pa = pb THEN 't3_same_priority' "
             "ELSE NULL END AS match_tier FROM pairs "
             "WHERE match_tier IS NOT NULL"
+        ),
+        # per-edge link-prediction features (CN / neighbor-Jaccard / PA)
+        "q96_link_features": (
+            "WITH e AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b "
+            "FROM part a JOIN part b ON a.p_brand = b.p_brand "
+            "AND a.p_partkey < b.p_partkey "
+            "AND b.p_partkey - a.p_partkey <= 100), "
+            "adj AS (SELECT id_a AS x, id_b AS y FROM e "
+            "UNION ALL SELECT id_b, id_a FROM e), "
+            "deg AS (SELECT x, count(*) AS deg FROM adj GROUP BY 1), "
+            "cmn AS (SELECT e.id_a, e.id_b, count(*)::BIGINT AS cn FROM e "
+            "JOIN adj a1 ON a1.x = e.id_a "
+            "JOIN adj a2 ON a2.x = e.id_b AND a2.y = a1.y "
+            "WHERE a1.y <> e.id_a AND a1.y <> e.id_b GROUP BY 1, 2) "
+            "SELECT e.id_a, e.id_b, coalesce(cmn.cn, 0)::BIGINT AS cn, "
+            "round(coalesce(cmn.cn, 0) / "
+            "(da.deg + db.deg - coalesce(cmn.cn, 0)), 6) AS jaccard_nbrs, "
+            "(da.deg * db.deg)::BIGINT AS pref_attach "
+            "FROM e LEFT JOIN cmn ON cmn.id_a = e.id_a "
+            "AND cmn.id_b = e.id_b "
+            "JOIN deg da ON da.x = e.id_a JOIN deg db ON db.x = e.id_b"
         ),
     }

@@ -130,3 +130,27 @@ def test_cc_matches_union_find_oracle(spark):
         members = members | {root}
         assert members == want[root], (root, members ^ want[root])
     assert set(got) == set(want)
+
+
+def test_link_prediction_features_hand_computed(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from resolve_spark.operators.clustering import link_prediction_features
+
+    # triangle a-b-c plus pendant c-d (and a duplicate/reversed edge)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("b", "a")],
+        "id_a string, id_b string",
+    )
+    out = {
+        (r.id_a, r.id_b): r for r in link_prediction_features(edges).collect()
+    }
+    assert len(out) == 4  # duplicate edge deduped
+    ab = out[("a", "b")]
+    # deg: a=2, b=2, c=3, d=1; common nbr of (a,b) = {c}
+    assert ab.cn == 1 and ab.pref_attach == 4
+    assert abs(ab.jaccard_nbrs - 1 / 3) < 1e-12  # 1/(2+2-1)
+    assert abs(ab.ra - 1 / 3) < 1e-12  # 1/deg(c)
+    cd = out[("c", "d")]
+    assert cd.cn == 0 and cd.ra == 0.0 and cd.pref_attach == 3
+    assert cd.jaccard_nbrs == 0.0
