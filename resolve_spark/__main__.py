@@ -37,7 +37,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="resolve_spark")
     ap.add_argument("verb", choices=["ingest", "match", "resolve",
                                      "recompute-clusters", "group", "serve",
-                                     "estimate-weights"])
+                                     "estimate-weights", "evaluate"])
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--input")
     ap.add_argument("--store")
@@ -81,6 +81,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--em-iterations", type=int, default=20,
                     dest="em_iterations")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--pred", default=None,
+                    help="evaluate: parquet with (id, cluster_id) predictions")
+    ap.add_argument("--truth", default=None,
+                    help="evaluate: parquet with (id, truth_id) gold classes")
+    ap.add_argument("--pred-col", default="cluster_id", dest="pred_col")
+    ap.add_argument("--truth-col", default="truth_id", dest="truth_col")
     args = ap.parse_args(argv)
 
     threshold = args.threshold
@@ -278,6 +284,31 @@ def main(argv: list[str] | None = None) -> int:
                 f: (w / mean if mean else 1.0) for f, w in pos.items()
             },
             "agree_at": args.agree_at,
+        }))
+
+    elif args.verb == "evaluate":
+        # Extrinsic clustering evaluation against gold classes: BCubed
+        # (record-weighted) + adjusted Rand (chance-corrected pair
+        # counting) in one pass — both contingency-table-only, so the
+        # check costs O(cells), never O(pairs)
+        from resolve_spark.operators.diagnostics import (
+            adjusted_rand_index,
+            bcubed,
+        )
+        id_col = args.id or "id"
+        pred = spark.read.parquet(args.pred)
+        truth = spark.read.parquet(args.truth)
+        b = bcubed(pred, truth, id_col=id_col, pred_col=args.pred_col,
+                   truth_col=args.truth_col).collect()[0]
+        a = adjusted_rand_index(pred, truth, id_col=id_col,
+                                pred_col=args.pred_col,
+                                truth_col=args.truth_col).collect()[0]
+        print(json.dumps({
+            "n_records": b["n_records"],
+            "bcubed_precision": b["bcubed_precision"],
+            "bcubed_recall": b["bcubed_recall"],
+            "bcubed_f1": b["bcubed_f1"],
+            "ari": a["ari"],
         }))
 
     elif args.verb == "serve":

@@ -313,3 +313,27 @@ def test_cli_estimate_weights(spark, tmp_path):
         fd = res["fields"][f]
         assert fd["m"] > fd["u"], (f, fd)
         assert sw[f] > 0
+
+
+def test_cli_evaluate(spark, tmp_path):
+    pred = spark.createDataFrame(
+        [("a", "p1"), ("b", "p1"), ("c", "p2"), ("d", "p2"), ("e", "p2")],
+        "id string, cluster_id string",
+    )
+    truth = spark.createDataFrame(
+        [("a", "t1"), ("b", "t1"), ("c", "t1"), ("d", "t2"), ("e", "t2")],
+        "id string, truth_id string",
+    )
+    pp, tp = str(tmp_path / "pred"), str(tmp_path / "truth")
+    pred.write.parquet(pp)
+    truth.write.parquet(tp)
+    res = _run_cli("evaluate", "--pred", pp, "--truth", tp)
+    assert res["n_records"] == 5
+    # same hand-computed example as test_adjusted_rand_hand_computed
+    assert abs(res["ari"] - 1 / 6) < 1e-12
+    # bcubed: P = (2*(2/2) + 1*(1/3)... ) hand: per-record p:
+    # a,b: 2/2; c: 1/3... wait pred p2={c,d,e}, truth t1={a,b,c} t2={d,e}
+    # p(c)=|{c}|/3, p(d)=p(e)=2/3; P=(1+1+1/3+2/3+2/3)/5=11/15
+    # r(a)=r(b)=2/3, r(c)=1/3, r(d)=r(e)=2/2=1 -> R=(2/3+2/3+1/3+1+1)/5=11/15
+    assert abs(res["bcubed_precision"] - 11 / 15) < 1e-9
+    assert abs(res["bcubed_recall"] - 11 / 15) < 1e-9
