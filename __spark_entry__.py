@@ -1903,6 +1903,32 @@ def _q96_link_features(spark, sf_dir):  # per-edge structural support
     )
 
 
+def _q97_blocking_sweep(spark, sf_dir):  # per-pass blocking quality
+    """blocking_quality_by_pass over q70's two-pass scheme (canopy
+    pass c, brand pass b) — one metrics row PER pass, the measurement
+    behind "which blocking pass pays for itself": same exact-long
+    counts, reduction ratio against the GLOBAL corpus so passes are
+    comparable."""
+    from resolve_spark.operators.diagnostics import blocking_quality_by_pass
+
+    p = _t(spark, sf_dir, "part")
+    pn = p.select(F.col("p_partkey"), F.col("p_name").alias("name"))
+    pn = pn.withColumn("name_normalized", N.normalize_name(F.col("name")))
+    pass_c = pn.select(
+        F.col("p_partkey").alias("id"),
+        F.concat(F.lit("c:"), B.canopy_key(pn.columns, ("name",))).alias("block_key"),
+    )
+    pass_b = p.select(
+        F.col("p_partkey").alias("id"),
+        F.concat(F.lit("b:"), F.col("p_brand")).alias("block_key"),
+    )
+    blocks = pass_c.unionByName(pass_b)
+    a = p.select(F.col("p_partkey").alias("id_a"))
+    b = p.select(F.col("p_partkey").alias("id_b"))
+    truth = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return blocking_quality_by_pass(blocks, truth)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -2001,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_pprl_clk": _q94_pprl_clk,
         "q95_match_tiers": _q95_match_tiers,
         "q96_link_features": _q96_link_features,
+        "q97_blocking_sweep": _q97_blocking_sweep,
     }
 
 
@@ -3926,5 +3953,49 @@ def oracle_sql() -> dict[str, str]:
             "FROM e LEFT JOIN cmn ON cmn.id_a = e.id_a "
             "AND cmn.id_b = e.id_b "
             "JOIN deg da ON da.x = e.id_a JOIN deg db ON db.x = e.id_b"
+        ),
+        # per-pass blocking-quality sweep (q70's scheme, grouped by pass)
+        "q97_blocking_sweep": (
+            "WITH blocks AS ("
+            "SELECT p_partkey AS id, 'c:' || (CASE WHEN comp = '' "
+            "THEN 'default' ELSE substring(md5(comp || '|'), 1, 16) END) "
+            "AS k FROM (SELECT p_partkey, "
+            f"substring({_norm_name_sql('p_name')}, 1, 3) AS comp FROM part) "
+            "UNION ALL "
+            "SELECT p_partkey, 'b:' || p_brand FROM part), "
+            "b2 AS (SELECT id, k, split_part(k, ':', 1) AS pass "
+            "FROM blocks), "
+            "truth AS (SELECT a.p_partkey AS ta, b.p_partkey AS tb "
+            "FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1), "
+            "base AS (SELECT pass, count(DISTINCT id) AS pass_records, "
+            "count(DISTINCT k) AS n_block_keys FROM b2 GROUP BY 1), "
+            "cmp AS (SELECT pass, coalesce(sum(c * (c - 1) // 2), 0) "
+            "AS comparisons FROM "
+            "(SELECT pass, k, count(*) AS c FROM b2 GROUP BY 1, 2) "
+            "GROUP BY 1), "
+            "tc AS (SELECT count(*) AS truth_pairs FROM truth), "
+            "na AS (SELECT count(DISTINCT id) AS n_records FROM blocks), "
+            "cov AS (SELECT pass, count(*) AS covered_pairs FROM "
+            "(SELECT DISTINCT t.ta, t.tb, ba.pass FROM truth t "
+            "JOIN b2 ba ON ba.id = t.ta "
+            "JOIN b2 bb ON bb.id = t.tb AND bb.k = ba.k "
+            "AND bb.pass = ba.pass) GROUP BY 1), "
+            "r AS (SELECT base.pass, pass_records, n_block_keys, "
+            "comparisons, truth_pairs, coalesce(covered_pairs, 0) "
+            "AS covered_pairs, n_records * (n_records - 1) // 2 "
+            "AS total_pairs FROM base "
+            "LEFT JOIN cmp ON cmp.pass = base.pass "
+            "LEFT JOIN cov ON cov.pass = base.pass, tc, na) "
+            "SELECT pass, pass_records, n_block_keys, comparisons, "
+            "CASE WHEN total_pairs > 0 THEN "
+            "round((total_pairs - comparisons)::DOUBLE / "
+            "total_pairs::DOUBLE, 6) ELSE 0.0 END AS reduction_ratio, "
+            "truth_pairs, covered_pairs, "
+            "CASE WHEN truth_pairs > 0 THEN "
+            "round(covered_pairs::DOUBLE / truth_pairs::DOUBLE, 6) "
+            "ELSE 0.0 END AS pairs_completeness, "
+            "CASE WHEN comparisons > 0 THEN "
+            "round(covered_pairs::DOUBLE / comparisons::DOUBLE, 6) "
+            "ELSE 0.0 END AS pairs_quality FROM r"
         ),
     }

@@ -393,3 +393,78 @@ def adjusted_rand_index(
         F.when(F.col("_index") == expected, F.lit(1.0)).otherwise(F.lit(0.0))
     )
     return one.select("n_records", ari.alias("ari"))
+
+
+def blocking_quality_by_pass(
+    blocks: DataFrame,
+    truth: DataFrame,
+    id_col: str = "id",
+    key_col: str = "block_key",
+    id_a_col: str = "id_a",
+    id_b_col: str = "id_b",
+) -> DataFrame:
+    """Per-PASS sweep of :func:`blocking_quality` for a multi-pass
+    scheme (key namespace = the prefix before ':', the repo-wide
+    convention): one row per pass with the same exact-long counts and
+    single-division ratios, so passes can be compared and the weakest
+    dropped — the measurement behind "which blocking pass pays for
+    itself" tuning. ``reduction_ratio`` uses the GLOBAL record count
+    (all ids in ``blocks``) so rows are comparable across passes.
+
+    Scale plan: identical to blocking_quality with one extra groupBy
+    key — all aggregations stay map-side combinable, truth joins stay
+    bounded by the labeled set; output rows = number of passes."""
+    b2 = blocks.withColumn("_pass", F.split(F.col(key_col), ":").getItem(0))
+    base = b2.groupBy("_pass").agg(
+        F.countDistinct(id_col).alias("pass_records"),
+        F.countDistinct(key_col).alias("n_block_keys"),
+    )
+    comp = (
+        b2.groupBy("_pass", key_col)
+        .agg(F.count("*").alias("c"))
+        .groupBy("_pass")
+        .agg(F.sum(F.expr("c * (c - 1) DIV 2")).alias("comparisons"))
+    )
+    tnorm = (
+        truth.select(
+            F.least(id_a_col, id_b_col).alias("_ta"),
+            F.greatest(id_a_col, id_b_col).alias("_tb"),
+        )
+        .where(F.col("_ta") != F.col("_tb"))
+        .distinct()
+    )
+    n_truth = tnorm.agg(F.count("*").alias("truth_pairs"))
+    n_all = blocks.agg(F.countDistinct(id_col).alias("n_records"))
+    ka = b2.select(F.col(id_col).alias("_ta"), F.col(key_col).alias("_k"), "_pass")
+    kb = b2.select(F.col(id_col).alias("_tb"), F.col(key_col).alias("_k"), "_pass")
+    covered = (
+        tnorm.join(ka, "_ta")
+        .join(kb, ["_tb", "_k", "_pass"])
+        .select("_ta", "_tb", "_pass")
+        .distinct()
+        .groupBy("_pass")
+        .agg(F.count("*").alias("covered_pairs"))
+    )
+    row = (
+        base.join(comp, "_pass", "left")
+        .join(covered, "_pass", "left")
+        .crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_all))
+    )
+    total = F.expr("n_records * (n_records - 1) DIV 2")
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num.cast("double") / den.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    comparisons = F.coalesce("comparisons", F.lit(0))
+    covered_c = F.coalesce("covered_pairs", F.lit(0))
+    return row.select(
+        F.col("_pass").alias("pass"),
+        "pass_records",
+        "n_block_keys",
+        comparisons.alias("comparisons"),
+        ratio(total - comparisons, total).alias("reduction_ratio"),
+        "truth_pairs",
+        covered_c.alias("covered_pairs"),
+        ratio(covered_c, F.col("truth_pairs")).alias("pairs_completeness"),
+        ratio(covered_c, comparisons).alias("pairs_quality"),
+    )

@@ -1,5 +1,7 @@
 """blocking_quality: hand-computed metrics on a toy blocking scheme."""
 
+import pytest
+
 from resolve_spark.operators.diagnostics import blocking_quality
 
 
@@ -185,3 +187,32 @@ def test_adjusted_rand_perfect_and_degenerate(spark):
     )
     t1 = p1.withColumnRenamed("cluster_id", "truth_id")
     assert adjusted_rand_index(p1, t1).collect()[0].ari == 1.0
+
+
+def test_blocking_quality_by_pass(spark):
+    from resolve_spark.operators.diagnostics import blocking_quality_by_pass
+
+    blocks = spark.createDataFrame(
+        [
+            ("a", "p1:k1"), ("b", "p1:k1"), ("c", "p1:k2"),
+            ("a", "p2:x"), ("b", "p2:y"), ("c", "p2:x"), ("d", "p2:x"),
+        ],
+        "id string, block_key string",
+    )
+    truth = spark.createDataFrame(
+        [("a", "b"), ("c", "a")], "id_a string, id_b string"
+    )
+    rows = {r["pass"]: r for r in blocking_quality_by_pass(blocks, truth).collect()}
+    # pass p1: keys k1 (a,b), k2 (c) -> comparisons 1; covers (a,b) only
+    p1 = rows["p1"]
+    assert p1.pass_records == 3 and p1.n_block_keys == 2
+    assert p1.comparisons == 1 and p1.covered_pairs == 1
+    assert p1.truth_pairs == 2 and p1.pairs_completeness == 0.5
+    assert p1.pairs_quality == 1.0
+    # pass p2: x = {a,c,d} (3 comparisons), y = {b} -> covers (a,c) only
+    p2 = rows["p2"]
+    assert p2.pass_records == 4 and p2.comparisons == 3
+    assert p2.covered_pairs == 1 and p2.pairs_quality == pytest.approx(1 / 3)
+    # reduction ratio against GLOBAL n_records=4 -> total 6
+    assert p1.reduction_ratio == pytest.approx(round(5 / 6, 6))
+    assert p2.reduction_ratio == pytest.approx(0.5)
