@@ -1929,6 +1929,32 @@ def _q97_blocking_sweep(spark, sf_dir):  # per-pass blocking quality
     return blocking_quality_by_pass(blocks, truth)
 
 
+def _q98_cluster_stability(spark, sf_dir):  # run-over-run id stability
+    """cluster_stability: treat the q03 canopy clustering as the
+    PREVIOUS run and brand as the CURRENT one — per current cluster,
+    its best-overlap predecessor and the member fraction retained
+    (the merge/split audit an id-crosswalk needs). Argmax ties break
+    on ascending previous id (total order, hash-safe)."""
+    from resolve_spark.operators.clustering import cluster_stability
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_name").alias("name"), "p_brand"
+    )
+    pn = p.withColumn("name_normalized", N.normalize_name(F.col("name")))
+    prev = pn.select(
+        F.col("p_partkey").alias("id"),
+        B.canopy_key(pn.columns, ("name",)).alias("cluster_id"),
+    )
+    curr = p.select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("cluster_id")
+    )
+    out = cluster_stability(prev, curr)
+    return out.select(
+        "cluster_id", "n_records", "best_prev", "overlap",
+        F.round("stability", 6).alias("stability"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -2028,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_match_tiers": _q95_match_tiers,
         "q96_link_features": _q96_link_features,
         "q97_blocking_sweep": _q97_blocking_sweep,
+        "q98_cluster_stability": _q98_cluster_stability,
     }
 
 
@@ -3997,5 +4024,26 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN comparisons > 0 THEN "
             "round(covered_pairs::DOUBLE / comparisons::DOUBLE, 6) "
             "ELSE 0.0 END AS pairs_quality FROM r"
+        ),
+        # run-over-run cluster stability (best-overlap predecessor)
+        "q98_cluster_stability": (
+            "WITH prev AS (SELECT p_partkey AS r, (CASE WHEN comp = '' "
+            "THEN 'default' ELSE substring(md5(comp || '|'), 1, 16) END) "
+            "AS p FROM (SELECT p_partkey, "
+            f"substring({_norm_name_sql('p_name')}, 1, 3) AS comp "
+            "FROM part)), "
+            "j AS (SELECT part.p_brand AS c, prev.p FROM part "
+            "JOIN prev ON prev.r = part.p_partkey), "
+            "sizes AS (SELECT c, count(*)::BIGINT AS n_records FROM j "
+            "GROUP BY 1), "
+            "ov AS (SELECT c, p, count(*)::BIGINT AS overlap FROM j "
+            "GROUP BY 1, 2), "
+            "best AS (SELECT c, p, overlap, row_number() OVER ("
+            "PARTITION BY c ORDER BY overlap DESC, p ASC) AS rk FROM ov) "
+            "SELECT best.c AS cluster_id, sizes.n_records, "
+            "best.p AS best_prev, best.overlap, "
+            "round(best.overlap::DOUBLE / sizes.n_records::DOUBLE, 6) "
+            "AS stability FROM best JOIN sizes ON sizes.c = best.c "
+            "WHERE best.rk = 1"
         ),
     }

@@ -548,3 +548,51 @@ def link_prediction_features(edges: DataFrame) -> DataFrame:
         (F.col("_da") * F.col("_db")).alias("pref_attach"),
         F.coalesce("ra", F.lit(0.0)).alias("ra"),
     )
+
+
+def cluster_stability(
+    prev: DataFrame,
+    curr: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Run-over-run cluster stability — the operational metric behind
+    stable entity ids: for each CURRENT cluster, its best-overlap
+    predecessor in the PREVIOUS run's assignment and the fraction of
+    members that came from it.
+
+    Output per current cluster: (cluster_id, n_records, best_prev,
+    overlap, stability = overlap / n_records). stability 1.0 = the
+    cluster is exactly a previous cluster (or a pure split of one);
+    low stability = the cluster was stitched from several previous
+    ones — the merge events an id-crosswalk has to re-map. Records
+    present in only one input are excluded (inner join); audit
+    coverage separately.
+
+    Determinism: best_prev picks max overlap with ties broken by
+    ascending previous-cluster id (total order, oracle-safe); counts
+    are exact longs, stability is one division (round 6 downstream).
+
+    Scale plan (100 TB): one (curr, prev) contingency groupBy + one
+    per-cluster size groupBy, both map-side combinable and keyed on
+    cluster ids; the argmax is a per-cluster window over contingency
+    CELLS (bounded by distinct (curr, prev) combinations, not
+    records). No collects, nothing pairwise."""
+    j = curr.select(F.col(id_col).alias("_r"), F.col(cluster_col).alias("_c")).join(
+        prev.select(F.col(id_col).alias("_r"), F.col(cluster_col).alias("_p")),
+        "_r",
+    )
+    sizes = j.groupBy("_c").agg(F.count(F.lit(1)).alias("n_records"))
+    overlap = j.groupBy("_c", "_p").agg(F.count(F.lit(1)).alias("overlap"))
+    w = Window.partitionBy("_c").orderBy(F.desc("overlap"), F.asc("_p"))
+    best = overlap.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
+    return (
+        best.join(sizes, "_c")
+        .select(
+            F.col("_c").alias(cluster_col),
+            "n_records",
+            F.col("_p").alias("best_prev"),
+            "overlap",
+            (F.col("overlap") / F.col("n_records")).alias("stability"),
+        )
+    )

@@ -154,3 +154,23 @@ def test_link_prediction_features_hand_computed(spark):
     cd = out[("c", "d")]
     assert cd.cn == 0 and cd.ra == 0.0 and cd.pref_attach == 3
     assert cd.jaccard_nbrs == 0.0
+
+
+def test_cluster_stability_hand_computed(spark):
+    from resolve_spark.operators.clustering import cluster_stability
+
+    prev = spark.createDataFrame(
+        [("a", "p1"), ("b", "p1"), ("c", "p2"), ("d", "p2"), ("e", "p3")],
+        "id string, cluster_id string",
+    )
+    # c1 = {a,b,c}: stitched from p1 (2) + p2 (1) -> best p1, 2/3
+    # c2 = {d,e}: p2 (1) + p3 (1) tie -> best = p2 (asc tie-break), 1/2
+    curr = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c1"), ("d", "c2"), ("e", "c2")],
+        "id string, cluster_id string",
+    )
+    got = {r.cluster_id: r for r in cluster_stability(prev, curr).collect()}
+    assert got["c1"].best_prev == "p1" and got["c1"].overlap == 2
+    assert abs(got["c1"].stability - 2 / 3) < 1e-12
+    assert got["c2"].best_prev == "p2" and got["c2"].overlap == 1
+    assert got["c2"].stability == 0.5
