@@ -1955,6 +1955,28 @@ def _q98_cluster_stability(spark, sf_dir):  # run-over-run id stability
     )
 
 
+def _q99_fusion_conflicts(spark, sf_dir):  # survivorship conflict queue
+    """fusion_conflicts over the q86 clustering: per cluster, distinct
+    non-null values per survivorship field + how many fields disagree
+    — the report of exactly where fuse_clusters silently picked a
+    winner. ONE combinable groupBy; output rows = clusters."""
+    from resolve_spark.operators.fusion import fusion_conflicts
+
+    c = _t(spark, sf_dir, "customer")
+    asg = c.select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias(
+            "cluster_id"
+        ),
+    )
+    ents = c.select(
+        F.col("c_custkey").alias("id"), "c_mktsegment", "c_name", "c_acctbal"
+    )
+    return fusion_conflicts(
+        ents, asg, ["c_mktsegment", "c_name", "c_acctbal"]
+    ).orderBy("cluster_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -2055,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_link_features": _q96_link_features,
         "q97_blocking_sweep": _q97_blocking_sweep,
         "q98_cluster_stability": _q98_cluster_stability,
+        "q99_fusion_conflicts": _q99_fusion_conflicts,
     }
 
 
@@ -4045,5 +4068,22 @@ def oracle_sql() -> dict[str, str]:
             "round(best.overlap::DOUBLE / sizes.n_records::DOUBLE, 6) "
             "AS stability FROM best JOIN sizes ON sizes.c = best.c "
             "WHERE best.rk = 1"
+        ),
+        # survivorship conflict report: distinct values per fused field
+        "q99_fusion_conflicts": (
+            "WITH j AS (SELECT 'n' || CAST(c_nationkey AS VARCHAR) "
+            "AS cluster_id, c_mktsegment, c_name, c_acctbal "
+            "FROM customer), "
+            "a AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size, "
+            "count(DISTINCT c_mktsegment)::BIGINT AS c_mktsegment_distinct, "
+            "count(DISTINCT c_name)::BIGINT AS c_name_distinct, "
+            "count(DISTINCT c_acctbal)::BIGINT AS c_acctbal_distinct "
+            "FROM j GROUP BY 1) "
+            "SELECT *, ((c_mktsegment_distinct > 1)::INT "
+            "+ (c_name_distinct > 1)::INT "
+            "+ (c_acctbal_distinct > 1)::INT) AS n_conflict_fields "
+            "FROM a WHERE (c_mktsegment_distinct > 1)::INT "
+            "+ (c_name_distinct > 1)::INT "
+            "+ (c_acctbal_distinct > 1)::INT >= 1 ORDER BY cluster_id"
         ),
     }

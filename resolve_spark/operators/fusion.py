@@ -95,3 +95,46 @@ def fuse_clusters(
     return out.select(
         cluster_col, "cluster_size", "canonical_id", *rules.keys()
     )
+
+
+def fusion_conflicts(
+    entities: DataFrame,
+    assignments: DataFrame,
+    fields: list[str],
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    only_conflicted: bool = True,
+) -> DataFrame:
+    """The data-steward conflict queue behind :func:`fuse_clusters`:
+    per cluster, how many distinct non-null values each survivorship
+    field carries ("<field>_distinct") and how many fields disagree
+    (``n_conflict_fields``). A fused golden record silently picks a
+    winner for every conflicted field — this is the report of exactly
+    where that happened, for review or rule tuning.
+
+    ``only_conflicted=True`` keeps clusters with >= 1 disagreeing
+    field. NULLs don't count as values (count DISTINCT semantics in
+    both engines), so a field that is null everywhere conflicts with
+    nothing.
+
+    Scale plan (100 TB): ONE groupBy(cluster) with countDistinct per
+    field (partial-aggregated map-side), keyed the same as the fusion
+    itself; output rows = clusters, never records."""
+    j = entities.join(
+        assignments.select(
+            F.col(id_col).alias(id_col), cluster_col
+        ),
+        id_col,
+    )
+    aggs = [F.count(F.lit(1)).alias("cluster_size")] + [
+        F.countDistinct(f).alias(f"{f}_distinct") for f in fields
+    ]
+    out = j.groupBy(cluster_col).agg(*aggs)
+    n_conf = None
+    for f in fields:
+        c = (F.col(f"{f}_distinct") > 1).cast("int")
+        n_conf = c if n_conf is None else n_conf + c
+    out = out.withColumn("n_conflict_fields", n_conf)
+    if only_conflicted:
+        out = out.where(F.col("n_conflict_fields") >= 1)
+    return out

@@ -71,3 +71,29 @@ def test_fuse_clusters_bad_rule(spark):
     ents, asg = _data(spark)
     with pytest.raises(ValueError):
         fuse_clusters(ents, asg, {"name": "median"})
+
+
+def test_fusion_conflicts_hand_computed(spark):
+    from resolve_spark.operators.fusion import fusion_conflicts
+
+    ents = spark.createDataFrame(
+        [
+            ("a", "ACME", "NY", 1.0),
+            ("b", "ACME", "NJ", 1.0),   # state conflicts in c1
+            ("c", "Zed", None, 2.0),    # singleton-ish, no conflict
+            ("d", "Zed", None, 2.0),
+        ],
+        "id string, name string, state string, bal double",
+    )
+    asg = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c2"), ("d", "c2")],
+        "id string, cluster_id string",
+    )
+    out = fusion_conflicts(ents, asg, ["name", "state", "bal"])
+    rows = {r.cluster_id: r for r in out.collect()}
+    assert set(rows) == {"c1"}  # c2 has zero conflicts (NULLs don't count)
+    c1 = rows["c1"]
+    assert c1.cluster_size == 2 and c1.state_distinct == 2
+    assert c1.name_distinct == 1 and c1.n_conflict_fields == 1
+    full = fusion_conflicts(ents, asg, ["name"], only_conflicted=False)
+    assert full.count() == 2
