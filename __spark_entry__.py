@@ -1977,6 +1977,38 @@ def _q99_fusion_conflicts(spark, sf_dir):  # survivorship conflict queue
     ).orderBy("cluster_id")
 
 
+def _q100_budget_ledger(spark, sf_dir):  # pair-budget accounting as data
+    """pair_budget_accounting over the q91 three-pass customer keys
+    with corpus-relative thresholds (max = 4/25 n windowed above,
+    purge segment-pass keys above 1/25 n, hard-prune above 12/25 n):
+    one ledger row per pass — keys by fate, pairs by fate, and the
+    EXACT dropped-pair estimate. The north rule's 'cap and record
+    dropped pairs' requirement as a queryable DataFrame."""
+    from resolve_spark.operators.pairs import pair_budget_accounting
+
+    c = _t(spark, sf_dir, "customer")
+    n = c.count()
+    recs = c.select(
+        F.col("c_custkey").alias("id"),
+        F.array(
+            F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")),
+            F.concat(F.lit("s:"), F.col("c_mktsegment")),
+            F.concat(
+                F.lit("b:"), F.floor(F.col("c_acctbal") / 1000).cast("string")
+            ),
+        ).alias("block_keys"),
+    )
+    cfg = BlockingConfig(
+        max_block_size=n * 4 // 25,
+        prune_block_size=n * 12 // 25,
+        redundant_block_size=n // 25,
+        purge_passes=("s",),
+        neighborhood_window=10,
+    )
+    out = pair_budget_accounting(recs, "id", cfg)
+    return out.orderBy("pass")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_normalize_text": _q01_normalize_text,
@@ -2078,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_blocking_sweep": _q97_blocking_sweep,
         "q98_cluster_stability": _q98_cluster_stability,
         "q99_fusion_conflicts": _q99_fusion_conflicts,
+        "q100_budget_ledger": _q100_budget_ledger,
     }
 
 
@@ -4085,5 +4118,41 @@ def oracle_sql() -> dict[str, str]:
             "FROM a WHERE (c_mktsegment_distinct > 1)::INT "
             "+ (c_name_distinct > 1)::INT "
             "+ (c_acctbal_distinct > 1)::INT >= 1 ORDER BY cluster_id"
+        ),
+        # pair-budget ledger: per-pass key/pair fates + dropped estimate
+        "q100_budget_ledger": (
+            "WITH nn AS (SELECT count(*)::BIGINT AS n FROM customer), "
+            "recs AS (SELECT c_custkey AS rid, c_nationkey AS nk, "
+            "c_mktsegment AS seg, "
+            "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bkt "
+            "FROM customer), "
+            "keyed AS (SELECT rid, 'n:' || CAST(nk AS VARCHAR) AS key "
+            "FROM recs "
+            "UNION ALL SELECT rid, 's:' || seg FROM recs "
+            "UNION ALL SELECT rid, 'b:' || CAST(bkt AS VARCHAR) FROM recs), "
+            "counts AS (SELECT key, count(*)::BIGINT AS c FROM keyed "
+            "GROUP BY 1), "
+            "f AS (SELECT split_part(key, ':', 1) AS pass, c, "
+            "split_part(key, ':', 1) = 's' AS purg, nn.n AS n, "
+            "CASE WHEN split_part(key, ':', 1) = 's' "
+            "THEN c > nn.n // 25 ELSE c > nn.n * 4 // 25 END AS ov "
+            "FROM counts, nn), "
+            "g AS (SELECT pass, c, "
+            "((ov AND purg) OR c > n * 12 // 25) AS dead, "
+            "(ov AND NOT purg AND c <= n * 12 // 25) AS win FROM f), "
+            "h AS (SELECT pass, dead, win, "
+            "(NOT dead AND NOT win) AS fl, c * (c - 1) // 2 AS all2, "
+            "least(c * (c - 1) // 2, c * 10) AS wp FROM g) "
+            "SELECT pass, count(*)::BIGINT AS n_keys, "
+            "sum(fl::INT)::BIGINT AS n_full, "
+            "sum(win::INT)::BIGINT AS n_windowed, "
+            "sum(dead::INT)::BIGINT AS n_purged, "
+            "sum(CASE WHEN fl THEN all2 ELSE 0 END)::BIGINT "
+            "AS pairs_full, "
+            "sum(CASE WHEN win THEN wp ELSE 0 END)::BIGINT "
+            "AS pairs_windowed_est, "
+            "sum(CASE WHEN win THEN greatest(all2 - wp, 0) "
+            "WHEN dead THEN all2 ELSE 0 END)::BIGINT "
+            "AS pairs_dropped_est FROM h GROUP BY 1 ORDER BY pass"
         ),
     }

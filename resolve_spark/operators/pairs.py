@@ -174,3 +174,68 @@ def candidate_pairs(
         )
     counts.unpersist()
     return deduped, stats
+
+
+def pair_budget_accounting(
+    df: DataFrame,
+    id_col: str,
+    cfg: BlockingConfig,
+    keys_col: str = "block_keys",
+) -> DataFrame:
+    """The budget ledger as DATA (one row per blocking pass) instead of
+    driver-side PairGenStats: for each pass prefix, how many keys take
+    which fate under :func:`candidate_pairs`' budget (full self-join /
+    sorted-neighborhood window / purged), how many pairs each fate
+    generates, and the exact dropped-pair estimate. This is the
+    recall-loss observability the pair budget promises, queryable and
+    joinable against evaluation runs.
+
+    Column semantics mirror candidate_pairs' fate logic EXACTLY (same
+    thresholds, same purge-pass handling); pairs_full/windowed are
+    per-key upper bounds (cross-pass dedup happens later and can only
+    shrink them).
+
+    Determinism: every number is exact-long arithmetic on block sizes.
+    Scale plan: one explode + one key-size groupBy + one pass-level
+    groupBy, all map-side combinable; output rows = number of passes."""
+    keyed = df.select(F.col(id_col).alias("rid"), F.explode(keys_col).alias("key"))
+    counts = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
+    pass_of = F.split(F.col("key"), ":").getItem(0)
+    purgeable = (
+        pass_of.rlike("^(" + "|".join(cfg.purge_passes) + ")")
+        if cfg.purge_passes
+        else F.lit(False)
+    )
+    oversized = F.when(purgeable, F.col("c") > cfg.redundant_block_size).otherwise(
+        F.col("c") > cfg.max_block_size
+    )
+    dead = (oversized & purgeable) | (F.col("c") > cfg.prune_block_size)
+    windowed = oversized & ~purgeable & (F.col("c") <= cfg.prune_block_size)
+    full = ~dead & ~windowed
+    comb2 = F.expr("c * (c - 1) DIV 2")
+    w = F.lit(cfg.neighborhood_window)
+    win_pairs = F.least(comb2, F.col("c") * w)
+    fated = counts.select(
+        pass_of.alias("pass"),
+        F.col("c"),
+        full.alias("_full"),
+        windowed.alias("_win"),
+        dead.alias("_dead"),
+        comb2.alias("_all2"),
+        win_pairs.alias("_wp"),
+    )
+    return fated.groupBy("pass").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("_full").cast("long")).alias("n_full"),
+        F.sum(F.col("_win").cast("long")).alias("n_windowed"),
+        F.sum(F.col("_dead").cast("long")).alias("n_purged"),
+        F.sum(F.when(F.col("_full"), F.col("_all2")).otherwise(0)).alias("pairs_full"),
+        F.sum(F.when(F.col("_win"), F.col("_wp")).otherwise(0)).alias(
+            "pairs_windowed_est"
+        ),
+        F.sum(
+            F.when(F.col("_win"), F.greatest(F.col("_all2") - F.col("_wp"), F.lit(0)))
+            .when(F.col("_dead"), F.col("_all2"))
+            .otherwise(0)
+        ).alias("pairs_dropped_est"),
+    )

@@ -186,3 +186,35 @@ def test_phonetic_pass_blocks_misspellings(spark):
     # the other passes disagree on this pair (that is WHY the pass exists)
     assert not ({k for k in out["a"] if not k.startswith("p:")}
                 & {k for k in out["b"] if not k.startswith("p:")})
+
+
+def test_pair_budget_accounting_ledger(spark):
+    from pyspark.sql import functions as F
+
+    from resolve_spark.config import BlockingConfig
+    from resolve_spark.operators.pairs import pair_budget_accounting
+
+    # pass a: one block of 3 (full); pass q (purgeable): block of 3
+    # (> redundant 2 -> purged); pass w: block of 5 (> max 4 -> windowed)
+    df = spark.createDataFrame(
+        [
+            (1, ["a:k", "q:z", "w:v"]),
+            (2, ["a:k", "q:z", "w:v"]),
+            (3, ["a:k", "q:z", "w:v"]),
+            (4, ["w:v"]),
+            (5, ["w:v"]),
+        ],
+        "id int, block_keys array<string>",
+    )
+    cfg = BlockingConfig(
+        max_block_size=4, prune_block_size=100, redundant_block_size=2,
+        purge_passes=("q",), neighborhood_window=2,
+    )
+    got = {r["pass"]: r for r in pair_budget_accounting(df, "id", cfg).collect()}
+    a = got["a"]
+    assert (a.n_full, a.pairs_full, a.pairs_dropped_est) == (1, 3, 0)
+    q = got["q"]
+    assert (q.n_purged, q.pairs_dropped_est) == (1, 3)  # C(3,2) all dropped
+    w = got["w"]
+    # C(5,2)=10 possible, window cap min(10, 5*2)=10 -> nothing dropped
+    assert (w.n_windowed, w.pairs_windowed_est, w.pairs_dropped_est) == (1, 10, 0)
