@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "q91_meta_blocking",
     "q93_numeric_temporal",
     "q94_pprl_clk",
+    "q95_match_tiers",
+    "q96_link_features",
 ]
 
 

@@ -59,3 +59,38 @@ def test_fast_impl_runs(spark):
     assert len(got) > 0
     with pytest.raises(ValueError):
         _enc(spark, ["john"], hash_impl="nope")
+
+
+def test_clk_dice_properties_batch(spark):
+    """Dice bounds/symmetry/identity over a randomized ASCII batch in
+    ONE Spark job (the property-parity pattern)."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    alpha = string.ascii_lowercase + " .-"
+    vals = [
+        "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 24)))
+        for _ in range(120)
+    ]
+    pairs = [(vals[i], vals[(i * 7 + 3) % len(vals)]) for i in range(len(vals))]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    enc = df.select(
+        "a", "b",
+        clk_positions(F.col("a"), hash_impl="portable").alias("pa"),
+        clk_positions(F.col("b"), hash_impl="portable").alias("pb"),
+    )
+    got = enc.select(
+        "a", "b",
+        clk_dice("pa", "pb").alias("dab"),
+        clk_dice("pb", "pa").alias("dba"),
+        clk_dice("pa", "pa").alias("self_"),
+    ).collect()
+    for r in got:
+        assert 0.0 <= r.dab <= 1.0
+        assert r.dab == r.dba  # symmetric
+        assert r.self_ == pytest.approx(1.0)
+        if r.a == r.b:
+            assert r.dab == pytest.approx(1.0)

@@ -254,3 +254,30 @@ def test_temporal_similarity_ladder(spark):
         ).collect()
     ]
     assert got == [1.0, 0.9, 0.7, 0.4, 0.0]
+
+
+def test_ladder_kernels_properties_batch(spark):
+    """Ladders emit only their configured literals, are symmetric, and
+    are monotone in closeness — one randomized batch, one Spark job."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from resolve_spark.functions.similarity import numeric_similarity
+
+    rng = random.Random(7)
+    pairs = [
+        (rng.uniform(-1000, 1000), rng.uniform(-1000, 1000))
+        for _ in range(200)
+    ] + [(0.0, 0.0), (5.0, 5.0), (-3.0, 3.0)]
+    df = spark.createDataFrame(pairs, "a double, b double")
+    got = df.select(
+        "a", "b",
+        numeric_similarity(F.col("a"), F.col("b")).alias("s"),
+        numeric_similarity(F.col("b"), F.col("a")).alias("s2"),
+    ).collect()
+    for r in got:
+        assert r.s in (0.0, 0.7, 0.9, 1.0)
+        assert r.s == r.s2
+        if r.a == r.b:
+            assert r.s == 1.0
