@@ -3965,10 +3965,10 @@ def oracle_sql() -> dict[str, str]:
             "WHEN abs(va - vb) <= 0.1 * greatest(abs(va), abs(vb)) "
             "THEN 0.7 ELSE 0.0 END AS value_sim, "
             "CASE WHEN ta IS NULL OR tb IS NULL THEN 0.0 "
-            "WHEN abs(date_diff('second', tb, ta)) <= 0 THEN 1.0 "
-            "WHEN abs(date_diff('second', tb, ta)) <= 3600 THEN 0.9 "
-            "WHEN abs(date_diff('second', tb, ta)) <= 86400 THEN 0.7 "
-            "WHEN abs(date_diff('second', tb, ta)) <= 604800 THEN 0.4 "
+            "WHEN abs(epoch_us(ta) - epoch_us(tb)) <= 0 THEN 1.0 "
+            "WHEN abs(epoch_us(ta) - epoch_us(tb)) <= 3600000000 THEN 0.9 "
+            "WHEN abs(epoch_us(ta) - epoch_us(tb)) <= 86400000000 THEN 0.7 "
+            "WHEN abs(epoch_us(ta) - epoch_us(tb)) <= 604800000000 THEN 0.4 "
             "ELSE 0.0 END AS ts_sim FROM p) "
             "SELECT id_a, id_b, value_sim, ts_sim FROM s "
             "WHERE value_sim >= 0.7 AND ts_sim >= 0.4"

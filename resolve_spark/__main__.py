@@ -191,10 +191,15 @@ def main(argv: list[str] | None = None) -> int:
             return pipe.blocked(pipe.normalized(qdf))
 
         use_vec = cfg.use_vectors and "vector" in store.columns
+        # query_prepare also when vectors are in play: normalized() is
+        # what embeds the one-row query, so gating prep on block_keys
+        # alone would hand find_matches a query with no "vector" column
+        # against a vector-bearing store (AnalysisException)
+        prep = "block_keys" in store.columns or use_vec
         out = find_matches_fields(
             spark, fields, store, entity_id=cfg.id_col,
             block_key=None, limit=args.limit, threshold=threshold,
-            query_prepare=_prepare_query if "block_keys" in store.columns else None,
+            query_prepare=_prepare_query if prep else None,
             # reference score semantics (match.go:229-235): no weights
             # on the CLI path -> the score IS the vector similarity
             vector_col="vector" if use_vec else None,

@@ -199,11 +199,19 @@ def temporal_similarity(
     """Absolute-difference ladder for timestamps: same instant -> 1.0,
     within an hour -> 0.9, a day -> 0.7, a week -> 0.4, else 0
     (defaults; both ladders configurable). Timestamps compare via
-    unix seconds so the ladder is timezone-free. Pure codegen."""
+    unix MICROseconds (exact long arithmetic, timezone-free) — whole-
+    second truncation would score two instants 900ms apart as "same
+    instant" and shift every window boundary by up to ~1s. Pure
+    codegen."""
     if len(windows_s) != len(sims):
         raise ValueError("windows_s and sims must have equal length")
-    diff = F.abs(F.unix_timestamp(a) - F.unix_timestamp(b))
+    # cast("timestamp") admits TIMESTAMP_NTZ inputs (unix_micros alone
+    # rejects them); the session-timezone shift it applies is identical
+    # on both sides, so the difference is unaffected
+    diff = F.abs(
+        F.unix_micros(a.cast("timestamp")) - F.unix_micros(b.cast("timestamp"))
+    )
     out = F.lit(0.0)
     for w, s in reversed(list(zip(windows_s, sims))):
-        out = F.when(diff <= F.lit(w), F.lit(s)).otherwise(out)
+        out = F.when(diff <= F.lit(int(w) * 1_000_000), F.lit(s)).otherwise(out)
     return F.when(a.isNull() | b.isNull(), F.lit(0.0)).otherwise(out)

@@ -381,6 +381,8 @@ BATCH_KERNELS = {
 }
 
 
+
+
 def apply_distinct(batch_fn, a: list[str], b: list[str]) -> np.ndarray:
     """Score only the np.unique-distinct (a, b) pairs, then gather.
 
@@ -441,3 +443,9 @@ def monge_elkan_batch(a: list[str], b: list[str]) -> np.ndarray:
         ba = sum(float(x) for x in m.max(axis=0)) / nb
         out[r] = (ab + ba) / 2.0
     return out
+
+
+# registered after definition so FieldSpec(kernel="mongeelkan") rides the
+# one-Arrow-batch path through fields._batch_apply instead of the
+# O(pairs x tokens^2) per-pair memo loop
+BATCH_KERNELS[kernels.monge_elkan] = monge_elkan_batch

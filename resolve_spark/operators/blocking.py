@@ -131,14 +131,21 @@ def phonetic_keys(cols: list[Column]) -> Column:
     records whose names MISSPELL each other ('Jon Smith'/'John Smyth')
     share this key even when the canopy prefix and token signature both
     break. Empty/letterless values emit no key. Native expressions only
-    (functions/normalize.py:phonetic_key)."""
+    (functions/normalize.py:phonetic_key).
+
+    array_distinct matters: two configured columns can code to the SAME
+    key for one record ('Smith'/'Smyth' -> S530 twice), and
+    candidate_pairs relies on every pass emitting distinct keys per
+    record (pairs.py: the explode is duplicate-free by construction —
+    a duplicate would inflate block counts, flip budget fates, and let
+    the sorted-neighborhood path emit (x, x) self-pairs)."""
     from resolve_spark.functions.normalize import phonetic_key
 
     ks = [phonetic_key(c) for c in cols]
     arr = F.array(*[
         F.when(k != "", F.concat(F.lit("p:"), k)).otherwise(F.lit(None)) for k in ks
     ])
-    return F.filter(arr, lambda x: x.isNotNull())
+    return F.array_distinct(F.filter(arr, lambda x: x.isNotNull()))
 
 
 # ---------------------------------------------------------------------------

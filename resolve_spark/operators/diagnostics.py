@@ -365,7 +365,10 @@ def adjusted_rand_index(
     )
 
     def _comb2(c):
-        return (c * (c - F.lit(1)) / F.lit(2)).cast("long")
+        # c*(c-1) is even, so a right-shift is exact integer halving —
+        # double division would round above 2^53 and break the
+        # documented exact-long determinism (cf. blocking_quality's DIV)
+        return F.shiftright((c * (c - F.lit(1))).cast("long"), 1)
 
     cells = j.groupBy("_c", "_t").agg(F.count(F.lit(1)).alias("_n"))
     idx = cells.agg(
@@ -387,7 +390,10 @@ def adjusted_rand_index(
     total = _comb2(n)
     expected = F.col("_rows") * F.col("_cols") / total
     mx = (F.col("_rows") + F.col("_cols")) / F.lit(2.0)
-    ari = F.when(
+    # n=1 first: C(1,2)=0 makes `expected` a division by zero (NULL in
+    # Spark), which would otherwise NULL-propagate into the 0.0 branch —
+    # a single shared record is a trivially identical clustering -> 1.0
+    ari = F.when(total == 0, F.lit(1.0)).when(
         mx - expected != 0, (F.col("_index") - expected) / (mx - expected)
     ).otherwise(
         F.when(F.col("_index") == expected, F.lit(1.0)).otherwise(F.lit(0.0))

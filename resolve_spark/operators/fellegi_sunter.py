@@ -344,6 +344,14 @@ def estimate_fs_levels(
     fields = [f for f, _ in level_cols]
     levels = [n for _, n in level_cols]
     counts = pairs.groupBy(*fields).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    for r in counts:
+        for c in fields:
+            if r[c] is None:
+                raise ValueError(
+                    f"estimate_fs_levels: NULL in level column {c!r} — "
+                    "comparison-level ladders must coalesce NULL inputs "
+                    "to a level (e.g. 0) before estimation"
+                )
     patt = sorted(
         (tuple(int(r[c]) for c in fields), int(r["cnt"])) for r in counts
     )

@@ -76,6 +76,27 @@ def _windowed_pairs(keyed: DataFrame, window: int) -> DataFrame:
     )
 
 
+def _key_fates(cfg: BlockingConfig):
+    """Budget fate expressions over a (key, c) block-size row — the
+    SINGLE source of truth for which keys are purged vs windowed.
+    Returns (pass_of, dead, windowed); a key is 'full' when neither.
+    Shared by :func:`candidate_pairs` (the actual pair generation) and
+    :func:`pair_budget_accounting` (the observability ledger) so the
+    ledger can never drift from the fates the generator applies."""
+    pass_of = F.split(F.col("key"), ":").getItem(0)
+    purgeable = (
+        pass_of.rlike("^(" + "|".join(cfg.purge_passes) + ")")
+        if cfg.purge_passes
+        else F.lit(False)
+    )
+    oversized = F.when(purgeable, F.col("c") > cfg.redundant_block_size).otherwise(
+        F.col("c") > cfg.max_block_size
+    )
+    dead = (oversized & purgeable) | (F.col("c") > cfg.prune_block_size)
+    windowed = oversized & ~purgeable & (F.col("c") <= cfg.prune_block_size)
+    return pass_of, dead, windowed
+
+
 def candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -107,13 +128,7 @@ def candidate_pairs(
     counts.persist()
 
     # pass prefix (before ':') decides oversized-key fate: window or purge
-    pass_of = F.split(F.col("key"), ":").getItem(0)
-    purgeable = pass_of.rlike("^(" + "|".join(cfg.purge_passes) + ")") if cfg.purge_passes else F.lit(False)
-    oversized = F.when(purgeable, F.col("c") > cfg.redundant_block_size).otherwise(
-        F.col("c") > cfg.max_block_size
-    )
-    dead_cond = (oversized & purgeable) | (F.col("c") > cfg.prune_block_size)
-    windowed_cond = oversized & ~purgeable & (F.col("c") <= cfg.prune_block_size)
+    pass_of, dead_cond, windowed_cond = _key_fates(cfg)
     hot = counts.where(dead_cond | windowed_cond).select(
         "key", windowed_cond.alias("_windowed")
     )
@@ -146,8 +161,7 @@ def candidate_pairs(
 
     stats = None
     if with_stats:
-        windowed = oversized & ~purgeable & (F.col("c") <= cfg.prune_block_size)
-        pruned = (oversized & purgeable) | (F.col("c") > cfg.prune_block_size)
+        pruned, windowed = dead_cond, windowed_cond
         agg = counts.agg(
             F.count("*").alias("n_keys"),
             F.sum(windowed.cast("long")).alias("n_big"),
@@ -190,27 +204,17 @@ def pair_budget_accounting(
     recall-loss observability the pair budget promises, queryable and
     joinable against evaluation runs.
 
-    Column semantics mirror candidate_pairs' fate logic EXACTLY (same
-    thresholds, same purge-pass handling); pairs_full/windowed are
-    per-key upper bounds (cross-pass dedup happens later and can only
-    shrink them).
+    Fate columns come from the SAME :func:`_key_fates` expressions
+    candidate_pairs applies, so the ledger structurally cannot drift
+    from the generator; pairs_full/windowed are per-key upper bounds
+    (cross-pass dedup happens later and can only shrink them).
 
     Determinism: every number is exact-long arithmetic on block sizes.
     Scale plan: one explode + one key-size groupBy + one pass-level
     groupBy, all map-side combinable; output rows = number of passes."""
     keyed = df.select(F.col(id_col).alias("rid"), F.explode(keys_col).alias("key"))
     counts = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
-    pass_of = F.split(F.col("key"), ":").getItem(0)
-    purgeable = (
-        pass_of.rlike("^(" + "|".join(cfg.purge_passes) + ")")
-        if cfg.purge_passes
-        else F.lit(False)
-    )
-    oversized = F.when(purgeable, F.col("c") > cfg.redundant_block_size).otherwise(
-        F.col("c") > cfg.max_block_size
-    )
-    dead = (oversized & purgeable) | (F.col("c") > cfg.prune_block_size)
-    windowed = oversized & ~purgeable & (F.col("c") <= cfg.prune_block_size)
+    pass_of, dead, windowed = _key_fates(cfg)
     full = ~dead & ~windowed
     comb2 = F.expr("c * (c - 1) DIV 2")
     w = F.lit(cfg.neighborhood_window)

@@ -324,12 +324,15 @@ def uncertainty_sample(
     match_metrics or as estimate_fs priors.
 
     Deterministic: the order key is (|p - 0.5|, *tiebreak_cols) — a
-    total order, so the same k rows come back every run.
+    total order, so the same k rows come back every run. Rows with a
+    NULL probability are excluded up front: Spark sorts NULLs FIRST
+    ascending, so without the filter unscored rows would fill the queue
+    ahead of every genuinely uncertain pair.
 
     Scale plan: Catalyst compiles orderBy(...).limit(k) to
     TakeOrderedAndProject — a per-partition top-k heap + single merge,
     never a global sort (plan-asserted in tests)."""
     key = F.abs(F.col(prob_col) - F.lit(0.5))
-    return scored.orderBy(
+    return scored.where(F.col(prob_col).isNotNull()).orderBy(
         key.asc(), *[F.asc(c) for c in tiebreak_cols]
     ).limit(k)

@@ -90,6 +90,14 @@ def pack_shards(
     among ties — and therefore the exact shard assignment — fully
     deterministic; without it, tied rows get a valid greedy packing
     whose within-tie order is partition-arbitrary.
+
+    The range-partitioned intermediate is persisted (MEMORY_AND_DISK)
+    and materialized before offsets are read, so the offset map and the
+    returned DataFrame are guaranteed to see the SAME partition cut
+    (RangePartitioner re-samples per job otherwise). The persist lives
+    until Spark's LRU evicts it; callers packing huge corpora should
+    write the result and `spark.catalog.clearCache()` if memory is
+    tight.
     """
     if tokens_per_shard <= 0:
         raise ValueError("tokens_per_shard must be positive")
@@ -99,6 +107,15 @@ def pack_shards(
     ranged = df.repartitionByRange(int(parts), F.col(order_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # persist BEFORE the subtotals action: repartitionByRange samples
+    # range boundaries per job, so without pinning the partitioning the
+    # offsets (computed in job 1) could be applied to a differently-cut
+    # re-evaluation (job 2 — the caller's materialization), silently
+    # mis-assigning boundary-adjacent rows. The collect below
+    # materializes every partition, freezing the cut both jobs see.
+    from pyspark import StorageLevel
+
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
     # partition subtotals: tiny (one row per partition) -> driver -> map
     subtotals = {
         r["_pid"]: r["s"]

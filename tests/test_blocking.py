@@ -188,6 +188,26 @@ def test_phonetic_pass_blocks_misspellings(spark):
                 & {k for k in out["b"] if not k.startswith("p:")})
 
 
+def test_phonetic_pass_distinct_keys_per_record(spark):
+    """Two phonetic columns coding to the SAME key ('Smith'/'Smyth' ->
+    S530) must emit ONE p: key, not two: candidate_pairs skips the
+    (rid, key) dedup because every pass is duplicate-free per record —
+    a duplicate would inflate block counts and let the windowed path
+    emit (x, x) self-pairs."""
+    from resolve_spark.config import BlockingConfig
+
+    df = spark.createDataFrame(
+        [("a", "Smith", "Smyth"), ("b", "Smith", "Garcia")],
+        ["id", "first_name", "last_name"],
+    )
+    cfg = BlockingConfig(
+        enable_canopy=False, phonetic_columns=("first_name", "last_name"),
+    )
+    out = {r["id"]: r["block_keys"] for r in B.add_blocking_keys(df, cfg).collect()}
+    assert out["a"] == ["p:S530"]
+    assert sorted(out["b"]) == ["p:G620", "p:S530"]
+
+
 def test_pair_budget_accounting_ledger(spark):
     from pyspark.sql import functions as F
 

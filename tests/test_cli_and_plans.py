@@ -179,6 +179,18 @@ def test_cli_json_ingest_and_text_match(spark, tmp_path):
     assert "explanation" in resf["results"][0]
     assert "field_scores" not in res0["results"][0]  # default: omitted
 
+    # externally-produced store: carries "vector" but NO "block_keys".
+    # The vector-parity path must still prepare (normalize+embed) the
+    # query — gating prep on block_keys alone hands find_matches a
+    # query row with no vector column (AnalysisException)
+    ext = str(tmp_path / "ext_store")
+    spark.read.parquet(store).drop("block_keys").write.parquet(ext)
+    rese = _run_cli("match", "--text", "name=Acme Corporation; zip=10001",
+                    "--store", ext, "--config", "entities",
+                    "--threshold", "0.5")
+    idse = [r["match_id"] for r in rese["results"]]
+    assert {"entity-001", "entity-002"} <= set(idse)
+
 
 def test_load_config_reference_schema(tmp_path):
     """Config-file loading (config.go:72-167): YAML with the reference

@@ -187,6 +187,11 @@ def test_adjusted_rand_perfect_and_degenerate(spark):
     )
     t1 = p1.withColumnRenamed("cluster_id", "truth_id")
     assert adjusted_rand_index(p1, t1).collect()[0].ari == 1.0
+    # n=1: C(1,2)=0 divides expected by zero; the trivially identical
+    # single-record clustering must read 1.0, not NULL-propagate to 0
+    pn = spark.createDataFrame([("a", "x")], "id string, cluster_id string")
+    tn = pn.withColumnRenamed("cluster_id", "truth_id")
+    assert adjusted_rand_index(pn, tn).collect()[0].ari == 1.0
 
 
 def test_blocking_quality_by_pass(spark):

@@ -251,15 +251,31 @@ def test_estimate_fs_rejects_null_indicators(spark):
         estimate_fs(pairs, ["g1", "g2"], iterations=2)
 
 
+def test_estimate_fs_levels_rejects_null_levels(spark):
+    """Same guard as estimate_fs: a NULL comparison level (a ladder
+    that passed NULLs through) must raise a clear ValueError, not die
+    in int(None)."""
+    from resolve_spark.operators.fellegi_sunter import estimate_fs_levels
+
+    pairs = spark.createDataFrame(
+        [(1, 1), (None, 0), (0, 1)], "g1 int, g2 int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        estimate_fs_levels(pairs, [("g1", 2), ("g2", 2)], iterations=2)
+
+
 def test_uncertainty_sample(spark):
     from resolve_spark.operators.sampling import uncertainty_sample
     rows = [(i, 100 + i, p) for i, p in enumerate(
-        [0.01, 0.49, 0.52, 0.98, 0.5, 0.6, 0.35, 0.95])]
+        [0.01, 0.49, 0.52, 0.98, 0.5, 0.6, 0.35, 0.95, None])]
     scored = spark.createDataFrame(
         rows, "id_a bigint, id_b bigint, match_probability double"
     )
     top3 = uncertainty_sample(scored, 3)
     got = [(r["id_a"], r["match_probability"]) for r in top3.collect()]
+    # the NULL-probability row (id_a=8) must NOT occupy a queue slot:
+    # Spark sorts NULLs first ascending, so unfiltered it would rank
+    # ahead of every genuinely uncertain pair
     assert got == [(4, 0.5), (1, 0.49), (2, 0.52)]
     # top-k heap + merge, never a global sort
     plan = top3._jdf.queryExecution().executedPlan().toString()

@@ -245,6 +245,15 @@ def test_temporal_similarity_ladder(spark):
             (t0, t0 + dt.timedelta(hours=5)),          # <=1d -> 0.7
             (t0, t0 + dt.timedelta(days=3)),           # <=1w -> 0.4
             (t0, t0 + dt.timedelta(days=30)),          # far -> 0.0
+            # sub-second resolution: 900ms apart is NOT "same instant"
+            # (whole-second truncation would score these 1.0) ...
+            (t0, t0 + dt.timedelta(milliseconds=900)), # <=1h -> 0.9
+            # ... and exactly-equal sub-second instants still hit level 0
+            (t0 + dt.timedelta(milliseconds=250),
+             t0 + dt.timedelta(milliseconds=250)),     # same -> 1.0
+            # boundary stays exact in microseconds: 1h on the nose
+            (t0, t0 + dt.timedelta(hours=1)),          # <=1h -> 0.9
+            (t0, t0 + dt.timedelta(hours=1, microseconds=1)),  # -> 0.7
         ],
         "a timestamp, b timestamp",
     )
@@ -253,7 +262,7 @@ def test_temporal_similarity_ladder(spark):
             temporal_similarity(df.a, df.b).alias("s")
         ).collect()
     ]
-    assert got == [1.0, 0.9, 0.7, 0.4, 0.0]
+    assert got == [1.0, 0.9, 0.7, 0.4, 0.0, 0.9, 1.0, 0.9, 0.7]
 
 
 def test_ladder_kernels_properties_batch(spark):

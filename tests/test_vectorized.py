@@ -85,8 +85,12 @@ def test_apply_distinct_gathers_correctly():
     assert got[0] == got[1]
 
 
-@pytest.mark.parametrize("kernel_name", ["name", "address", "email", "text", "cosine"])
+@pytest.mark.parametrize(
+    "kernel_name", ["name", "address", "email", "text", "cosine", "mongeelkan"]
+)
 def test_batch_kernels_cover_all_fused_kernels(kernel_name):
+    # mongeelkan included: a FieldSpec with that kernel must ride the
+    # one-Arrow-batch path, not the O(pairs x tokens^2) memo loop
     fn = K.get_kernel_by_name(kernel_name)
     assert fn in V.BATCH_KERNELS
 
