@@ -116,6 +116,17 @@ def tfidf_weighted_jaccard_pairs(
     page actually says. Plain Jaccard (minhash_duplicates) treats both
     alike, which over-merges template-heavy corpora.
 
+    Recall caveat (by design): candidates come from UNWEIGHTED MinHash
+    banding, so a pair must clear the raw-Jaccard banding knee to be
+    verified at all. A pair whose similarity is carried almost entirely
+    by rare tokens (high wjaccard, low raw Jaccard — e.g. identical
+    rare content buried under DIFFERENT large templates) can be missed.
+    The operator's guarantee is one-sided: every emitted pair truly has
+    wjaccard >= threshold, but recall is bounded by the unweighted
+    banding curve. Full weighted recall needs weighted-MinHash
+    candidate generation (ICWS-family sketches) — a heavier sketch pass
+    this module intentionally does not pay for by default.
+
     Weights are scaled to int64 (``round(idf_scale * idf)``): integer
     sums are associativity-exact, so the score is a ratio of exact
     longs — reproducible across engines and partitionings regardless of
@@ -579,7 +590,14 @@ def remove_repeated_spans(
     """
     if n < 2:
         raise ValueError(f"window length must be >= 2 tokens: {n}")
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    # coalesce BEFORE split: F.size over the NULL-text split is -1
+    # (legacy sizeOfNull), which would emit n_tokens = n_removed = -1
+    # rows and corrupt downstream sums — NULL text is 0 tokens, like
+    # repeated_ngram_stats
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
     base = df.select(F.col(id_col).alias("rid"), toks.alias("toks"))
     # case-fold ONCE per doc, in a projection BELOW the explode: put in
     # the same select as the Generate and Catalyst evaluates the whole-

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from resolve_spark.operators.pairs import comb2_exact
+
 
 def blocking_quality(
     blocks: DataFrame,
@@ -54,7 +56,7 @@ def blocking_quality(
     comp = (
         blocks.groupBy(key_col)
         .agg(F.count("*").alias("c"))
-        .agg(F.sum(F.expr("c * (c - 1) DIV 2")).alias("comparisons"))
+        .agg(F.sum(comb2_exact(F.col("c"))).alias("comparisons"))
         .select(F.coalesce("comparisons", F.lit(0)).alias("comparisons"))
     )
     tnorm = (
@@ -76,7 +78,7 @@ def blocking_quality(
         .agg(F.count("*").alias("covered_pairs"))
     )
     row = base.crossJoin(comp).crossJoin(tcount).crossJoin(covered)
-    total = F.expr("n_records * (n_records - 1) DIV 2")
+    total = comb2_exact(F.col("n_records"))
     ratio = lambda num, den: F.when(  # noqa: E731
         den > 0, F.round(num.cast("double") / den.cast("double"), 6)
     ).otherwise(F.lit(0.0))
@@ -116,7 +118,10 @@ def match_metrics(
 
     Both inputs are normalized to (least, greatest) pairs and
     deduplicated; duplicate scored pairs keep their MAX score (a pair
-    found by several blocking passes matches at its best score).
+    found by several blocking passes matches at its best score). A
+    pred pair whose score is NULL still counts as predicted in the
+    no-thresholds mode; in a sweep it can never clear a numeric
+    threshold (a true pair with only a NULL score reads as fn).
     f1 is computed as 2*tp / (2*tp + fp + fn) — a SINGLE division of
     exact longs, like precision and recall, so every ratio is
     deterministic across engines (oracle-safe).
@@ -153,15 +158,28 @@ def match_metrics(
             .groupBy("_pa", "_pb")
             .agg(F.max("_sc").alias("_s"))
         )
+    # _p marks pred-side presence independently of the score value: a
+    # NULL score would otherwise make a predicted pair look identical
+    # to a truth-only row after the full-outer join
+    pnorm = pnorm.withColumn("_p", F.lit(1))
     joined = pnorm.join(tnorm, ["_pa", "_pb"], "full_outer").select(
-        F.col("_s"), F.coalesce("_t", F.lit(0)).alias("_t")
+        F.col("_s"),
+        F.coalesce("_p", F.lit(0)).alias("_p"),
+        F.coalesce("_t", F.lit(0)).alias("_t"),
     )
     if thresholds is None:
         # every pred pair counts as predicted (docstring contract) —
         # -inf, not 1.0: with score_col set, a 1.0 gate would silently
-        # drop every pair scored below 1.0 from tp/fp
+        # drop every pair scored below 1.0 from tp/fp. NULL-scored pred
+        # pairs count too: their score coalesces to -inf, which clears
+        # the -inf gate (in a thresholds sweep, by contrast, a NULL
+        # score can never clear a numeric threshold — documented).
         rows = joined.select(
-            F.lit(float("-inf")).alias("threshold"), "_s", "_t"
+            F.lit(float("-inf")).alias("threshold"),
+            F.when(
+                F.col("_p") == 1, F.coalesce("_s", F.lit(float("-inf")))
+            ).alias("_s"),
+            "_t",
         )
     else:
         ts = sorted(float(t) for t in thresholds)
@@ -250,9 +268,9 @@ def block_skew_profile(
         pct(50),
         pct(90),
         pct(99),
-        F.sum(F.expr("c * (c - 1) DIV 2")).alias("candidate_pairs"),
+        F.sum(comb2_exact(F.col("c"))).alias("candidate_pairs"),
     )
-    top1 = F.expr("max_block * (max_block - 1) DIV 2")
+    top1 = comb2_exact(F.col("max_block"))
     return agg.select(
         "pass",
         "n_keys",
@@ -364,11 +382,11 @@ def adjusted_rand_index(
         "_r",
     )
 
-    def _comb2(c):
-        # c*(c-1) is even, so a right-shift is exact integer halving —
-        # double division would round above 2^53 and break the
-        # documented exact-long determinism (cf. blocking_quality's DIV)
-        return F.shiftright((c * (c - F.lit(1))).cast("long"), 1)
+    # comb2_exact halves the even factor BEFORE the product, so every
+    # C(x, 2) stays an exact long to ~4.29e9 records per side (a naive
+    # x*(x-1) intermediate would wrap at ~3.04e9; double division would
+    # round above 2^53)
+    _comb2 = comb2_exact
 
     cells = j.groupBy("_c", "_t").agg(F.count(F.lit(1)).alias("_n"))
     idx = cells.agg(
@@ -388,7 +406,9 @@ def adjusted_rand_index(
     one = idx.join(F.broadcast(rows)).join(F.broadcast(cols))
     n = F.col("n_records")
     total = _comb2(n)
-    expected = F.col("_rows") * F.col("_cols") / total
+    # _rows * _cols would overflow int64 (each comb-sum alone can reach
+    # ~9.2e18); expected is fractional anyway, so go double first
+    expected = F.col("_rows").cast("double") * F.col("_cols").cast("double") / total
     mx = (F.col("_rows") + F.col("_cols")) / F.lit(2.0)
     # n=1 first: C(1,2)=0 makes `expected` a division by zero (NULL in
     # Spark), which would otherwise NULL-propagate into the 0.0 branch —
@@ -429,7 +449,7 @@ def blocking_quality_by_pass(
         b2.groupBy("_pass", key_col)
         .agg(F.count("*").alias("c"))
         .groupBy("_pass")
-        .agg(F.sum(F.expr("c * (c - 1) DIV 2")).alias("comparisons"))
+        .agg(F.sum(comb2_exact(F.col("c"))).alias("comparisons"))
     )
     tnorm = (
         truth.select(
@@ -457,7 +477,7 @@ def blocking_quality_by_pass(
         .crossJoin(F.broadcast(n_truth))
         .crossJoin(F.broadcast(n_all))
     )
-    total = F.expr("n_records * (n_records - 1) DIV 2")
+    total = comb2_exact(F.col("n_records"))
     ratio = lambda num, den: F.when(  # noqa: E731
         den > 0, F.round(num.cast("double") / den.cast("double"), 6)
     ).otherwise(F.lit(0.0))

@@ -46,8 +46,12 @@ def fuse_clusters(
 ) -> DataFrame:
     """One golden record per cluster under per-field ``rules``
     (column -> one of mode|longest|min|max|first). Unassigned entities
-    are ignored; clusters with no non-empty value for a mode/longest
-    field get NULL there."""
+    are ignored; clusters with no non-empty value for a
+    mode/longest/min/max field get NULL there (min/max skip NULLs and
+    empty strings like mode/longest do — "" sorts before every real
+    value, so a single blank scrape artifact would otherwise blank the
+    fused field). ``first`` is provenance-based (the min-id record's
+    value, verbatim) and intentionally does NOT skip empties."""
     bad = {c: r for c, r in rules.items() if r not in _RULES}
     if bad:
         raise ValueError(f"unknown survivorship rule(s): {bad}")
@@ -62,7 +66,11 @@ def fuse_clusters(
     ]
     for col, rule in rules.items():
         if rule in ("min", "max"):
-            aggs.append((F.min(col) if rule == "min" else F.max(col)).alias(col))
+            nz = F.when(
+                F.col(col).isNotNull() & (F.col(col).cast("string") != ""),
+                F.col(col),
+            )
+            aggs.append((F.min(nz) if rule == "min" else F.max(nz)).alias(col))
         elif rule == "first":
             aggs.append(F.min_by(col, F.col("_fid")).alias(col))
     out = long.groupBy(cluster_col).agg(*aggs)
@@ -120,6 +128,11 @@ def fusion_conflicts(
     Scale plan (100 TB): ONE groupBy(cluster) with countDistinct per
     field (partial-aggregated map-side), keyed the same as the fusion
     itself; output rows = clusters, never records."""
+    if not fields:
+        raise ValueError(
+            "fusion_conflicts: fields must be non-empty (nothing to "
+            "report conflicts on)"
+        )
     j = entities.join(
         assignments.select(
             F.col(id_col).alias(id_col), cluster_col

@@ -53,6 +53,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _purged_keyed(
+    df: DataFrame, id_col: str, keys_col: str, max_block_size: int
+) -> DataFrame:
+    """(rid, key) assignments surviving Block Purging: keys whose block
+    exceeds ``max_block_size`` rows are dropped entirely (Papadakis —
+    the oversized blocks are the least informative AND the quadratic
+    ones). Single source for the purge so edge generation and the js
+    |B(r)| denominators can never disagree on which blocks are live."""
+    keyed = df.select(F.col(id_col).alias("rid"), F.explode(keys_col).alias("key"))
+    sizes = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("_c"))
+    return keyed.join(
+        sizes.where(F.col("_c") <= max_block_size).select("key"), "key"
+    )
+
+
 def blocking_graph_edges(
     df: DataFrame,
     id_col: str,
@@ -60,15 +75,9 @@ def blocking_graph_edges(
     max_block_size: int = 1000,
 ) -> DataFrame:
     """(id_a, id_b, cbs) blocking-graph edges with id_a < id_b after
-    block purging: keys whose block exceeds ``max_block_size`` rows
-    are dropped entirely (Papadakis' Block Purging — the oversized
-    blocks are the least informative AND the quadratic ones). The
-    groupBy that deduplicates pairs doubles as the CBS computation."""
-    keyed = df.select(F.col(id_col).alias("rid"), F.explode(keys_col).alias("key"))
-    sizes = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("_c"))
-    live = keyed.join(
-        sizes.where(F.col("_c") <= max_block_size).select("key"), "key"
-    )
+    block purging (:func:`_purged_keyed`). The groupBy that
+    deduplicates pairs doubles as the CBS computation."""
+    live = _purged_keyed(df, id_col, keys_col, max_block_size)
     a = live.select(F.col("rid").alias("id_a"), "key")
     b = live.select(F.col("rid").alias("id_b"), "key")
     return (
@@ -97,13 +106,10 @@ def meta_block_prune(
     if weight == "cbs":
         edges = edges.withColumn("weight", F.col("cbs").cast("double"))
     elif weight == "js":
-        keyed = df.select(
-            F.col(id_col).alias("rid"), F.explode(keys_col).alias("key")
-        )
-        sizes = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("_c"))
-        live = keyed.join(
-            sizes.where(F.col("_c") <= max_block_size).select("key"), "key"
-        )
+        # the SAME _purged_keyed subtree as blocking_graph_edges built —
+        # identical plan, so Catalyst's ReuseExchange dedups the sizes
+        # shuffle instead of recomputing the purge twice
+        live = _purged_keyed(df, id_col, keys_col, max_block_size)
         # |B(r)| over the PURGED collection (the paper's convention)
         nb = live.groupBy("rid").agg(F.count(F.lit(1)).alias("_nb"))
         edges = (

@@ -76,6 +76,19 @@ def _windowed_pairs(keyed: DataFrame, window: int) -> DataFrame:
     )
 
 
+def comb2_exact(c) -> "F.Column":
+    """Exact-long C(c, 2) that halves the even factor BEFORE the
+    product: the naive ``c * (c - 1) / 2`` wraps its int64 intermediate
+    at c > ~3.04e9 even though the result still fits. This form is
+    exact for any count up to ~4.29e9 — where C(c, 2) itself exceeds
+    int64 — matching the documented exact-long range of the metrics
+    built on it."""
+    c = c.cast("long")
+    return F.when(c % 2 == 0, F.shiftright(c, 1) * (c - 1)).otherwise(
+        c * F.shiftright(c - 1, 1)
+    )
+
+
 def _key_fates(cfg: BlockingConfig):
     """Budget fate expressions over a (key, c) block-size row — the
     SINGLE source of truth for which keys are purged vs windowed.
@@ -216,7 +229,7 @@ def pair_budget_accounting(
     counts = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
     pass_of, dead, windowed = _key_fates(cfg)
     full = ~dead & ~windowed
-    comb2 = F.expr("c * (c - 1) DIV 2")
+    comb2 = comb2_exact(F.col("c"))
     w = F.lit(cfg.neighborhood_window)
     win_pairs = F.least(comb2, F.col("c") * w)
     fated = counts.select(

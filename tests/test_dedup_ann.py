@@ -250,6 +250,22 @@ def test_remove_repeated_spans(spark, docs):
     assert got["d5"]["clean_text"] == "short text" and got["d5"]["n_removed"] == 0
 
 
+def test_remove_repeated_spans_null_text(spark):
+    """NULL text is 0 tokens like repeated_ngram_stats — not the -1/-1
+    that F.size over a NULL split array would emit (legacy sizeOfNull),
+    which corrupts downstream sum(n_removed) aggregates."""
+    docs = spark.createDataFrame(
+        [("a", None), ("b", "x y z"), ("c", None)],
+        "rid string, content string",
+    )
+    got = {r["rid"]: r for r in
+           dedup.remove_repeated_spans(docs, "rid", "content", n=2).collect()}
+    for rid in ("a", "c"):
+        assert (got[rid]["n_tokens"], got[rid]["n_removed"]) == (0, 0)
+        assert got[rid]["clean_text"] == ""
+    assert got["b"]["n_tokens"] == 3 and got["b"]["n_removed"] == 0
+
+
 def test_remove_repeated_spans_case_folded_hash_preserves_case(spark):
     """dup detection is case-insensitive (matching repeated_ngram_stats)
     but surviving text keeps its original case."""

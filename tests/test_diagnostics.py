@@ -1,6 +1,7 @@
 """blocking_quality: hand-computed metrics on a toy blocking scheme."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from resolve_spark.operators.diagnostics import blocking_quality
 
@@ -128,6 +129,58 @@ def test_match_metrics_score_col_without_thresholds(spark):
     truth = spark.createDataFrame([(1, 2), (3, 4), (7, 8)], ["id_a", "id_b"])
     row = match_metrics(pred, truth, score_col="score").collect()[0]
     assert (row["tp"], row["fp"], row["fn"]) == (2, 1, 1)
+
+
+def test_match_metrics_null_score_counts_as_predicted(spark):
+    """A pred pair whose score is NULL is still PREDICTED in the
+    no-thresholds mode (the full-outer join must not make it look like
+    a truth-only row); in a sweep it can never clear a numeric
+    threshold, so a true pair with only a NULL score reads as fn."""
+    from resolve_spark.operators.diagnostics import match_metrics
+
+    pred = spark.createDataFrame(
+        [(1, 2, None), (3, 4, 0.9), (5, 6, None)],
+        "id_a bigint, id_b bigint, score double",
+    )
+    truth = spark.createDataFrame([(1, 2), (3, 4)], ["id_a", "id_b"])
+    row = match_metrics(pred, truth, score_col="score").collect()[0]
+    assert (row["tp"], row["fp"], row["fn"]) == (2, 1, 0)
+    sweep = {
+        r["threshold"]: r
+        for r in match_metrics(
+            pred, truth, score_col="score", thresholds=[0.5]
+        ).collect()
+    }
+    assert (sweep[0.5]["tp"], sweep[0.5]["fp"], sweep[0.5]["fn"]) == (1, 0, 1)
+
+
+def test_comb2_exact_no_intermediate_overflow(spark):
+    """C(c, 2) must stay an exact long for counts whose naive c*(c-1)
+    intermediate wraps int64 (c > ~3.04e9)."""
+    import math
+
+    from resolve_spark.operators.pairs import comb2_exact
+
+    cs = [0, 1, 2, 3, 4, 5, 1000, 3_100_000_000, 4_200_000_000]
+    df = spark.createDataFrame([(c,) for c in cs], "c bigint")
+    got = {r["c"]: r["k"] for r in df.select("c", comb2_exact(F.col("c")).alias("k")).collect()}
+    for c in cs:
+        assert got[c] == math.comb(c, 2), c
+
+
+def test_adjusted_rand_large_single_cluster_no_overflow(spark):
+    """100k records all in ONE cluster on both sides: the comb-sums are
+    ~5e9 each, so their int64 product would wrap (~2.5e19 > 2^63) —
+    expected must go through doubles and ari must still read 1.0."""
+    from resolve_spark.operators.diagnostics import adjusted_rand_index
+
+    n = 100_000
+    base = spark.range(n).select(F.col("id").cast("string").alias("id"))
+    pred = base.withColumn("cluster_id", F.lit("x"))
+    truth = base.withColumn("truth_id", F.lit("y"))
+    row = adjusted_rand_index(pred, truth).collect()[0]
+    assert row.n_records == n
+    assert row.ari == 1.0
 
 
 def test_bcubed_hand_computed(spark):

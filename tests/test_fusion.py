@@ -73,6 +73,37 @@ def test_fuse_clusters_bad_rule(spark):
         fuse_clusters(ents, asg, {"name": "median"})
 
 
+def test_fuse_clusters_min_max_skip_empty_strings(spark):
+    """min/max must not crown "" ('' sorts before every real value —
+    one blank scrape artifact would blank the fused field); a cluster
+    with ONLY empty/NULL values fuses to NULL."""
+    ents = spark.createDataFrame(
+        [(1, "", 3.0), (2, "Austin", 1.0), (3, None, 2.0), (4, "", None),
+         (5, "", None), (6, None, 7.0)],
+        "id bigint, city string, bal double",
+    )
+    asg = spark.createDataFrame(
+        [(1, "c1"), (2, "c1"), (3, "c1"), (4, "c2"), (5, "c2"), (6, "c2")],
+        "id bigint, cluster_id string",
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in fuse_clusters(ents, asg, {"city": "min", "bal": "max"}).collect()
+    }
+    assert out["c1"]["city"] == "Austin"   # not ""
+    assert out["c1"]["bal"] == 3.0         # numerics unaffected
+    assert out["c2"]["city"] is None       # only ""/NULL -> NULL
+    assert out["c2"]["bal"] == 7.0
+
+
+def test_fusion_conflicts_requires_fields(spark):
+    from resolve_spark.operators.fusion import fusion_conflicts
+
+    ents, asg = _data(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        fusion_conflicts(ents, asg, fields=[])
+
+
 def test_fusion_conflicts_hand_computed(spark):
     from resolve_spark.operators.fusion import fusion_conflicts
 
