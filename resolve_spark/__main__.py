@@ -257,7 +257,15 @@ def main(argv: list[str] | None = None) -> int:
         blocked = pipe.blocked(normalized).select(cfg.id_col, "block_keys")
         pairs, _ = candidate_pairs(blocked, cfg.id_col, cfg.blocking,
                                    with_stats=False, count_pairs=False)
-        open_pipe = ResolvePipeline(spark, dataclasses.replace(cfg, threshold=0.0))
+        # threshold 0 AND gate off: the length-ratio gate exists to skip
+        # obvious non-matches in production scoring, but u = P(agree |
+        # non-match) needs exactly those pairs in the contingency table
+        # — estimating over gate survivors would inflate u and shrink
+        # every suggested weight
+        open_pipe = ResolvePipeline(
+            spark,
+            dataclasses.replace(cfg, threshold=0.0, length_ratio_gate=None),
+        )
         edges = open_pipe.score(pairs, normalized)
         fields = [s.name for s in cfg.specs]
         _, params = fs_posterior_edges(
@@ -294,20 +302,24 @@ def main(argv: list[str] | None = None) -> int:
     elif args.verb == "evaluate":
         # Extrinsic clustering evaluation against gold classes: BCubed
         # (record-weighted) + adjusted Rand (chance-corrected pair
-        # counting) in one pass — both contingency-table-only, so the
-        # check costs O(cells), never O(pairs)
+        # counting) — both contingency-table-only, so the check costs
+        # O(cells), never O(pairs). The two metrics are independent job
+        # graphs; persisting the inputs makes the second metric read
+        # cached blocks instead of re-scanning both parquet files.
         from resolve_spark.operators.diagnostics import (
             adjusted_rand_index,
             bcubed,
         )
         id_col = args.id or "id"
-        pred = spark.read.parquet(args.pred)
-        truth = spark.read.parquet(args.truth)
+        pred = spark.read.parquet(args.pred).persist()
+        truth = spark.read.parquet(args.truth).persist()
         b = bcubed(pred, truth, id_col=id_col, pred_col=args.pred_col,
                    truth_col=args.truth_col).collect()[0]
         a = adjusted_rand_index(pred, truth, id_col=id_col,
                                 pred_col=args.pred_col,
                                 truth_col=args.truth_col).collect()[0]
+        pred.unpersist()
+        truth.unpersist()
         print(json.dumps({
             "n_records": b["n_records"],
             "bcubed_precision": b["bcubed_precision"],

@@ -184,6 +184,13 @@ def kmeans_assign(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
+    # persist: pts is re-read by the init collect, every update pass,
+    # the final assignment, AND every downstream consumer of the result
+    # (semantic_dedup reads it three times) — without pinning, the full
+    # upstream lineage (embedding UDFs included) re-executes per read.
+    # Left cached for Spark's LRU; big-corpus callers that checkpoint
+    # the result can clearCache() afterwards.
+    pts = pts.persist()
     init = pts.orderBy(id_col).limit(k).collect()
     if not init:
         raise ValueError("kmeans_assign: empty input")

@@ -259,7 +259,24 @@ def find_matches_fields(
         and "block_keys" in queries.columns
         and "block_keys" in entities.columns
     ):
-        candidates = block_key_candidates(queries, entities, entity_id=entity_id)
+        # reference parity (cluster.go:252-255): a query carrying NONE
+        # of the blocking fields gets the default cluster id, and
+        # GetClusterFilterForEntity returns nil for it — the search is
+        # UNFILTERED. Our analog: the default canopy key is never
+        # emitted into block_keys (blocking.py:add_blocking_keys), so
+        # such a query's key array is empty; intersecting it would
+        # return 0 candidates where the reference full-scans. The
+        # queries frame is the one row this function built, so the
+        # collect is a point read.
+        qkeys = [
+            k
+            for r in queries.select("block_keys").collect()
+            for k in (r[0] or [])
+        ]
+        if qkeys:
+            candidates = block_key_candidates(
+                queries, entities, entity_id=entity_id
+            )
     return find_matches(
         queries, entities, specs, entity_id=entity_id,
         block_key=block_key, limit=limit, threshold=threshold,

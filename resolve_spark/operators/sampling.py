@@ -174,7 +174,7 @@ def _mixture_cuts(
         s: (
             FRACTION_SCALE
             if counts[s] / targets[s] == t_max
-            else math.floor(1000000.0 * targets[s] * t_max / counts[s])
+            else math.floor(float(FRACTION_SCALE) * targets[s] * t_max / counts[s])
         )
         for s in targets
     }

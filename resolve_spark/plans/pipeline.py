@@ -153,6 +153,16 @@ class PipelineRun:
     stats: DataFrame
     counters: dict
 
+    def unpersist(self) -> None:
+        """Release every cached DataFrame this run pinned. Call when
+        the run is superseded (e.g. after merging an increment into it
+        with ``run_incremental``) — a long-lived session applying
+        increments in a loop otherwise accumulates pinned edge/cluster
+        blocks without bound."""
+        for df in (self.normalized, self.pairs, self.edges, self.clusters):
+            if df is not None:
+                df.unpersist()
+
 
 class ResolvePipeline:
     def __init__(self, spark: SparkSession, cfg: PipelineConfig,
@@ -374,6 +384,9 @@ class ResolvePipeline:
 
         Caller contract: ids are unique across batches (re-submitting an
         existing id is an update, which belongs to the store API path).
+        The returned run persists its pairs/edges/clusters; when looping
+        increments in one session, release each superseded run with
+        ``prev.unpersist()`` after this call returns.
         """
         cfg = self.cfg
         counters: dict = {}
@@ -419,6 +432,11 @@ class ResolvePipeline:
             .persist()
         )
         counters["pairs_scored"] = pairs.count()
+        # pairs is materialized now; the blocked population union was
+        # only ever an input to pair generation — release it (the other
+        # persists back DataFrames the returned PipelineRun exposes;
+        # callers release a superseded run via PipelineRun.unpersist())
+        population.unpersist()
         union_norm = prev.normalized.unionByName(
             new_norm, allowMissingColumns=True
         )

@@ -191,6 +191,16 @@ def test_cli_json_ingest_and_text_match(spark, tmp_path):
     idse = [r["match_id"] for r in rese["results"]]
     assert {"entity-001", "entity-002"} <= set(idse)
 
+    # a query with NONE of the blocking fields (name/zip) gets the
+    # default cluster id; the reference drops the cluster filter
+    # entirely for it (cluster.go:252-255, nil filter -> unfiltered
+    # search), so the engine must full-scan instead of intersecting an
+    # empty key set into zero candidates
+    resn = _run_cli("match", "--text", "city=New York; phone=555-123-4567",
+                    "--store", store, "--config", "entities",
+                    "--threshold", "0.0")
+    assert resn["matches"] == 3  # every stored entity scored
+
 
 def test_load_config_reference_schema(tmp_path):
     """Config-file loading (config.go:72-167): YAML with the reference

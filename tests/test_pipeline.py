@@ -247,3 +247,10 @@ def test_incremental_prev_blocked_shortcut(spark, files_df):
     b = pipe.run_incremental(prev, inc, prev_blocked=pb)
     assert a.clusters.subtract(b.clusters).count() == 0
     assert b.clusters.subtract(a.clusters).count() == 0
+    # releasing a superseded run drops every cached block it pinned
+    # (long-lived increment loops would otherwise accumulate them)
+    a.unpersist()
+    for df in (a.pairs, a.edges, a.clusters):
+        assert not df.storageLevel.useMemory
+    # the survivor is untouched and still queryable
+    assert b.clusters.count() > 0

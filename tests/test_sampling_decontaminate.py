@@ -460,6 +460,21 @@ def test_mixture_cuts_binding_stratum_kept_whole():
     assert math.floor(1000000.0 * targets["a"] * t_max / counts["a"]) == 999_999
 
 
+def test_mixture_cuts_track_fraction_scale(monkeypatch):
+    """Non-binding cuts must scale by FRACTION_SCALE, not a hardcoded
+    1e6 — a resolution bump would otherwise sample every non-binding
+    stratum at a fraction of its intended rate."""
+    from resolve_spark.operators import sampling
+
+    counts, targets = {"a": 100, "b": 1000}, {"a": 0.5, "b": 0.5}
+    t_max = min(counts[s] / targets[s] for s in targets)
+    base = sampling._mixture_cuts(counts, targets, t_max)
+    monkeypatch.setattr(sampling, "FRACTION_SCALE", 10_000_000)
+    scaled = sampling._mixture_cuts(counts, targets, t_max)
+    assert scaled["a"] == 10_000_000  # binding stratum: full new scale
+    assert scaled["b"] == base["b"] * 10  # non-binding follows the scale
+
+
 def test_prototype_prune_hard_and_easy(spark):
     """Two blobs, k=2. In blob A (ids 1/3/5) the post-update cosine
     order is id3 (0.925) < id1 (0.981) < id5 (0.996): hard keeps the
