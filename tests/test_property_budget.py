@@ -1,0 +1,158 @@
+"""Property-based differential tests for the pair-budget machinery and
+shard packing: hypothesis generates adversarial mini-corpora (hot keys,
+purgeable passes, ties) and a pure-Python reference model recomputes the
+expected output exactly. These guard the machinery the whole blocking
+stage stands on — the budget fates (_key_fates), sorted-neighborhood
+windowing, cross-pass dedup, and the distributed prefix sum."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from resolve_spark.config import BlockingConfig
+
+
+# --- reference model of candidate_pairs ---------------------------------
+
+CFG = BlockingConfig(
+    max_block_size=3,
+    prune_block_size=6,
+    redundant_block_size=2,
+    purge_passes=("q",),
+    neighborhood_window=2,
+)
+
+
+def _model_pairs(records: dict[int, frozenset[str]], cfg: BlockingConfig):
+    """Pure-Python candidate_pairs: same fates, same windowing, same
+    cross-pass dedup with min-key attribution."""
+    by_key: dict[str, list[int]] = {}
+    for rid, keys in records.items():
+        for k in keys:
+            by_key.setdefault(k, []).append(rid)
+    out: dict[tuple[int, int], str] = {}
+    for k, rids in by_key.items():
+        c = len(rids)
+        purgeable = k.split(":")[0].startswith("q")
+        oversized = c > (
+            cfg.redundant_block_size if purgeable else cfg.max_block_size
+        )
+        dead = (oversized and purgeable) or c > cfg.prune_block_size
+        windowed = oversized and not purgeable and c <= cfg.prune_block_size
+        if dead:
+            continue
+        rids = sorted(rids)
+        if windowed:
+            w = cfg.neighborhood_window
+            pairs = [
+                (rids[i], rids[j])
+                for i in range(len(rids))
+                for j in range(i + 1, min(i + w, len(rids) - 1) + 1)
+            ]
+        else:
+            pairs = [
+                (rids[i], rids[j])
+                for i in range(len(rids))
+                for j in range(i + 1, len(rids))
+            ]
+        for a, b in pairs:
+            key = (min(a, b), max(a, b))
+            out[key] = min(out[key], k) if key in out else k
+    return out
+
+
+corpus_strategy = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=40),
+    values=st.frozensets(
+        st.sampled_from(
+            # three passes: 'a' (normal), 'q' (purgeable), 'w' (normal);
+            # few distinct keys so hot blocks cross every threshold
+            [f"{p}:{i}" for p in ("a", "q", "w") for i in range(3)]
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    min_size=2,
+    max_size=24,
+)
+
+
+@pytest.mark.slow
+@given(corpus=corpus_strategy)
+@settings(max_examples=10, deadline=None)
+def test_candidate_pairs_matches_reference_model(spark, corpus):
+    from resolve_spark.operators.pairs import candidate_pairs
+
+    df = spark.createDataFrame(
+        [(rid, sorted(keys)) for rid, keys in corpus.items()],
+        "id int, block_keys array<string>",
+    )
+    got_df, stats = candidate_pairs(df, "id", CFG)
+    got = {
+        (r["id_a"], r["id_b"]): r["block_key"] for r in got_df.collect()
+    }
+    want = _model_pairs(corpus, CFG)
+    assert got == want
+    # ledger consistency: the stats' key fates match the model's census
+    by_key: dict[str, int] = {}
+    for keys in corpus.values():
+        for k in keys:
+            by_key[k] = by_key.get(k, 0) + 1
+    n_dead = n_win = 0
+    for k, c in by_key.items():
+        purgeable = k.startswith("q")
+        oversized = c > (
+            CFG.redundant_block_size if purgeable else CFG.max_block_size
+        )
+        if (oversized and purgeable) or c > CFG.prune_block_size:
+            n_dead += 1
+        elif oversized:
+            n_win += 1
+    assert stats.n_block_keys == len(by_key)
+    assert stats.n_pruned_keys == n_dead
+    assert stats.n_oversized_keys == n_win
+    assert stats.pairs_dropped_estimate >= 0
+
+
+# --- reference model of pack_shards -------------------------------------
+
+chunk_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),   # order key (ties likely)
+        st.integers(min_value=0, max_value=50),  # token count
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@pytest.mark.slow
+@given(chunks=chunk_strategy, parts=st.integers(min_value=1, max_value=5))
+@settings(max_examples=10, deadline=None)
+def test_pack_shards_matches_prefix_sum_model(spark, chunks, parts):
+    """tokens_before must be the exclusive prefix sum in (order, idx)
+    order — regardless of partition count, duplicate order keys, or
+    zero-token rows — and shard_id its floor-quotient."""
+    from resolve_spark.operators.sharding import pack_shards
+
+    rows = [(order, i, n) for i, (order, n) in enumerate(chunks)]
+    df = spark.createDataFrame(rows, "doc_id int, chunk_idx int, n_tokens int")
+    out = pack_shards(
+        df,
+        order_col="doc_id",
+        tokens_per_shard=37,
+        num_partitions=parts,
+        tiebreak_cols=("chunk_idx",),
+    ).collect()
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["tokens_before"], r["shard_id"])
+        for r in out
+    }
+    acc = 0
+    for order, idx, n in sorted(rows, key=lambda r: (r[0], r[1])):
+        assert got[(order, idx)] == (acc, acc // 37), (order, idx, acc)
+        acc += n
+    assert len(got) == len(rows)
