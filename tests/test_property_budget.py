@@ -7,8 +7,6 @@ windowing, cross-pass dedup, and the distributed prefix sum."""
 
 from __future__ import annotations
 
-import math
-
 import pytest
 from hypothesis import given, settings, strategies as st
 
@@ -156,3 +154,71 @@ def test_pack_shards_matches_prefix_sum_model(spark, chunks, parts):
         assert got[(order, idx)] == (acc, acc // 37), (order, idx, acc)
         acc += n
     assert len(got) == len(rows)
+
+
+# --- reference model of meta-blocking (cbs weights, all schemes) --------
+
+
+def _model_meta(records: dict[int, frozenset[str]], max_block_size, scheme, k=2):
+    by_key: dict[str, list[int]] = {}
+    for rid, keys in records.items():
+        for key in keys:
+            by_key.setdefault(key, []).append(rid)
+    live = {key for key, rids in by_key.items() if len(rids) <= max_block_size}
+    cbs: dict[tuple[int, int], int] = {}
+    for key in live:
+        rids = sorted(by_key[key])
+        for i in range(len(rids)):
+            for j in range(i + 1, len(rids)):
+                cbs[(rids[i], rids[j])] = cbs.get((rids[i], rids[j]), 0) + 1
+    edges = {e: float(w) for e, w in cbs.items()}
+    if not edges:
+        return set()
+    if scheme == "wep":
+        thr = sum(edges.values()) / len(edges)
+        return {e for e, w in edges.items() if w >= thr}
+    incident: dict[int, list[float]] = {}
+    for (a, b), w in edges.items():
+        incident.setdefault(a, []).append(w)
+        incident.setdefault(b, []).append(w)
+    navg = {n: sum(ws) / len(ws) for n, ws in incident.items()}
+    if scheme == "wnp":
+        return {
+            (a, b)
+            for (a, b), w in edges.items()
+            if w >= navg[a] or w >= navg[b]
+        }
+    # cnp: per-node top-k under (-weight, id_a, id_b); either end retains
+    kept: set[tuple[int, int]] = set()
+    for n in incident:
+        mine = sorted(
+            (e for e in edges if n in e),
+            key=lambda e: (-edges[e], e[0], e[1]),
+        )
+        kept.update(mine[:k])
+    return kept
+
+
+@pytest.mark.slow
+@given(
+    corpus=corpus_strategy,
+    scheme=st.sampled_from(["wep", "wnp", "cnp"]),
+)
+@settings(max_examples=9, deadline=None)
+def test_meta_block_prune_matches_reference_model(spark, corpus, scheme):
+    """CBS weights are small ints held exactly in doubles and both
+    engines compute sum-then-one-division, so the surviving edge set is
+    exactly reproducible — checked against an independent model across
+    purging, weighting, and all three pruning schemes."""
+    from resolve_spark.operators.meta_blocking import meta_block_prune
+
+    df = spark.createDataFrame(
+        [(rid, sorted(keys)) for rid, keys in corpus.items()],
+        "id int, block_keys array<string>",
+    )
+    out = meta_block_prune(
+        df, "id", weight="cbs", scheme=scheme, max_block_size=3, k=2
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    want = _model_meta(corpus, max_block_size=3, scheme=scheme, k=2)
+    assert got == want
