@@ -222,3 +222,92 @@ def test_meta_block_prune_matches_reference_model(spark, corpus, scheme):
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     want = _model_meta(corpus, max_block_size=3, scheme=scheme, k=2)
     assert got == want
+
+
+# --- reference model of survivorship fusion -----------------------------
+
+
+def _model_fuse(ents, asg, rules):
+    """ents: {id: {field: value}}, asg: {id: cluster}. Mirrors
+    fuse_clusters' documented semantics including tie orders and the
+    NULL/empty-skip discipline (min/max/mode/longest skip; first does
+    not)."""
+    clusters: dict[str, list[int]] = {}
+    for rid, cl in asg.items():
+        if rid in ents:
+            clusters.setdefault(cl, []).append(rid)
+    out = {}
+    for cl, rids in clusters.items():
+        row = {"cluster_size": len(rids), "canonical_id": min(rids)}
+        for field, rule in rules.items():
+            vals = [ents[r][field] for r in sorted(rids)]
+            nz = [v for v in vals if v is not None and str(v) != ""]
+            if rule == "min":
+                row[field] = min(nz) if nz else None
+            elif rule == "max":
+                row[field] = max(nz) if nz else None
+            elif rule == "first":
+                row[field] = ents[min(rids)][field]
+            elif rule == "mode":
+                if not nz:
+                    row[field] = None
+                else:
+                    counts: dict = {}
+                    for v in nz:
+                        counts[v] = counts.get(v, 0) + 1
+                    row[field] = sorted(
+                        counts, key=lambda v: (-counts[v], v)
+                    )[0]
+            elif rule == "longest":
+                if not nz:
+                    row[field] = None
+                else:
+                    row[field] = sorted(
+                        set(nz), key=lambda v: (-len(v), v)
+                    )[0]
+        out[cl] = row
+    return out
+
+
+fusion_strategy = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=20),
+    values=st.tuples(
+        st.sampled_from([None, "", "a", "b", "bb", "ccc", "cc"]),
+        st.sampled_from([None, "", "x", "yy", "yy", "zzz"]),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@pytest.mark.slow
+@given(
+    ents_raw=fusion_strategy,
+    rule1=st.sampled_from(["mode", "longest", "min", "max", "first"]),
+    rule2=st.sampled_from(["mode", "longest", "min", "max", "first"]),
+)
+@settings(max_examples=10, deadline=None)
+def test_fuse_clusters_matches_reference_model(spark, ents_raw, rule1, rule2):
+    from resolve_spark.operators.fusion import fuse_clusters
+
+    ents = {rid: {"f1": v1, "f2": v2} for rid, (v1, v2) in ents_raw.items()}
+    asg = {rid: f"c{rid % 3}" for rid in ents}
+    edf = spark.createDataFrame(
+        [(r, v["f1"], v["f2"]) for r, v in ents.items()],
+        "id int, f1 string, f2 string",
+    )
+    adf = spark.createDataFrame(
+        list(asg.items()), "id int, cluster_id string"
+    )
+    rules = {"f1": rule1, "f2": rule2}
+    got = {
+        r["cluster_id"]: {
+            "cluster_size": r["cluster_size"],
+            "canonical_id": r["canonical_id"],
+            "f1": r["f1"],
+            "f2": r["f2"],
+        }
+        for r in fuse_clusters(edf, adf, rules).collect()
+    }
+    want = _model_fuse(ents, asg, rules)
+    assert got == want
