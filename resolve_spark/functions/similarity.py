@@ -206,12 +206,20 @@ def temporal_similarity(
     if len(windows_s) != len(sims):
         raise ValueError("windows_s and sims must have equal length")
     # cast("timestamp") admits TIMESTAMP_NTZ inputs (unix_micros alone
-    # rejects them); the session-timezone shift it applies is identical
-    # on both sides, so the difference is unaffected
+    # rejects them). For NTZ values the cast interprets both sides in
+    # the SESSION timezone: under a fixed-offset zone the shifts cancel
+    # exactly; under a DST zone two NTZ values straddling a transition
+    # would shift by the DST gap. build_session pins
+    # spark.sql.session.timeZone=UTC, so engine sessions are always in
+    # the fixed-offset case — keep it that way for NTZ data.
     diff = F.abs(
         F.unix_micros(a.cast("timestamp")) - F.unix_micros(b.cast("timestamp"))
     )
     out = F.lit(0.0)
     for w, s in reversed(list(zip(windows_s, sims))):
-        out = F.when(diff <= F.lit(int(w) * 1_000_000), F.lit(s)).otherwise(out)
+        # round, not int(): fractional windows (0.5s) are meaningful at
+        # microsecond resolution and int() would truncate them to 0
+        out = F.when(
+            diff <= F.lit(int(round(w * 1_000_000))), F.lit(s)
+        ).otherwise(out)
     return F.when(a.isNull() | b.isNull(), F.lit(0.0)).otherwise(out)

@@ -185,11 +185,11 @@ def kmeans_assign(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
     # persist: pts is re-read by the init collect, every update pass,
-    # the final assignment, AND every downstream consumer of the result
-    # (semantic_dedup reads it three times) — without pinning, the full
-    # upstream lineage (embedding UDFs included) re-executes per read.
-    # Left cached for Spark's LRU; big-corpus callers that checkpoint
-    # the result can clearCache() afterwards.
+    # and the final assignment — without pinning, the full upstream
+    # lineage (embedding UDFs included) re-executes per read. Released
+    # below once the RESULT is cached: the returned frame is itself the
+    # persisted object, so callers looping over corpora can release it
+    # directly with .unpersist().
     pts = pts.persist()
     init = pts.orderBy(id_col).limit(k).collect()
     if not init:
@@ -230,8 +230,18 @@ def kmeans_assign(
     if keep_vec:
         # downstream pair stages (semantic_dedup) reuse the double-cast
         # vector without a join back by id — two fewer exchanges
-        return final.select(id_col, "cluster", "cos", F.col("_v").alias(vec_col))
-    return final.select(id_col, "cluster", "cos")
+        out = final.select(id_col, "cluster", "cos", F.col("_v").alias(vec_col))
+    else:
+        out = final.select(id_col, "cluster", "cos")
+    # swap the pin from the wide points to the narrow result: consumers
+    # read the RESULT repeatedly (semantic_dedup three times,
+    # prototype_prune under a window), so cache that, materialize it,
+    # and release pts — exactly one pinned frame remains, and it is the
+    # handle the caller holds (releasable via .unpersist()).
+    out = out.persist()
+    out.count()
+    pts.unpersist()
+    return out
 
 
 def ivf_topk(

@@ -409,7 +409,9 @@ def adjusted_rand_index(
     # _rows * _cols would overflow int64 (each comb-sum alone can reach
     # ~9.2e18); expected is fractional anyway, so go double first
     expected = F.col("_rows").cast("double") * F.col("_cols").cast("double") / total
-    mx = (F.col("_rows") + F.col("_cols")) / F.lit(2.0)
+    # same overflow class as `expected`: the long+long sum can exceed
+    # int64 before the double division, so add as doubles
+    mx = (F.col("_rows").cast("double") + F.col("_cols").cast("double")) / F.lit(2.0)
     # n=1 first: C(1,2)=0 makes `expected` a division by zero (NULL in
     # Spark), which would otherwise NULL-propagate into the 0.0 branch —
     # a single shared record is a trivially identical clustering -> 1.0

@@ -179,13 +179,18 @@ def candidate_pairs(
             F.count("*").alias("n_keys"),
             F.sum(windowed.cast("long")).alias("n_big"),
             F.sum(pruned.cast("long")).alias("n_dead"),
+            # comb2_exact, not c*(c-1)/2: the naive product wraps int64
+            # at c > ~3.04e9 and the double division rounds above 2^53 —
+            # the wrapped negative would be clamped to 0 by the max()
+            # below, reporting zero recall loss exactly when it is
+            # largest
             F.sum(
                 F.when(
                     windowed,
-                    (F.col("c") * (F.col("c") - 1) / 2)
+                    comb2_exact(F.col("c"))
                     - (F.col("c") * cfg.neighborhood_window),
                 )
-                .when(pruned, F.col("c") * (F.col("c") - 1) / 2)
+                .when(pruned, comb2_exact(F.col("c")))
                 .otherwise(0)
             ).alias("dropped_est"),
         ).collect()[0]

@@ -152,14 +152,21 @@ class PipelineRun:
     clusters: DataFrame
     stats: DataFrame
     counters: dict
+    # cached intermediates the run pinned but does not expose (the
+    # checkpoint-less blocked stage; an increment's new_norm) — released
+    # by unpersist() alongside the public frames
+    pinned: tuple = ()
 
     def unpersist(self) -> None:
-        """Release every cached DataFrame this run pinned. Call when
-        the run is superseded (e.g. after merging an increment into it
-        with ``run_incremental``) — a long-lived session applying
-        increments in a loop otherwise accumulates pinned edge/cluster
-        blocks without bound."""
-        for df in (self.normalized, self.pairs, self.edges, self.clusters):
+        """Release every cached DataFrame this run pinned — the public
+        frames AND the internal ``pinned`` intermediates. Call when the
+        run is superseded (e.g. after merging an increment into it with
+        ``run_incremental``) — a long-lived session applying increments
+        in a loop otherwise accumulates pinned blocks without bound.
+        unpersist() on a checkpoint-backed (never persisted) frame is a
+        harmless no-op, so this is safe in both stage modes."""
+        for df in (self.normalized, self.pairs, self.edges,
+                   self.clusters, self.stats, *self.pinned):
             if df is not None:
                 df.unpersist()
 
@@ -346,7 +353,10 @@ class ResolvePipeline:
                     clusters, normalized, edges, cfg.id_col, list(cfg.stat_fields)
                 ),
             )
-        return PipelineRun(normalized, pairs, edges, clusters, stats_df, counters)
+        return PipelineRun(
+            normalized, pairs, edges, clusters, stats_df, counters,
+            pinned=(blocked,) if self.ckpt is None else (),
+        )
 
     def run_incremental(
         self,
@@ -450,7 +460,12 @@ class ResolvePipeline:
             stats_df = C.group_statistics(
                 clusters, union_norm, edges, cfg.id_col, list(cfg.stat_fields)
             )
-        return PipelineRun(union_norm, pairs, edges, clusters, stats_df, counters)
+        return PipelineRun(
+            union_norm, pairs, edges, clusters, stats_df, counters,
+            # union_norm is lazy over the cached new_norm; expose the
+            # persist through pinned so unpersist() releases it
+            pinned=(new_norm,),
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -252,5 +252,10 @@ def test_incremental_prev_blocked_shortcut(spark, files_df):
     a.unpersist()
     for df in (a.pairs, a.edges, a.clusters):
         assert not df.storageLevel.useMemory
+    # the internal pins (the increment's cached new_norm) release too —
+    # the leak unpersist() exists to prevent
+    assert a.pinned
+    for df in a.pinned:
+        assert not df.storageLevel.useMemory
     # the survivor is untouched and still queryable
     assert b.clusters.count() > 0
