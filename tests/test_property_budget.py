@@ -311,3 +311,151 @@ def test_fuse_clusters_matches_reference_model(spark, ents_raw, rule1, rule2):
     }
     want = _model_fuse(ents, asg, rules)
     assert got == want
+
+
+# --- reference models of the evaluation metrics -------------------------
+
+
+def _model_bcubed(pred: dict[int, str], truth: dict[int, str]):
+    shared = sorted(set(pred) & set(truth))
+    if not shared:
+        return None
+    csize: dict = {}
+    tsize: dict = {}
+    osize: dict = {}
+    for r in shared:
+        csize[pred[r]] = csize.get(pred[r], 0) + 1
+        tsize[truth[r]] = tsize.get(truth[r], 0) + 1
+        key = (pred[r], truth[r])
+        osize[key] = osize.get(key, 0) + 1
+    n = len(shared)
+    p = sum(osize[(pred[r], truth[r])] / csize[pred[r]] for r in shared) / n
+    rec = sum(osize[(pred[r], truth[r])] / tsize[truth[r]] for r in shared) / n
+    f1 = 2 * p * rec / (p + rec) if p + rec > 0 else 0.0
+    return n, p, rec, f1
+
+
+def _model_ari(pred: dict[int, str], truth: dict[int, str]):
+    shared = sorted(set(pred) & set(truth))
+    cells: dict = {}
+    rows: dict = {}
+    cols: dict = {}
+    for r in shared:
+        cells[(pred[r], truth[r])] = cells.get((pred[r], truth[r]), 0) + 1
+        rows[pred[r]] = rows.get(pred[r], 0) + 1
+        cols[truth[r]] = cols.get(truth[r], 0) + 1
+
+    def c2(x):
+        return x * (x - 1) // 2
+
+    n = len(shared)
+    index = sum(c2(v) for v in cells.values())
+    rsum = sum(c2(v) for v in rows.values())
+    csum = sum(c2(v) for v in cols.values())
+    total = c2(n)
+    if total == 0:
+        return 1.0
+    expected = rsum * csum / total
+    mx = (rsum + csum) / 2.0
+    if mx - expected != 0:
+        return (index - expected) / (mx - expected)
+    return 1.0 if index == expected else 0.0
+
+
+clustering_strategy = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=25),
+    values=st.sampled_from(["a", "b", "c", "d"]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@pytest.mark.slow
+@given(pred=clustering_strategy, truth=clustering_strategy)
+@settings(max_examples=10, deadline=None)
+def test_bcubed_and_ari_match_reference_models(spark, pred, truth):
+    from resolve_spark.operators.diagnostics import adjusted_rand_index, bcubed
+
+    if not set(pred) & set(truth):
+        return  # inner join empty: operators return zero rows
+    pdf = spark.createDataFrame(list(pred.items()), "id int, cluster_id string")
+    tdf = spark.createDataFrame(list(truth.items()), "id int, truth_id string")
+    b = bcubed(pdf, tdf).collect()[0]
+    n, p, rec, f1 = _model_bcubed(pred, truth)
+    assert b["n_records"] == n
+    assert b["bcubed_precision"] == pytest.approx(p, abs=1e-12)
+    assert b["bcubed_recall"] == pytest.approx(rec, abs=1e-12)
+    assert b["bcubed_f1"] == pytest.approx(f1, abs=1e-12)
+    a = adjusted_rand_index(pdf, tdf).collect()[0]
+    assert a["ari"] == pytest.approx(_model_ari(pred, truth), abs=1e-12)
+
+
+def _model_match_metrics(pred_rows, truth_rows, threshold=None):
+    """pred_rows: (id_a, id_b, score|None); threshold None = the
+    no-thresholds mode (every pred pair predicted, NULL score incl.)."""
+    pnorm: dict = {}
+    for a, b, s in pred_rows:
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        if key in pnorm:
+            prev = pnorm[key]
+            pnorm[key] = s if prev is None else (
+                prev if s is None else max(prev, s)
+            )
+        else:
+            pnorm[key] = s
+    tset = {(min(a, b), max(a, b)) for a, b in truth_rows if a != b}
+    tp = fp = fn = 0
+    for key, s in pnorm.items():
+        hit = True if threshold is None else (s is not None and s >= threshold)
+        if hit and key in tset:
+            tp += 1
+        elif hit:
+            fp += 1
+        elif key in tset:
+            fn += 1
+    fn += len(tset - set(pnorm))
+    return tp, fp, fn
+
+
+pair_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=8),
+        st.sampled_from([None, 0.1, 0.5, 0.5, 0.9]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+truth_pair_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=8),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@pytest.mark.slow
+@given(pred=pair_strategy, truth=truth_pair_strategy)
+@settings(max_examples=10, deadline=None)
+def test_match_metrics_matches_reference_model(spark, pred, truth):
+    """Pair normalization (least/greatest), self-pair drop, max-score
+    dedup, NULL-score handling in both modes — vs an independent
+    model."""
+    from resolve_spark.operators.diagnostics import match_metrics
+
+    if all(a == b for a, b, _ in pred) or all(a == b for a, b in truth):
+        return  # degenerate: one side empty after self-pair drop
+    pdf = spark.createDataFrame(pred, "id_a int, id_b int, score double")
+    tdf = spark.createDataFrame(truth, "id_a int, id_b int")
+    row = match_metrics(pdf, tdf, score_col="score").collect()[0]
+    assert (row["tp"], row["fp"], row["fn"]) == _model_match_metrics(pred, truth)
+    sweep = match_metrics(
+        pdf, tdf, score_col="score", thresholds=[0.5]
+    ).collect()
+    srow = {r["threshold"]: r for r in sweep}[0.5]
+    want = _model_match_metrics(pred, truth, threshold=0.5)
+    assert (srow["tp"], srow["fp"], srow["fn"]) == want
