@@ -459,3 +459,46 @@ def test_match_metrics_matches_reference_model(spark, pred, truth):
     srow = {r["threshold"]: r for r in sweep}[0.5]
     want = _model_match_metrics(pred, truth, threshold=0.5)
     assert (srow["tp"], srow["fp"], srow["fn"]) == want
+
+
+# --- FS posterior CASE wiring vs the E-step formula ---------------------
+
+
+@pytest.mark.slow
+@given(
+    nf=st.integers(min_value=1, max_value=4),
+    lam=st.floats(min_value=0.01, max_value=0.99),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=10, deadline=None)
+def test_fs_match_probability_case_matches_posterior(spark, nf, lam, seed):
+    """fs_match_probability compiles the posterior into a 2^F-branch
+    literal CASE; the branch<->pattern bit-order wiring must hand every
+    agreement pattern exactly FSParams.posterior(pattern)."""
+    import random
+
+    from resolve_spark.operators.fellegi_sunter import (
+        FSParams,
+        fs_match_probability,
+    )
+
+    rng = random.Random(seed)
+    fields = [f"g{i}" for i in range(nf)]
+    params = FSParams(
+        fields=tuple(fields),
+        lam=lam,
+        m=tuple(rng.uniform(0.5, 0.999) for _ in fields),
+        u=tuple(rng.uniform(0.001, 0.5) for _ in fields),
+        iterations=1,
+    )
+    patterns = [
+        tuple((i >> (nf - 1 - f)) & 1 for f in range(nf))
+        for i in range(2**nf)
+    ]
+    df = spark.createDataFrame(
+        patterns, ", ".join(f"{f} int" for f in fields)
+    )
+    got = df.select(*fields, fs_match_probability(params).alias("p")).collect()
+    for r in got:
+        pattern = tuple(r[f] for f in fields)
+        assert r["p"] == params.posterior(pattern), pattern
