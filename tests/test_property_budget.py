@@ -502,3 +502,69 @@ def test_fs_match_probability_case_matches_posterior(spark, nf, lam, seed):
     for r in got:
         pattern = tuple(r[f] for f in fields)
         assert r["p"] == params.posterior(pattern), pattern
+
+
+# --- reference model of BM25 --------------------------------------------
+
+
+def _model_bm25(docs: dict[int, str], terms, k1=1.2, b=0.75, scale=1_000_000):
+    import math as m
+
+    terms = sorted({t.lower() for t in terms})
+    toks = {rid: [t for t in text.lower().split() if t] for rid, text in docs.items()}
+    n_docs = len(docs)
+    avgdl = sum(len(ts) for ts in toks.values()) / n_docs
+    idf6 = {
+        t: m.floor(
+            0.5 + scale * m.log(
+                1 + (n_docs - df + 0.5) / (df + 0.5)
+            )
+        )
+        for t in terms
+        for df in [sum(1 for ts in toks.values() if t in ts)]
+    }
+    out = {}
+    for rid, ts in toks.items():
+        matched = [t for t in terms if t in ts]
+        if not matched:
+            continue
+        dl = len(ts)
+        scaled = 0
+        for t in matched:
+            tf = sum(1 for x in ts if x == t)
+            den = tf + k1 * ((1 - b) + b * (dl / avgdl))
+            scaled += m.floor(idf6[t] * ((tf * (k1 + 1)) / den) + 0.5)
+        out[rid] = (len(matched), scaled)
+    return out
+
+
+WORDS = ["alpha", "beta", "gamma", "delta", "alpha", "nu"]
+
+doc_strategy = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=12),
+    values=st.lists(st.sampled_from(WORDS), min_size=1, max_size=12).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@pytest.mark.slow
+@given(
+    docs=doc_strategy,
+    terms=st.frozensets(st.sampled_from(WORDS), min_size=1, max_size=3),
+)
+@settings(max_examples=10, deadline=None)
+def test_bm25_scores_match_reference_model(spark, docs, terms):
+    """score_scaled is an exact long by construction, so the Spark
+    result must equal a pure-Python BM25 with the same HALF_UP
+    integerization — term by term, document by document."""
+    from resolve_spark.operators.corpus_stats import bm25_scores
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id int, text string")
+    got = {
+        r["rid"]: (r["n_matched"], r["score_scaled"])
+        for r in bm25_scores(df, "doc_id", sorted(terms)).collect()
+    }
+    assert got == _model_bm25(docs, terms)
