@@ -568,3 +568,67 @@ def test_bm25_scores_match_reference_model(spark, docs, terms):
         for r in bm25_scores(df, "doc_id", sorted(terms)).collect()
     }
     assert got == _model_bm25(docs, terms)
+
+
+# --- reference model of exact-substring span removal --------------------
+
+
+def _model_remove_spans(docs: dict[str, str | None], n: int, min_docs: int):
+    toks = {
+        rid: [t for t in (text or "").split() if t]
+        for rid, text in docs.items()
+    }
+    # window text (case-folded) -> set of docs containing it
+    wdocs: dict[tuple, set] = {}
+    for rid, ts in toks.items():
+        low = [t.lower() for t in ts]
+        for i in range(len(low) - n + 1):
+            wdocs.setdefault(tuple(low[i:i + n]), set()).add(rid)
+    shared = {w for w, ds in wdocs.items() if len(ds) >= min_docs}
+    out = {}
+    for rid, ts in toks.items():
+        low = [t.lower() for t in ts]
+        covered = set()
+        for i in range(len(low) - n + 1):
+            if tuple(low[i:i + n]) in shared:
+                covered.update(range(i, i + n))
+        kept = [t for p, t in enumerate(ts) if p not in covered]
+        out[rid] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+span_doc_strategy = st.dictionaries(
+    keys=st.sampled_from([f"d{i}" for i in range(8)]),
+    values=st.one_of(
+        st.none(),
+        st.lists(
+            st.sampled_from(["Foo", "bar", "BAZ", "qux", "foo"]),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@pytest.mark.slow
+@given(docs=span_doc_strategy, n=st.integers(min_value=2, max_value=4))
+@settings(max_examples=10, deadline=None)
+def test_remove_repeated_spans_matches_reference_model(spark, docs, n):
+    """Window coverage, case-folded dup detection with case-preserving
+    output, NULL text, and short-doc handling — vs an independent
+    positional model (window-hash equality == window-text equality up
+    to negligible xxhash64 collisions)."""
+    from resolve_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        list(docs.items()), "rid string, content string"
+    )
+    got = {
+        r["rid"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in dedup.remove_repeated_spans(
+            df, "rid", "content", n=n, min_docs=2
+        ).collect()
+    }
+    assert got == _model_remove_spans(docs, n, min_docs=2)
