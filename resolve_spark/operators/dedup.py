@@ -42,7 +42,7 @@ from resolve_spark.functions import text as TX
 from resolve_spark.functions import similarity as S
 from resolve_spark.operators import blocking as B
 from resolve_spark.operators.clustering import assign_clusters
-from resolve_spark.operators.pairs import candidate_pairs
+from resolve_spark.operators.pairs import candidate_pairs, product_within_budget
 
 
 def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
@@ -335,10 +335,14 @@ def minhash_join(
     kb = right.select(
         F.col(right_id).alias("id_b"), F.explode(mh(F.col(right_text))).alias("bk")
     )
+    # overflow-free budget test: the raw ca*cb product exceeds int64 when
+    # ~3e9 docs per side share one band key (ANSI mode fails loud; legacy
+    # wraps and un-bounds pair generation) — product_within_budget takes
+    # it in decimal(38,0), exact for any pair of long counts.
     ok = (
         ka.groupBy("bk").agg(F.count("*").alias("ca"))
         .join(kb.groupBy("bk").agg(F.count("*").alias("cb")), "bk")
-        .where(F.col("ca") * F.col("cb") <= max_pairs_per_key)
+        .where(product_within_budget(F.col("ca"), F.col("cb"), max_pairs_per_key))
         .select("bk")
     )
     cand = (

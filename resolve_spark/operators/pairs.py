@@ -89,6 +89,19 @@ def comb2_exact(c) -> "F.Column":
     )
 
 
+def product_within_budget(ca, cb, budget: int) -> "F.Column":
+    """Overflow-free ``ca * cb <= budget`` for long counts: the product
+    is taken in decimal(38,0), which holds any int64 x int64 product
+    exactly (<= 38 digits), so the comparison never wraps (legacy mode)
+    or errors (ANSI mode) once both counts pass ~3e9 — exactly the
+    hot-band-key regime the budget exists to cut. Float division forms
+    (``ca <= floor(B/cb)``) are NOT used: a double quotient can round
+    across the floor boundary. Same exactness discipline as
+    :func:`comb2_exact`."""
+    dec = "decimal(19,0)"
+    return (ca.cast(dec) * cb.cast(dec)) <= F.lit(int(budget)).cast(dec)
+
+
 def _key_fates(cfg: BlockingConfig):
     """Budget fate expressions over a (key, c) block-size row — the
     SINGLE source of truth for which keys are purged vs windowed.

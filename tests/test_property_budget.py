@@ -156,6 +156,48 @@ def test_pack_shards_matches_prefix_sum_model(spark, chunks, parts):
     assert len(got) == len(rows)
 
 
+# --- product_within_budget: exact at counts the raw product overflows ---
+
+count_strategy = st.one_of(
+    st.integers(min_value=1, max_value=20),
+    # the overflow regime: counts near 2^31..2^33 whose raw product
+    # wraps int64 (ANSI: errors); and budget-boundary neighbors
+    st.integers(min_value=(1 << 31) - 3, max_value=(1 << 33) + 3),
+    st.integers(min_value=(1 << 62), max_value=(1 << 63) - 1),
+)
+
+
+@pytest.mark.slow
+@given(
+    ca=count_strategy,
+    cb=count_strategy,
+    budget=st.one_of(
+        st.integers(min_value=1, max_value=1_000_000),
+        st.integers(min_value=(1 << 62), max_value=(1 << 63) - 1),
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_product_within_budget_matches_bigint_model(spark, ca, cb, budget):
+    """minhash_join's per-band-key pair budget must decide ca*cb <= B
+    with Python-bigint exactness even where the raw int64 product wraps
+    (~3e9 per side) — including exact budget boundaries — and must not
+    raise under ANSI mode (Spark 4's default)."""
+    from resolve_spark.operators.pairs import product_within_budget
+
+    import pyspark.sql.functions as SF
+
+    rows = [(ca, cb), (ca, max(cb - 1, 1)), (max(ca - 1, 1), cb)]
+    df = spark.createDataFrame(rows, "ca long, cb long")
+    got = [
+        r["ok"]
+        for r in df.select(
+            product_within_budget(SF.col("ca"), SF.col("cb"), budget).alias("ok")
+        ).collect()
+    ]
+    want = [a * b <= budget for a, b in rows]  # Python ints never overflow
+    assert got == want, (rows, budget)
+
+
 # --- reference model of meta-blocking (cbs weights, all schemes) --------
 
 
