@@ -42,7 +42,9 @@ from resolve_spark.functions import text as TX
 from resolve_spark.functions import similarity as S
 from resolve_spark.operators import blocking as B
 from resolve_spark.operators.clustering import assign_clusters
-from resolve_spark.operators.pairs import candidate_pairs, product_within_budget
+from resolve_spark.operators.pairs import (
+    candidate_pairs, comb2_exact, product_within_budget,
+)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
@@ -107,6 +109,9 @@ def tfidf_weighted_jaccard_pairs(
     bands: int = 16,
     hash_impl: str = "fast",
     idf_scale: int = 1_000_000,
+    icws_hashes: int = 0,
+    icws_bands: int = 32,
+    icws_max_pairs_per_key: int = 1_000_000,
 ) -> DataFrame:
     """IDF-weighted token Jaccard near-dup pairs:
     (id_a, id_b, wjaccard) with wjaccard >= threshold, where each
@@ -116,16 +121,25 @@ def tfidf_weighted_jaccard_pairs(
     page actually says. Plain Jaccard (minhash_duplicates) treats both
     alike, which over-merges template-heavy corpora.
 
-    Recall caveat (by design): candidates come from UNWEIGHTED MinHash
-    banding, so a pair must clear the raw-Jaccard banding knee to be
-    verified at all. A pair whose similarity is carried almost entirely
-    by rare tokens (high wjaccard, low raw Jaccard — e.g. identical
-    rare content buried under DIFFERENT large templates) can be missed.
-    The operator's guarantee is one-sided: every emitted pair truly has
-    wjaccard >= threshold, but recall is bounded by the unweighted
-    banding curve. Full weighted recall needs weighted-MinHash
-    candidate generation (ICWS-family sketches) — a heavier sketch pass
-    this module intentionally does not pay for by default.
+    Recall caveat (default config): candidates come from UNWEIGHTED
+    MinHash banding, so a pair must clear the raw-Jaccard banding knee
+    to be verified at all. A pair whose similarity is carried almost
+    entirely by rare tokens (high wjaccard, low raw Jaccard — e.g.
+    identical rare content buried under DIFFERENT large templates) can
+    be missed. With ``icws_hashes=0`` the guarantee is one-sided: every
+    emitted pair truly has wjaccard >= threshold, but recall is bounded
+    by the unweighted banding curve.
+
+    ``icws_hashes > 0`` adds a SECOND candidate pass of ICWS
+    weighted-MinHash banding (functions/icws.py, Ioffe 2010) whose
+    band-collision probability is driven by the SAME weighted Jaccard
+    the verifier computes — the rare-token-under-different-boilerplate
+    pair class above is then found. Both passes feed the one exact
+    verify, so precision is unchanged; recall becomes the OR of the two
+    banding curves (the weighted one is the binding curve at the
+    threshold). Hot ICWS band keys are purged at
+    C(c,2) > ``icws_max_pairs_per_key`` — same budget discipline as
+    pairs.py, overflow-exact via comb2_exact.
 
     Weights are scaled to int64 (``round(idf_scale * idf)``): integer
     sums are associativity-exact, so the score is a ratio of exact
@@ -162,8 +176,40 @@ def tfidf_weighted_jaccard_pairs(
     )
     blocked = B.add_blocking_keys(df, cfg)
     pairs, _ = candidate_pairs(blocked, id_col, cfg, with_stats=False)
+    cand = pairs.select("id_a", "id_b")
+    if icws_hashes:
+        from resolve_spark.functions.icws import icws_band_keys_udf
+
+        # per-doc (tokens, weights) arrays, sort_array-pinned pairing so
+        # the sketch input is deterministic across partitionings
+        agg = (
+            tw.groupBy("rid")
+            .agg(F.sort_array(F.collect_list(F.struct("tok", "w"))).alias("s"))
+            .select(
+                "rid",
+                F.transform("s", lambda x: x["tok"]).alias("toks"),
+                F.transform("s", lambda x: x["w"]).alias("ws"),
+            )
+        )
+        wk = icws_band_keys_udf(icws_hashes, icws_bands)
+        keyed = agg.select(
+            "rid", F.explode(wk(F.col("toks"), F.col("ws"))).alias("bk")
+        )
+        ok = (
+            keyed.groupBy("bk").agg(F.count("*").alias("c"))
+            .where(comb2_exact(F.col("c")) <= F.lit(int(icws_max_pairs_per_key)))
+            .select("bk")
+        )
+        keyed = keyed.join(ok, "bk")
+        wpairs = (
+            keyed.select("bk", F.col("rid").alias("id_a"))
+            .join(keyed.select("bk", F.col("rid").alias("id_b")), "bk")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = cand.unionByName(wpairs).dropDuplicates(["id_a", "id_b"])
     inter = (
-        pairs.select("id_a", "id_b")
+        cand
         .join(tw.selectExpr("rid as id_a", "tok", "w"), "id_a")
         .join(tw.selectExpr("rid as id_b", "tok"), ["id_b", "tok"])
         .groupBy("id_a", "id_b")
