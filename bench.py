@@ -53,11 +53,24 @@ BENCH_QUERIES = [
     "q77_semantic_dedup",
     "q81_fs_params",
     "q82_cluster_metrics",
+    "q83_tf_weights",
+    "q84_fs_posterior",
+    "q85_fs_levels",
+    "q86_fuse_clusters",
+    "q87_bridge_prune",
+    "q88_monge_elkan",
+    "q89_bcubed",
+    "q90_uncertainty_sample",
     "q91_meta_blocking",
     "q93_numeric_temporal",
     "q94_pprl_clk",
     "q95_match_tiers",
     "q96_link_features",
+    "q97_blocking_sweep",
+    "q98_cluster_stability",
+    "q99_fusion_conflicts",
+    "q100_budget_ledger",
+    "q101_wjaccard_icws",
 ]
 
 
