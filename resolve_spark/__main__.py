@@ -37,7 +37,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="resolve_spark")
     ap.add_argument("verb", choices=["ingest", "match", "resolve",
                                      "recompute-clusters", "group", "serve",
-                                     "estimate-weights", "evaluate"])
+                                     "estimate-weights", "evaluate", "fuse"])
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--input")
     ap.add_argument("--store")
@@ -87,6 +87,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="evaluate: parquet with (id, truth_id) gold classes")
     ap.add_argument("--pred-col", default="cluster_id", dest="pred_col")
     ap.add_argument("--truth-col", default="truth_id", dest="truth_col")
+    ap.add_argument("--clusters", default=None,
+                    help="fuse: a resolve run's {out}/clusters parquet "
+                         "(rid, cluster_id, ...)")
+    ap.add_argument("--rules", default=None,
+                    help="fuse: comma-separated field=rule survivorship "
+                         "spec; rule is mode|longest|min|max|first")
+    ap.add_argument("--conflicts-out", dest="conflicts_out", default=None,
+                    help="fuse: also write the per-field conflict report "
+                         "(data-steward queue) to this parquet path")
     args = ap.parse_args(argv)
 
     threshold = args.threshold
@@ -327,6 +336,51 @@ def main(argv: list[str] | None = None) -> int:
             "bcubed_f1": b["bcubed_f1"],
             "ari": a["ari"],
         }))
+
+    elif args.verb == "fuse":
+        # The production loop's final verb: resolve -> evaluate -> FUSE
+        # -> golden-record table. One golden record per cluster under
+        # per-field survivorship rules (operators/fusion.py, oracled as
+        # q86/q99); optionally also writes the conflict report the
+        # data-steward queue consumes.
+        from resolve_spark.operators.fusion import (
+            fuse_clusters,
+            fusion_conflicts,
+        )
+        if not (args.input and args.clusters and args.rules and args.out):
+            print("fuse requires --input --clusters --rules --out",
+                  file=sys.stderr)
+            return 2
+        rules = {}
+        for part in args.rules.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            if "=" not in part:
+                print(f"--rules entry '{part}' is not field=rule",
+                      file=sys.stderr)
+                return 2
+            fld, rule = part.split("=", 1)
+            rules[fld.strip()] = rule.strip()
+        id_col = args.id or cfg.id_col
+        entities = spark.read.parquet(args.input)
+        clusters = spark.read.parquet(args.clusters)
+        if id_col not in clusters.columns and "rid" in clusters.columns:
+            clusters = clusters.withColumnRenamed("rid", id_col)
+        asg = clusters.select(id_col, "cluster_id").persist()
+        golden = fuse_clusters(entities, asg, rules, id_col=id_col)
+        golden.write.mode("overwrite").parquet(args.out)
+        result = {"golden_records": golden.count(), "out": args.out,
+                  "rules": rules}
+        if args.conflicts_out:
+            conflicts = fusion_conflicts(
+                entities, asg, list(rules.keys()), id_col=id_col
+            )
+            conflicts.write.mode("overwrite").parquet(args.conflicts_out)
+            result["conflicted_cluster_fields"] = conflicts.count()
+            result["conflicts_out"] = args.conflicts_out
+        asg.unpersist()
+        print(json.dumps(result))
 
     elif args.verb == "serve":
         # S11 — the reference's REST surface (api/server.go:70-89)

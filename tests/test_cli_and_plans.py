@@ -359,3 +359,54 @@ def test_cli_evaluate(spark, tmp_path):
     # r(a)=r(b)=2/3, r(c)=1/3, r(d)=r(e)=2/2=1 -> R=(2/3+2/3+1/3+1+1)/5=11/15
     assert abs(res["bcubed_precision"] - 11 / 15) < 1e-9
     assert abs(res["bcubed_recall"] - 11 / 15) < 1e-9
+
+
+@pytest.mark.slow
+def test_cli_fuse(spark, tmp_path):
+    """resolve -> fuse: the golden-record verb (VERDICT r5 item #5).
+    Survivorship semantics themselves are oracled (q86/q99); this
+    drives the CLI wiring end-to-end over a resolve run's clusters."""
+    entities = spark.createDataFrame(
+        [
+            ("a", "Acme Corp", "nyc", ""),
+            ("b", "Acme Corporation", "nyc", "10001"),
+            ("c", "Acme", "bos", "10001"),
+            ("d", "Zenith", "sfo", "94103"),
+        ],
+        "id string, name string, city string, zip string",
+    )
+    clusters = spark.createDataFrame(
+        [("a", "k1", 3), ("b", "k1", 3), ("c", "k1", 3), ("d", "k2", 1)],
+        "rid string, cluster_id string, cluster_size long",
+    )
+    inp, cl = str(tmp_path / "ents"), str(tmp_path / "clusters")
+    out, conf = str(tmp_path / "golden"), str(tmp_path / "conflicts")
+    entities.write.parquet(inp)
+    clusters.write.parquet(cl)
+    res = _run_cli(
+        "fuse", "--input", inp, "--clusters", cl, "--out", out,
+        "--rules", "name=longest,city=mode,zip=first",
+        "--conflicts-out", conf, "--id", "id",
+    )
+    assert res["golden_records"] == 2
+    got = {r["cluster_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got["k1"]["name"] == "Acme Corporation"  # longest
+    assert got["k1"]["city"] == "nyc"               # mode (2 of 3)
+    assert got["k1"]["zip"] == ""                   # first = min-id verbatim
+    assert got["k1"]["canonical_id"] == "a"
+    assert got["k2"]["name"] == "Zenith"
+    # conflict queue covers the disputed fields of k1 only
+    conf_rows = spark.read.parquet(conf).collect()
+    assert res["conflicted_cluster_fields"] == len(conf_rows)
+    assert {r["cluster_id"] for r in conf_rows} == {"k1"}
+
+
+def test_cli_fuse_rejects_bad_rules(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, "-m", "resolve_spark", "fuse", "--input", "x",
+         "--clusters", "y", "--out", "z", "--rules", "namelongest",
+         "--master", "local[2]"],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 2
+    assert "field=rule" in proc.stderr
