@@ -76,6 +76,49 @@ _TOKENS_SQL = (
     "list_distinct(list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), "
     "x -> x <> ''))"
 )
+
+#: q102/q103 input — byte-identical to the q04 oracle so the
+#: assignment queries score the exact pairs the Spark side reuses
+_LINKAGE_PAIRS_SQL = (
+    "SELECT * FROM (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, "
+    "round(1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE / "
+    "greatest(length(a.p_name), length(b.p_name)), 6) AS lev_sim "
+    "FROM part a JOIN part b ON a.p_brand = b.p_brand "
+    "AND a.p_partkey < b.p_partkey "
+    "WHERE a.p_partkey % 5 = 0 AND b.p_partkey % 5 = 0) WHERE lev_sim >= 0.5"
+)
+
+
+def _mutual_best_sql(src: str) -> str:
+    """One mutual-best round over `src` — the same total tie order
+    (score desc, partner id asc) as operators/assignment.py."""
+    return (
+        "SELECT id_a, id_b, lev_sim FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY id_a "
+        "ORDER BY lev_sim DESC, id_b) AS ra, "
+        "row_number() OVER (PARTITION BY id_b "
+        "ORDER BY lev_sim DESC, id_a) AS rb "
+        f"FROM {src}) WHERE ra = 1 AND rb = 1"
+    )
+
+
+def _greedy_unrolled_sql(rounds: int) -> str:
+    """greedy_one_to_one's mutual-best fixpoint unrolled to a fixed
+    round count of plain SQL; unioning the final remainder makes an
+    under-unrolled oracle disagree loudly instead of truncating."""
+    ctes = ["rem0 AS (" + _LINKAGE_PAIRS_SQL + ")"]
+    for r in range(1, rounds + 1):
+        ctes.append(f"mb{r} AS ({_mutual_best_sql(f'rem{r - 1}')})")
+        ctes.append(
+            f"rem{r} AS (SELECT * FROM rem{r - 1} WHERE "
+            f"id_a NOT IN (SELECT id_a FROM mb{r}) AND "
+            f"id_b NOT IN (SELECT id_b FROM mb{r}))"
+        )
+    union = " UNION ALL ".join(
+        [f"SELECT * FROM mb{r}" for r in range(1, rounds + 1)]
+        + [f"SELECT * FROM rem{rounds}"]
+    )
+    return "WITH " + ", ".join(ctes) + " " + union
 _TOKENS_RAW_SQL = (
     "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
 )
@@ -1059,6 +1102,37 @@ def _q67_tfidf_dedup_pairs(spark, sf_dir):  # IDF-weighted near-dup pairs
     d = _t(spark, sf_dir, "documents")
     return tfidf_weighted_jaccard_pairs(
         d, "doc_id", "text", threshold=0.6, hash_impl="portable"
+    )
+
+
+def _linkage_pairs(spark, sf_dir):
+    """Shared scored-pair input for the one-to-one assignment queries:
+    the q04 brand-blocked Levenshtein pairs, reused verbatim so the
+    oracle can rebuild them with the identical SQL."""
+    return _q04_levenshtein_pairs(spark, sf_dir)
+
+
+def _q102_mutual_best(spark, sf_dir):  # one-to-one: single round
+    """mutual_best_pairs (operators/assignment.py): a pair survives iff
+    it is BOTH endpoints' best option under (score desc, partner id
+    asc) — the unique-mapping constraint of classical record linkage
+    (Fellegi & Sunter 1969), absent from the reference's per-query
+    top-k (match.go:203-253)."""
+    from resolve_spark.operators.assignment import mutual_best_pairs
+    return mutual_best_pairs(
+        _linkage_pairs(spark, sf_dir), score_col="lev_sim"
+    )
+
+
+def _q103_greedy_linkage(spark, sf_dir):  # one-to-one: greedy fixpoint
+    """greedy_one_to_one: iterated mutual-best == sequential greedy
+    matching (property-tested equivalence, tests/test_assignment.py).
+    The oracle UNROLLS the fixpoint to 6 rounds of plain SQL (sf0.01
+    converges in 4; a deeper dataset would fail loudly as a hash
+    mismatch, never silently truncate)."""
+    from resolve_spark.operators.assignment import greedy_one_to_one
+    return greedy_one_to_one(
+        _linkage_pairs(spark, sf_dir), score_col="lev_sim"
     )
 
 
@@ -2137,6 +2211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_fusion_conflicts": _q99_fusion_conflicts,
         "q100_budget_ledger": _q100_budget_ledger,
         "q101_wjaccard_icws": _q101_wjaccard_icws,
+        "q102_mutual_best": _q102_mutual_best,
+        "q103_greedy_linkage": _q103_greedy_linkage,
     }
     return {**second_half, **first_half}
 
@@ -3552,6 +3628,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN tot ta ON ta.doc_id = id_a "
             "JOIN tot tb ON tb.doc_id = id_b) WHERE wjaccard >= 0.6"
         ),
+        "q102_mutual_best": (
+            "WITH pairs AS (" + _LINKAGE_PAIRS_SQL + ") "
+            + _mutual_best_sql("pairs")
+        ),
+        # q103: the greedy fixpoint UNROLLED to 6 plain-SQL rounds
+        # (sf0.01 converges in 4). The final union includes rem6, so a
+        # dataset needing >6 rounds shows up as extra oracle rows — a
+        # LOUD hash mismatch, never silent agreement.
+        "q103_greedy_linkage": _greedy_unrolled_sql(6),
         # q101: NO candidate CTE — exact all-pairs weighted Jaccard.
         # Matching this oracle attests the ICWS pass delivers FULL
         # recall at the threshold, not recall-up-to-banding like q67.

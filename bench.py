@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "q99_fusion_conflicts",
     "q100_budget_ledger",
     "q101_wjaccard_icws",
+    "q102_mutual_best",
+    "q103_greedy_linkage",
 ]
 
 

@@ -1,0 +1,129 @@
+"""One-to-one linkage assignment (the unique-mapping constraint of
+classical record linkage).
+
+The reference's match engine returns top-k candidates per query with no
+uniqueness constraint (internal/match/match.go:203-253 ranks and
+truncates per query only) — two different queries can claim the same
+store record. Classical two-file record linkage (Fellegi & Sunter 1969;
+Jaro's 1989 census linkage) assumes each record of file A matches at
+most ONE record of file B and vice versa; deduplicating a pair of
+corpora or reconciling two master tables needs that constraint
+enforced. These operators add the assignment step on top of any scored
+pair table (find_matches output, fs_posterior_edges, a dedup verify —
+anything with (id_a, id_b, score)):
+
+- :func:`mutual_best_pairs` — one round: keep a pair iff it is BOTH
+  sides' best remaining option. Cheap (two windows), high precision,
+  but leaves second-choice matches unassigned.
+- :func:`greedy_one_to_one` — iterate mutual-best to a fixpoint. With
+  the total tie order used here this equals the SEQUENTIAL greedy
+  matching (repeatedly take the globally best remaining pair, remove
+  both endpoints): an edge is accepted by sequential greedy exactly
+  when, after deleting the endpoints of all better accepted edges, it
+  dominates both its endpoints' remaining options — which is the
+  mutual-best fixpoint. The equivalence is property-tested against a
+  pure-Python sequential model (tests/test_assignment.py).
+
+Scale plan (100 TB): each round is two `row_number` windows partitioned
+by record id (pair-budget-bounded input, so no partition exceeds the
+per-key candidate budget) plus two anti-joins keyed on matched ids —
+all shuffles on the ids the pair table is already keyed by. The
+matched set shrinks the problem monotonically: with distinct scores,
+expected rounds are O(log n) (each round accepts every locally-maximal
+edge — on random scores a constant fraction); a score-sorted chain
+a1-b1-a2-b2-... is the worst case, bounded by ``max_rounds`` with a
+loud error rather than silent truncation. Lineage is truncated per
+round exactly like connected_components (localCheckpoint on local[*],
+reliable checkpoint every ``checkpoint_every`` rounds with
+``checkpoint_dir`` on a cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dedup_pairs(pairs: DataFrame, id_a: str, id_b: str, score_col: str) -> DataFrame:
+    """Collapse duplicate (id_a, id_b) rows to their max score: the
+    assignment is over the PAIR, and a stray duplicate row with a lower
+    score must not shadow the pair's real strength in either window."""
+    return pairs.groupBy(id_a, id_b).agg(F.max(score_col).alias(score_col))
+
+
+def mutual_best_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score",
+) -> DataFrame:
+    """Pairs that are the best remaining option for BOTH endpoints
+    under the total order (score desc, partner id asc). Output columns:
+    (id_a, id_b, score_col).
+
+    The per-side tie orders are the restrictions of ONE global total
+    order on edges — (score desc, id_a asc, id_b asc) — which is what
+    makes iterating this operator reproduce sequential greedy matching
+    (see module docstring). Deterministic for any input.
+    """
+    p = _dedup_pairs(pairs, id_a, id_b, score_col)
+    wa = Window.partitionBy(id_a).orderBy(F.desc(score_col), F.asc(id_b))
+    wb = Window.partitionBy(id_b).orderBy(F.desc(score_col), F.asc(id_a))
+    return (
+        p.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rb", F.row_number().over(wb))
+        .where((F.col("_ra") == 1) & (F.col("_rb") == 1))
+        .select(id_a, id_b, score_col)
+    )
+
+
+def greedy_one_to_one(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score",
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Exact sequential-greedy one-to-one matching, computed
+    distributively as the mutual-best fixpoint. Returns the matched
+    (id_a, id_b, score_col) rows; every id_a and id_b appears at most
+    once. Raises if ``max_rounds`` is hit with pairs still unassigned
+    (pathological score-sorted chains) — never silently truncates.
+    """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame, rnd: int) -> DataFrame:
+        if checkpoint_dir is not None:
+            if rnd % checkpoint_every == 0:
+                return df.checkpoint(eager=True)
+            return df
+        return df.localCheckpoint()
+
+    remaining = _truncate(_dedup_pairs(pairs, id_a, id_b, score_col), 0)
+    accepted: list[DataFrame] = []
+    for rnd in range(1, max_rounds + 1):
+        mb = mutual_best_pairs(remaining, id_a, id_b, score_col)
+        mb = _truncate(mb, rnd)
+        if mb.isEmpty():
+            break
+        accepted.append(mb)
+        remaining = _truncate(
+            remaining.join(mb.select(id_a), id_a, "left_anti")
+            .join(mb.select(id_b), id_b, "left_anti"),
+            rnd,
+        )
+    else:
+        raise RuntimeError(
+            f"greedy_one_to_one did not converge in {max_rounds} rounds "
+            "(score-sorted chain? raise max_rounds)"
+        )
+    if not accepted:
+        return remaining.limit(0).select(id_a, id_b, score_col)
+    out = accepted[0]
+    for df in accepted[1:]:
+        out = out.unionByName(df)
+    return out.select(id_a, id_b, score_col)
