@@ -1136,6 +1136,19 @@ def _q103_greedy_linkage(spark, sf_dir):  # one-to-one: greedy fixpoint
     )
 
 
+def _q104_wjaccard_join(spark, sf_dir):  # cross-corpus weighted join
+    """wjaccard_join: IDF-weighted near-dup join BETWEEN two corpora
+    (doc_id parity split, mirroring q65) with ICWS weighted-MinHash
+    candidates. Oracle is exact ALL-PAIRS across the split — full
+    recall at the threshold, same attestation shape as q101."""
+    from resolve_spark.operators.dedup import wjaccard_join
+    d = _t(spark, sf_dir, "documents")
+    return wjaccard_join(
+        d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1),
+        "doc_id", "doc_id", threshold=0.6,
+    )
+
+
 def _q101_wjaccard_icws(spark, sf_dir):  # ICWS weighted-MinHash recall
     """tfidf_weighted_jaccard_pairs with the ICWS weighted-MinHash
     candidate pass ON (functions/icws.py, Ioffe 2010). The oracle is
@@ -2213,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_wjaccard_icws": _q101_wjaccard_icws,
         "q102_mutual_best": _q102_mutual_best,
         "q103_greedy_linkage": _q103_greedy_linkage,
+        "q104_wjaccard_join": _q104_wjaccard_join,
     }
     return {**second_half, **first_half}
 
@@ -3637,6 +3651,28 @@ def oracle_sql() -> dict[str, str]:
         # dataset needing >6 rounds shows up as extra oracle rows — a
         # LOUD hash mismatch, never silent agreement.
         "q103_greedy_linkage": _greedy_unrolled_sql(6),
+        # q104: exact all-pairs ACROSS the parity split (full-recall
+        # attestation for the ICWS-banded cross-corpus join); the idf
+        # CTEs are q101's — the union of the two sides IS documents
+        "q104_wjaccard_join": (
+            "WITH tok AS (SELECT doc_id, " + _TOKENS_SQL.format(c="text")
+            + " AS t FROM documents), "
+            "tw AS (SELECT doc_id, unnest(t) AS tok FROM tok), "
+            "n AS (SELECT count(*)::DOUBLE AS nd FROM documents), "
+            "wt AS (SELECT tok, round(1000000.0 * "
+            "ln(1 + (SELECT nd FROM n) / count(*)))::BIGINT AS w "
+            "FROM tw GROUP BY tok), "
+            "tww AS (SELECT doc_id, tw.tok, w FROM tw JOIN wt USING (tok)), "
+            "tot AS (SELECT doc_id, sum(w) AS W FROM tww GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "sum(a.w) AS iw FROM tww a JOIN tww b ON b.tok = a.tok "
+            "AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2) "
+            "SELECT id_a, id_b, wjaccard FROM ("
+            "SELECT id_a, id_b, "
+            "round(iw::DOUBLE / (ta.W + tb.W - iw), 6) AS wjaccard "
+            "FROM inter JOIN tot ta ON ta.doc_id = id_a "
+            "JOIN tot tb ON tb.doc_id = id_b) WHERE wjaccard >= 0.6"
+        ),
         # q101: NO candidate CTE — exact all-pairs weighted Jaccard.
         # Matching this oracle attests the ICWS pass delivers FULL
         # recall at the threshold, not recall-up-to-banding like q67.

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "q101_wjaccard_icws",
     "q102_mutual_best",
     "q103_greedy_linkage",
+    "q104_wjaccard_join",
 ]
 
 

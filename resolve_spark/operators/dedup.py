@@ -406,6 +406,112 @@ def minhash_join(
     )
 
 
+def wjaccard_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_text: str = "text",
+    right_text: str = "text",
+    threshold: float = 0.6,
+    icws_hashes: int = 64,
+    icws_bands: int = 32,
+    idf_scale: int = 1_000_000,
+    max_pairs_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Cross-corpus IDF-weighted near-dup JOIN: (id_a, id_b, wjaccard)
+    between TWO tables — the weighted twin of :func:`minhash_join`, for
+    template-heavy corpora where raw Jaccard under-ranks pairs whose
+    similarity is carried by rare tokens (dedup-the-new-crawl case with
+    boilerplate differing between crawls).
+
+    IDF weights come from the UNION of both corpora (a token's rarity
+    is a property of the corpus PAIR, and symmetric weights keep
+    wjaccard symmetric); candidates come from ICWS weighted-MinHash
+    banding (functions/icws.py) whose collision probability is the
+    verified measure itself, so recall follows the weighted banding
+    curve — no unweighted-sketch recall ceiling. Every candidate is
+    exact-verified before emission.
+
+    Scale plan: one map-side-combinable df groupBy over the exploded
+    union; band keys explode linearly per side and meet in ONE
+    equi-join; hot band keys are purged by the overflow-exact
+    ``product_within_budget`` test (same discipline as minhash_join);
+    the verify equi-join is bounded by the candidate budget. ICWS
+    sketch cost is O(tokens x hashes) Arrow-batched floats per doc.
+    """
+    from resolve_spark.functions.icws import icws_band_keys_udf
+
+    la = left.select(F.col(left_id).alias("rid"), S.tokens(F.col(left_text)).alias("t"))
+    rb = right.select(F.col(right_id).alias("rid"), S.tokens(F.col(right_text)).alias("t"))
+    n_docs = left.count() + right.count()
+
+    def _tw(side: DataFrame) -> DataFrame:
+        return side.select("rid", F.explode("t").alias("tok"))
+
+    tw_a, tw_b = _tw(la), _tw(rb)
+    dfreq = tw_a.unionByName(tw_b).groupBy("tok").agg(F.count("*").alias("df"))
+    weights = dfreq.select(
+        "tok",
+        F.round(
+            F.lit(float(idf_scale))
+            * F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df"))
+        ).cast("long").alias("w"),
+    )
+    wk = icws_band_keys_udf(icws_hashes, icws_bands)
+
+    def _prep(tw: DataFrame):
+        tww = tw.join(weights, "tok")
+        tot = tww.groupBy("rid").agg(F.sum("w").alias("W"))
+        agg = (
+            tww.groupBy("rid")
+            .agg(F.sort_array(F.collect_list(F.struct("tok", "w"))).alias("s"))
+            .select(
+                "rid",
+                F.transform("s", lambda x: x["tok"]).alias("toks"),
+                F.transform("s", lambda x: x["w"]).alias("ws"),
+            )
+        )
+        keyed = agg.select(
+            "rid", F.explode(wk(F.col("toks"), F.col("ws"))).alias("bk")
+        )
+        return tww, tot, keyed
+
+    tww_a, tot_a, ka = _prep(tw_a)
+    tww_b, tot_b, kb = _prep(tw_b)
+    ka = ka.withColumnRenamed("rid", "id_a")
+    kb = kb.withColumnRenamed("rid", "id_b")
+    ok = (
+        ka.groupBy("bk").agg(F.count("*").alias("ca"))
+        .join(kb.groupBy("bk").agg(F.count("*").alias("cb")), "bk")
+        .where(product_within_budget(F.col("ca"), F.col("cb"), max_pairs_per_key))
+        .select("bk")
+    )
+    cand = (
+        ka.join(ok, "bk").join(kb, "bk")
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = (
+        cand
+        .join(tww_a.selectExpr("rid as id_a", "tok", "w"), "id_a")
+        .join(tww_b.selectExpr("rid as id_b", "tok"), ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("w").alias("iw"))
+    )
+    return (
+        inter.join(tot_a.selectExpr("rid as id_a", "W as wa"), "id_a")
+        .join(tot_b.selectExpr("rid as id_b", "W as wb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("iw") / (F.col("wa") + F.col("wb") - F.col("iw")), 6
+            ).alias("wjaccard"),
+        )
+        .where(F.col("wjaccard") >= threshold)
+    )
+
+
 def simhash_duplicates(
     df: DataFrame, id_col: str, content_col: str, max_hamming: int = 7,
     hash_impl: str = "fast",

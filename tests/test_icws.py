@@ -170,6 +170,24 @@ def test_planted_pair_missed_without_icws_found_with(spark, planted_corpus):
     assert base_pairs <= set(got)
 
 
+def test_wjaccard_join_finds_planted_cross_corpus_pair(spark, planted_corpus):
+    """Cross-corpus twin: doc 0 (template A + rare core) on the even
+    side, doc 1 (template B + rare core) on the odd side — found by the
+    ICWS-banded join, with every emitted pair exact-verified."""
+    from pyspark.sql import functions as F
+
+    from resolve_spark.operators.dedup import wjaccard_join
+
+    out = wjaccard_join(
+        planted_corpus.where(F.col("doc_id") % 2 == 0),
+        planted_corpus.where(F.col("doc_id") % 2 == 1),
+        "doc_id", "doc_id", threshold=0.6,
+    )
+    got = {(r["id_a"], r["id_b"]): r["wjaccard"] for r in out.collect()}
+    assert (0, 1) in got
+    assert all(v >= 0.6 for v in got.values())
+
+
 def test_icws_pass_is_deterministic_across_runs(spark, planted_corpus):
     from resolve_spark.operators.dedup import tfidf_weighted_jaccard_pairs
 
