@@ -51,6 +51,22 @@ def _dedup_pairs(pairs: DataFrame, id_a: str, id_b: str, score_col: str) -> Data
     return pairs.groupBy(id_a, id_b).agg(F.max(score_col).alias(score_col))
 
 
+def _mutual_best_deduped(
+    p: DataFrame, id_a: str, id_b: str, score_col: str
+) -> DataFrame:
+    """Mutual-best over pairs already unique per (id_a, id_b) — the
+    loop body of greedy_one_to_one, which dedups once up front and
+    must not pay the groupBy exchange again every round."""
+    wa = Window.partitionBy(id_a).orderBy(F.desc(score_col), F.asc(id_b))
+    wb = Window.partitionBy(id_b).orderBy(F.desc(score_col), F.asc(id_a))
+    return (
+        p.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rb", F.row_number().over(wb))
+        .where((F.col("_ra") == 1) & (F.col("_rb") == 1))
+        .select(id_a, id_b, score_col)
+    )
+
+
 def mutual_best_pairs(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -66,14 +82,8 @@ def mutual_best_pairs(
     makes iterating this operator reproduce sequential greedy matching
     (see module docstring). Deterministic for any input.
     """
-    p = _dedup_pairs(pairs, id_a, id_b, score_col)
-    wa = Window.partitionBy(id_a).orderBy(F.desc(score_col), F.asc(id_b))
-    wb = Window.partitionBy(id_b).orderBy(F.desc(score_col), F.asc(id_a))
-    return (
-        p.withColumn("_ra", F.row_number().over(wa))
-        .withColumn("_rb", F.row_number().over(wb))
-        .where((F.col("_ra") == 1) & (F.col("_rb") == 1))
-        .select(id_a, id_b, score_col)
+    return _mutual_best_deduped(
+        _dedup_pairs(pairs, id_a, id_b, score_col), id_a, id_b, score_col
     )
 
 
@@ -106,7 +116,7 @@ def greedy_one_to_one(
     remaining = _truncate(_dedup_pairs(pairs, id_a, id_b, score_col), 0)
     accepted: list[DataFrame] = []
     for rnd in range(1, max_rounds + 1):
-        mb = mutual_best_pairs(remaining, id_a, id_b, score_col)
+        mb = _mutual_best_deduped(remaining, id_a, id_b, score_col)
         mb = _truncate(mb, rnd)
         if mb.isEmpty():
             break
