@@ -2120,6 +2120,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # surfaced first this round to get the other half driver-attested.
     # Keys and semantics are unchanged; `tools/check_oracles.py` still
     # gates ALL entries every round regardless of order.
+    # round-6 additions lead: they have never been attested by any
+    # driver round, so they take the first 4 of the 50-row budget
+    new_ops = {
+        "q101_wjaccard_icws": _q101_wjaccard_icws,
+        "q102_mutual_best": _q102_mutual_best,
+        "q103_greedy_linkage": _q103_greedy_linkage,
+        "q104_wjaccard_join": _q104_wjaccard_join,
+    }
     first_half = {
         "q01_normalize_text": _q01_normalize_text,
         "q02_normalize_name": _q02_normalize_name,
@@ -2223,12 +2231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_cluster_stability": _q98_cluster_stability,
         "q99_fusion_conflicts": _q99_fusion_conflicts,
         "q100_budget_ledger": _q100_budget_ledger,
-        "q101_wjaccard_icws": _q101_wjaccard_icws,
-        "q102_mutual_best": _q102_mutual_best,
-        "q103_greedy_linkage": _q103_greedy_linkage,
-        "q104_wjaccard_join": _q104_wjaccard_join,
     }
-    return {**second_half, **first_half}
+    return {**new_ops, **second_half, **first_half}
 
 
 def _phonetic_sql(c: str) -> str:
