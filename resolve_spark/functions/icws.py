@@ -166,28 +166,54 @@ def icws_band_keys_udf(num_hashes: int = 64, bands: int = 32, seed: int = 42):
     """
     assert num_hashes % bands == 0
     hash_cache: dict[str, int] = {}
+    hcols = np.arange(num_hashes)
 
     @pandas_udf(ArrayType(StringType()))
     def keys(tokens: pd.Series, weights: pd.Series) -> pd.Series:
+        # One draw matrix per UNIQUE token in the Arrow batch: tokens
+        # recur heavily across documents (that is what IDF weighting
+        # is about), and the r/c/b draws depend only on (token, seed),
+        # so per-doc recomputation would redo the same splitmix64 +
+        # log work uniq-to-total-ratio times over.
+        uniq: dict[str, int] = {}
+        for toks in tokens:
+            if toks is None:
+                continue
+            for t in toks:
+                if t not in uniq:
+                    uniq[t] = len(uniq)
+        if uniq:
+            if len(hash_cache) > _HASH_CACHE_MAX:
+                hash_cache.clear()
+            th = np.empty(len(uniq), dtype=np.uint64)
+            for t, i in uniq.items():
+                hv = hash_cache.get(t)
+                if hv is None:
+                    hv = token_hash64(t, seed)
+                    hash_cache[t] = hv
+                th[i] = hv
+            u = _uniforms_np(th, num_hashes)  # (n_uniq, H, 5)
+            r = -np.log(u[:, :, 0] * u[:, :, 1])
+            lnc = np.log(-np.log(u[:, :, 2] * u[:, :, 3]))
+            b = u[:, :, 4]
+
         out = []
         for toks, ws in zip(tokens, weights):
             if toks is None or len(toks) == 0:
                 out.append([])
                 continue
             toks = list(toks)
-            if len(hash_cache) > _HASH_CACHE_MAX:
-                hash_cache.clear()
-            th = np.empty(len(toks), dtype=np.uint64)
-            for i, t in enumerate(toks):
-                hv = hash_cache.get(t)
-                if hv is None:
-                    hv = token_hash64(t, seed)
-                    hash_cache[t] = hv
-                th[i] = hv
+            idx = np.fromiter(
+                (uniq[t] for t in toks), dtype=np.int64, count=len(toks)
+            )
             w = np.asarray(ws, dtype=np.float64)
             # weights must be positive for ln; guard 0/NULL to 1
             w = np.where(np.isfinite(w) & (w > 0), w, 1.0)
-            kstar, tstar = icws_samples_np(th, w, num_hashes)
+            ri, bi = r[idx], b[idx]
+            t_mat = np.floor(np.log(w)[:, None] / ri + bi)
+            lna = lnc[idx] - ri * (t_mat - bi) - ri
+            kstar = np.argmin(lna, axis=0)
+            tstar = t_mat[kstar, hcols]
             out.append(band_keys_from_samples(toks, kstar, tstar, bands))
         return pd.Series(out)
 
