@@ -1647,6 +1647,12 @@ def _q84_scored(spark, sf_dir):
             F.lit("cont"), (F.col("ca") == F.col("cb")).cast("double"),
         ).alias("field_scores"),
     )
+    # materialize the scored pairs ONCE: the EM contingency collect and
+    # the downstream consumer (q84 pattern agg / q90 TakeOrdered) would
+    # otherwise each re-run the brand join + levenshtein scoring —
+    # measured 10.6s -> ~5s for q90 at sf0.1. localCheckpoint (not
+    # persist) so there is no pin to leak across the driver's queries.
+    edges = edges.localCheckpoint()
     scored, _params = fs_posterior_edges(
         edges, ["name", "size", "cont"], agree_at=0.7, iterations=3
     )
