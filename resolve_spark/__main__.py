@@ -96,6 +96,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--conflicts-out", dest="conflicts_out", default=None,
                     help="fuse: also write the per-field conflict report "
                          "(data-steward queue) to this parquet path")
+    ap.add_argument("--unique", action="store_true",
+                    help="match (batch): enforce the one-to-one mapping "
+                         "constraint of classical record linkage — each "
+                         "query and each store record matched at most "
+                         "once, greedy by score (operators/assignment.py)")
     args = ap.parse_args(argv)
 
     threshold = args.threshold
@@ -236,8 +241,18 @@ def main(argv: list[str] | None = None) -> int:
             list(cfg.specs), entity_id=cfg.id_col,
             limit=args.limit, threshold=threshold,
         )
+        if args.unique:
+            # one-to-one post-assignment: keep each (query, store) row
+            # only if the greedy matching selected that exact pair
+            from resolve_spark.operators.assignment import greedy_one_to_one
+            chosen = greedy_one_to_one(
+                out.select("query_id", "match_id", "score"),
+                id_a="query_id", id_b="match_id",
+            ).select("query_id", "match_id")
+            out = out.join(chosen, ["query_id", "match_id"])
         out.write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"matches": out.count(), "out": args.out}))
+        print(json.dumps({"matches": out.count(), "out": args.out,
+                          "unique": bool(args.unique)}))
 
     elif args.verb == "recompute-clusters":
         # B3 parity: re-derive blocking keys over the whole store

@@ -109,6 +109,19 @@ def test_cli_ingest_then_match_files_config(spark, tmp_path):
     got = spark.read.parquet(out)
     assert {"query_id", "match_id", "score", "rank"} <= set(got.columns)
 
+    # --unique: the one-to-one constraint holds and only prunes rows
+    uout = str(tmp_path / "match_unique")
+    ures = _run_cli("match", "--input", qs, "--store", store,
+                    "--out", uout, "--threshold", "0.7", "--unique")
+    assert ures["unique"] is True
+    uniq = spark.read.parquet(uout).collect()
+    assert 0 < len(uniq) <= res["matches"]
+    assert len({r["query_id"] for r in uniq}) == len(uniq)
+    assert len({r["match_id"] for r in uniq}) == len(uniq)
+    base_pairs = {(r["query_id"], r["match_id"])
+                  for r in spark.read.parquet(out).collect()}
+    assert {(r["query_id"], r["match_id"]) for r in uniq} <= base_pairs
+
 
 def test_cli_json_ingest_and_text_match(spark, tmp_path):
     """The reference CLI's file shapes end-to-end: `-ingest` of the
