@@ -188,6 +188,77 @@ def test_wjaccard_join_finds_planted_cross_corpus_pair(spark, planted_corpus):
     assert all(v >= 0.6 for v in got.values())
 
 
+words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+     "theta", "iota", "kappa", "lam", "mu"]
+)
+doc_strategy = st.lists(words, min_size=1, max_size=8).map(" ".join)
+
+
+@pytest.mark.slow
+@given(
+    left=st.lists(doc_strategy, min_size=1, max_size=5),
+    right=st.lists(doc_strategy, min_size=1, max_size=5),
+)
+@settings(max_examples=10, deadline=None)
+def test_wjaccard_join_matches_pure_python_model(spark, left, right):
+    """Differential: wjaccard_join vs a direct Python implementation of
+    union-idf weighted Jaccard. Threshold 0.9 makes the ICWS banding
+    miss probability ~(1 - 0.81)^32 ~ 1e-23, so the operator's result
+    is exact in practice; pairs within 2e-6 of the cutoff are excluded
+    from the strict set comparison (libm ln rounding can differ by an
+    ulp between engines on the idf weights)."""
+    import math
+
+    from resolve_spark.operators.dedup import wjaccard_join
+
+    def toks(s):
+        out, seen = [], set()
+        for t in s.lower().split():
+            if t and t not in seen:
+                seen.add(t)
+                out.append(t)
+        return out
+
+    docs = [("L", i, t) for i, t in enumerate(left)] + [
+        ("R", i, t) for i, t in enumerate(right)
+    ]
+    n = len(docs)
+    df_count = {}
+    for _, _, t in docs:
+        for tok in toks(t):
+            df_count[tok] = df_count.get(tok, 0) + 1
+    w = {
+        tok: round(1_000_000 * math.log(1 + n / d))
+        for tok, d in df_count.items()
+    }
+    want, near = set(), set()
+    for i, lt in enumerate(left):
+        for j, rt in enumerate(right):
+            a, b = set(toks(lt)), set(toks(rt))
+            iw = sum(w[t] for t in a & b)
+            if iw == 0:
+                continue
+            wa, wb = sum(w[t] for t in a), sum(w[t] for t in b)
+            wj = round(iw / (wa + wb - iw), 6)
+            if abs(wj - 0.9) <= 2e-6:
+                near.add((i, j))
+            elif wj >= 0.9:
+                want.add((i, j))
+
+    ldf = spark.createDataFrame(
+        [(i, t) for _, i, t in docs if _ == "L"], "id long, text string"
+    )
+    rdf = spark.createDataFrame(
+        [(i, t) for _, i, t in docs if _ == "R"], "id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in wjaccard_join(ldf, rdf, "id", "id", threshold=0.9).collect()
+    }
+    assert want <= got <= (want | near), (sorted(want), sorted(got))
+
+
 def test_icws_pass_is_deterministic_across_runs(spark, planted_corpus):
     from resolve_spark.operators.dedup import tfidf_weighted_jaccard_pairs
 
