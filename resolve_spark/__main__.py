@@ -249,7 +249,12 @@ def main(argv: list[str] | None = None) -> int:
                 out.select("query_id", "match_id", "score"),
                 id_a="query_id", id_b="match_id",
             ).select("query_id", "match_id")
-            out = out.join(chosen, ["query_id", "match_id"])
+            # each surviving query has exactly ONE row now; its
+            # pre-assignment rank (2, 3, ...) would break rank==1
+            # consumers, so re-rank under the constraint
+            out = out.join(chosen, ["query_id", "match_id"]).withColumn(
+                "rank", F.lit(1)
+            )
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"matches": out.count(), "out": args.out,
                           "unique": bool(args.unique)}))
@@ -377,6 +382,15 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             fld, rule = part.split("=", 1)
             rules[fld.strip()] = rule.strip()
+        from resolve_spark.operators.fusion import _RULES
+        bad_rules = {f: r for f, r in rules.items() if r not in _RULES}
+        if bad_rules:
+            print(
+                f"unknown survivorship rule(s) {bad_rules}; "
+                f"valid: {sorted(_RULES)}",
+                file=sys.stderr,
+            )
+            return 2
         id_col = args.id or cfg.id_col
         entities = spark.read.parquet(args.input)
         clusters = spark.read.parquet(args.clusters)

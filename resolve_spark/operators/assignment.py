@@ -127,10 +127,16 @@ def greedy_one_to_one(
             rnd,
         )
     else:
-        raise RuntimeError(
-            f"greedy_one_to_one did not converge in {max_rounds} rounds "
-            "(score-sorted chain? raise max_rounds)"
-        )
+        # the loop exhausted max_rounds without observing an empty
+        # mutual-best set — but the LAST productive round may have
+        # consumed the final pairs, so non-convergence is decided by
+        # the remainder, not by the exit path (a chain needing exactly
+        # max_rounds productive rounds is a success)
+        if not remaining.isEmpty():
+            raise RuntimeError(
+                f"greedy_one_to_one did not converge in {max_rounds} rounds "
+                "(score-sorted chain? raise max_rounds)"
+            )
     if not accepted:
         return remaining.limit(0).select(id_a, id_b, score_col)
     out = accepted[0]

@@ -100,6 +100,29 @@ def ngram_jaccard_pairs(
     )
 
 
+def _icws_keyed(tww: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(rid, tok, w) -> (rid, bk) ICWS band keys — the ONE place the
+    sketch input is constructed (sort_array-pinned (toks, ws) pairing
+    so the sketch is deterministic across partitionings), shared by the
+    self-dedup pass and the cross-corpus join so the two paths can
+    never desynchronize on pinning or key layout."""
+    from resolve_spark.functions.icws import icws_band_keys_udf
+
+    wk = icws_band_keys_udf(num_hashes, bands)
+    agg = (
+        tww.groupBy("rid")
+        .agg(F.sort_array(F.collect_list(F.struct("tok", "w"))).alias("s"))
+        .select(
+            "rid",
+            F.transform("s", lambda x: x["tok"]).alias("toks"),
+            F.transform("s", lambda x: x["w"]).alias("ws"),
+        )
+    )
+    return agg.select(
+        "rid", F.explode(wk(F.col("toks"), F.col("ws"))).alias("bk")
+    )
+
+
 def tfidf_weighted_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -178,23 +201,7 @@ def tfidf_weighted_jaccard_pairs(
     pairs, _ = candidate_pairs(blocked, id_col, cfg, with_stats=False)
     cand = pairs.select("id_a", "id_b")
     if icws_hashes:
-        from resolve_spark.functions.icws import icws_band_keys_udf
-
-        # per-doc (tokens, weights) arrays, sort_array-pinned pairing so
-        # the sketch input is deterministic across partitionings
-        agg = (
-            tw.groupBy("rid")
-            .agg(F.sort_array(F.collect_list(F.struct("tok", "w"))).alias("s"))
-            .select(
-                "rid",
-                F.transform("s", lambda x: x["tok"]).alias("toks"),
-                F.transform("s", lambda x: x["w"]).alias("ws"),
-            )
-        )
-        wk = icws_band_keys_udf(icws_hashes, icws_bands)
-        keyed = agg.select(
-            "rid", F.explode(wk(F.col("toks"), F.col("ws"))).alias("bk")
-        )
+        keyed = _icws_keyed(tw, icws_hashes, icws_bands)
         ok = (
             keyed.groupBy("bk").agg(F.count("*").alias("c"))
             .where(comb2_exact(F.col("c")) <= F.lit(int(icws_max_pairs_per_key)))
@@ -440,11 +447,12 @@ def wjaccard_join(
     the verify equi-join is bounded by the candidate budget. ICWS
     sketch cost is O(tokens x hashes) Arrow-batched floats per doc.
     """
-    from resolve_spark.functions.icws import icws_band_keys_udf
-
     la = left.select(F.col(left_id).alias("rid"), S.tokens(F.col(left_text)).alias("t"))
     rb = right.select(F.col(right_id).alias("rid"), S.tokens(F.col(right_text)).alias("t"))
-    n_docs = left.count() + right.count()
+    # ONE pre-pass job for the corpus size (not a count() per side)
+    n_docs = (
+        la.select("rid").unionByName(rb.select("rid")).count()
+    )
 
     def _tw(side: DataFrame) -> DataFrame:
         return side.select("rid", F.explode("t").alias("tok"))
@@ -458,23 +466,10 @@ def wjaccard_join(
             * F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df"))
         ).cast("long").alias("w"),
     )
-    wk = icws_band_keys_udf(icws_hashes, icws_bands)
-
     def _prep(tw: DataFrame):
         tww = tw.join(weights, "tok")
         tot = tww.groupBy("rid").agg(F.sum("w").alias("W"))
-        agg = (
-            tww.groupBy("rid")
-            .agg(F.sort_array(F.collect_list(F.struct("tok", "w"))).alias("s"))
-            .select(
-                "rid",
-                F.transform("s", lambda x: x["tok"]).alias("toks"),
-                F.transform("s", lambda x: x["w"]).alias("ws"),
-            )
-        )
-        keyed = agg.select(
-            "rid", F.explode(wk(F.col("toks"), F.col("ws"))).alias("bk")
-        )
+        keyed = _icws_keyed(tww, icws_hashes, icws_bands)
         return tww, tot, keyed
 
     tww_a, tot_a, ka = _prep(tw_a)

@@ -71,6 +71,24 @@ def test_mutual_best_hand_case(spark):
     assert full == {(1, 1), (2, 2)}
 
 
+def test_exact_max_rounds_chain_succeeds(spark):
+    """A score-sorted chain accepts exactly ONE edge per round; a chain
+    needing exactly max_rounds productive rounds must SUCCEED (the
+    for-else previously required an extra empty round to break, so the
+    effective capacity was max_rounds-1 and a completed matching raised
+    'did not converge')."""
+    chain = [(1, 1, 100), (2, 1, 99), (2, 2, 98), (3, 2, 97), (3, 3, 96)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long, score long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in greedy_one_to_one(df, max_rounds=3).collect()
+    }
+    assert got == {(1, 1), (2, 2), (3, 3)}
+    # and a genuinely insufficient budget still fails loud
+    with pytest.raises(RuntimeError, match="did not converge"):
+        greedy_one_to_one(df, max_rounds=2).collect()
+
+
 def test_one_to_one_constraint_and_determinism(spark):
     import random
 

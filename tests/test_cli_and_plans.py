@@ -118,6 +118,8 @@ def test_cli_ingest_then_match_files_config(spark, tmp_path):
     assert 0 < len(uniq) <= res["matches"]
     assert len({r["query_id"] for r in uniq}) == len(uniq)
     assert len({r["match_id"] for r in uniq}) == len(uniq)
+    # re-ranked under the constraint: one row per query, always rank 1
+    assert all(r["rank"] == 1 for r in uniq)
     base_pairs = {(r["query_id"], r["match_id"])
                   for r in spark.read.parquet(out).collect()}
     assert {(r["query_id"], r["match_id"]) for r in uniq} <= base_pairs
@@ -423,3 +425,13 @@ def test_cli_fuse_rejects_bad_rules(tmp_path):
     )
     assert proc.returncode == 2
     assert "field=rule" in proc.stderr
+    # unknown rule NAME gets the same clean exit-2 path as a format
+    # error, not a ValueError traceback from fuse_clusters
+    proc = subprocess.run(
+        [sys.executable, "-m", "resolve_spark", "fuse", "--input", "x",
+         "--clusters", "y", "--out", "z", "--rules", "name=longset",
+         "--master", "local[2]"],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 2
+    assert "unknown survivorship rule" in proc.stderr

@@ -39,25 +39,14 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def stage(sf_dir: str, k: int, pairs_path: str, docs_path: str) -> dict:
-    from resolve_spark.functions import similarity as S
+    import __spark_entry__ as entrymod
     from resolve_spark.session import build_session
 
     spark = build_session(app_name="scale_assign_stage", shuffle_partitions=64)
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(
-        F.col("p_partkey") % 5 == 0
-    )
-    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("na"),
-                 F.col("p_brand").alias("brand"))
-    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("nb"),
-                 F.col("p_brand").alias("brand"))
-    base = (
-        a.join(b, "brand").where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.round(S.levenshtein_similarity(F.col("na"), F.col("nb")), 6)
-            .alias("score"),
-        )
-        .where(F.col("score") >= 0.5)
+    # the CANONICAL q04 workload (the q102/q103 input), not a copy — if
+    # the entry workload changes, the probe keeps measuring it
+    base = entrymod._q04_levenshtein_pairs(spark, sf_dir).withColumnRenamed(
+        "lev_sim", "score"
     )
     reps = spark.range(k).select(F.col("id").alias("rep"))
     off = F.col("rep") * F.lit(1_000_000_000)
