@@ -46,7 +46,19 @@ from resolve_spark.sources import tables as T
 # ---------------------------------------------------------------------------
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read a base table, spread across the cluster.
+
+    r7: the testdata parquet files are single-row-group, so their scans
+    produce 1-2 splits and every downstream map-side stage — including
+    the probe side of broadcast self-joins, where pair generation
+    explodes 3-4 orders of magnitude — otherwise runs on 1-2 of N cores
+    (observed: q84's 50M-pair brand join ran as ONE task). A round-robin
+    repartition to the default parallelism after the scan parallelizes
+    every such stage; filters/pruning still push through the exchange to
+    the scan (guide §2.6, §6.1). Partition count derives from the
+    session (local[N] -> N), never a constant."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 _STOP_SQL = "(" + ",".join(f"'{w}'" for w in N.STOPWORDS) + ")"
@@ -350,21 +362,20 @@ def _q12_connected_components(spark, sf_dir):  # G3 transitive closure
 
 
 def _q13_embedding_topk(spark, sf_dir):  # similarity search: brute-force cosine top-k
-    from pyspark.sql import Window
+    # r7: same exact top-3 (cos rounded half-up to 4 BEFORE ranking,
+    # ties to the smaller cand_id), computed as one BLAS matmul per
+    # Arrow batch with per-task partial top-k instead of a 2-task
+    # cross join evaluating nq*n interpreted zip_with/aggregate
+    # cosines (guide §4.2; the old plan ran on <=2 scan partitions).
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb")
     )
-    cand = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
-    return (
-        q.crossJoin(cand)
-        .where(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cos", F.round(cosine_similarity_native(F.col("qv"), F.col("cv")), 4))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 3)
-        .select("query_id", "cand_id", "cos", "rk")
-    )
+    cand = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("emb"))
+    return ANN.cosine_topk_matmul(
+        q, cand, k=3, query_id="query_id", cand_id="cand_id", vec="emb",
+        round_to=4, exclude_self=True,
+    ).select("query_id", "cand_id", "cos", "rk")
 
 
 def _q14_entity_count(spark, sf_dir):  # S9
@@ -1620,12 +1631,21 @@ def _q83_tf_weights(spark, sf_dir):  # Winkler/Splink TF adjustment
     ).orderBy("field", "value")
 
 
-def _q84_scored(spark, sf_dir):
-    """Shared q84/q90 scored-pair stream: brand-blocked part pairs,
-    field_scores map (lev name sim / size equality / type equality),
-    binarized at 0.7 and EM-fit (3 iterations) via fs_posterior_edges."""
-    from resolve_spark.operators.fellegi_sunter import fs_posterior_edges
+def _q84_indicators(spark, sf_dir):
+    """Shared q84/q90 pair stream: brand-blocked part pairs with the
+    three 0/1 agreement indicators as NATIVE ints (id_a, id_b, g_name,
+    g_size, g_cont).
 
+    r7 (guide §2.3): the indicators are produced directly instead of
+    binarizing a map<string,double> of similarities afterwards — the
+    50M-row (at sf1.0) pair stream then carries 5 small ints instead of
+    a 3-entry string-keyed map, and no multi-GB localCheckpoint of the
+    map column is needed. g_name uses the exact integer form of
+    levenshtein_similarity >= 0.7: 1 - d/M >= 0.7  <=>  10*d <= 3*M
+    (d, M ints, M <= ~55, so the rational d/M is never within 1/(10*M)
+    of the 0.3 cut except at exact equality, where IEEE division of
+    3k/10k rounds to the same double as the 0.3/0.7 literals — proven
+    equivalent in tests/test_entry_contract.py)."""
     p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 4 == 0)
     a = p.select(
         F.col("p_partkey").alias("id_a"), F.col("p_name").alias("na"),
@@ -1638,38 +1658,47 @@ def _q84_scored(spark, sf_dir):
         F.col("p_brand").alias("brand"),
     )
     pairs = a.join(b, "brand").where(F.col("id_a") < F.col("id_b"))
-    edges = pairs.select(
+    g_name = (
+        F.lit(10) * F.levenshtein(F.col("na"), F.col("nb"))
+        <= F.lit(3) * F.greatest(F.length("na"), F.length("nb"))
+    )
+    return pairs.select(
         "id_a",
         "id_b",
-        F.create_map(
-            F.lit("name"), S.levenshtein_similarity(F.col("na"), F.col("nb")),
-            F.lit("size"), (F.col("sa") == F.col("sb")).cast("double"),
-            F.lit("cont"), (F.col("ca") == F.col("cb")).cast("double"),
-        ).alias("field_scores"),
+        g_name.cast("int").alias("g_name"),
+        (F.col("sa") == F.col("sb")).cast("int").alias("g_size"),
+        (F.col("ca") == F.col("cb")).cast("int").alias("g_cont"),
     )
-    # materialize the scored pairs ONCE: the EM contingency collect and
-    # the downstream consumer (q84 pattern agg / q90 TakeOrdered) would
-    # otherwise each re-run the brand join + levenshtein scoring —
-    # measured 10.6s -> ~5s for q90 at sf0.1. localCheckpoint (not
-    # persist) so there is no pin to leak across the driver's queries.
-    edges = edges.localCheckpoint()
-    scored, _params = fs_posterior_edges(
-        edges, ["name", "size", "cont"], agree_at=0.7, iterations=3
-    )
-    return scored
 
 
 def _q84_fs_posterior(spark, sf_dir):  # unsupervised edge posterior
     """fs_posterior_edges end-to-end: a scored pair stream (brand-
-    blocked part pairs with a field_scores map of levenshtein name sim
-    + size/type equality) binarized at agree_at=0.7, EM-fit (3
-    iterations), posterior attached as the native literal CASE column.
-    Output = the observed pattern table with n_pairs and the learned
-    match_probability; the oracle replays the identical EM + posterior
-    (same left-to-right products; 6-dp rounding)."""
-    scored = _q84_scored(spark, sf_dir)
-    out = scored.groupBy("g_name", "g_size", "g_cont", "match_probability").agg(
-        F.count(F.lit(1)).alias("n_pairs")
+    blocked part pairs with levenshtein name sim + size/type equality
+    indicators) binarized at agree_at=0.7, EM-fit (3 iterations),
+    posterior attached. Output = the observed pattern table with
+    n_pairs and the learned match_probability; the oracle replays the
+    identical EM + posterior (same left-to-right products; 6-dp
+    rounding). r7: the pattern table is aggregated from the pair
+    stream exactly ONCE (map-side-combinable groupBy to <= 8 rows); EM
+    and the posterior run driver-side on that table, identical
+    arithmetic (estimate_fs_from_counts), instead of a second full
+    pass re-deriving the posterior per pair."""
+    from resolve_spark.operators.fellegi_sunter import estimate_fs_from_counts
+
+    g = _q84_indicators(spark, sf_dir)
+    g_cols = ["g_name", "g_size", "g_cont"]
+    rows = g.groupBy(*g_cols).agg(F.count(F.lit(1)).alias("n_pairs")).collect()
+    params = estimate_fs_from_counts(
+        rows, g_cols, count_col="n_pairs", iterations=3
+    )
+    out = spark.createDataFrame(
+        [
+            (r["g_name"], r["g_size"], r["g_cont"], r["n_pairs"],
+             params.posterior((r["g_name"], r["g_size"], r["g_cont"])))
+            for r in rows
+        ],
+        "g_name int, g_size int, g_cont int, n_pairs bigint, "
+        "match_probability double",
     )
     return out.select(
         "g_name", "g_size", "g_cont", "n_pairs",
@@ -1701,9 +1730,15 @@ def _q85_fs_levels(spark, sf_dir):  # multi-level comparison vectors
         (F.col("p_brand_a") == F.col("p_brand_b"))
         & (F.col("p_partkey_a") < F.col("p_partkey_b")),
     )
-    s = S.levenshtein_similarity(F.col("p_name_a"), F.col("p_name_b"))
+    # r7: the two levenshtein_similarity bands in exact integer form
+    # (1 - d/M >= t  <=>  20*d <= (1-t)*20*M for t in {0.85, 0.65};
+    # same boundary argument as _q84_indicators, covered by tests)
+    d = F.levenshtein(F.col("p_name_a"), F.col("p_name_b"))
+    M = F.greatest(F.length("p_name_a"), F.length("p_name_b"))
+    d20 = F.lit(20) * d
     g = pr.select(
-        F.when(s >= 0.85, 2).when(s >= 0.65, 1).otherwise(0).alias("g_name"),
+        F.when(d20 <= F.lit(3) * M, 2).when(d20 <= F.lit(7) * M, 1)
+        .otherwise(0).alias("g_name"),
         F.when(F.col("p_size_a") == F.col("p_size_b"), 2)
         .when(F.abs(F.col("p_size_a") - F.col("p_size_b")) <= 2, 1)
         .otherwise(0)
@@ -1803,9 +1838,21 @@ def _q90_uncertainty_sample(spark, sf_dir):  # active-learning queue
     label buys the most. Total order (|p-0.5|, id_a, id_b) makes the
     selection deterministic; Catalyst compiles it to
     TakeOrderedAndProject (no global sort)."""
+    from resolve_spark.operators.fellegi_sunter import (
+        estimate_fs_from_counts,
+        fs_match_probability,
+    )
     from resolve_spark.operators.sampling import uncertainty_sample
 
-    scored = _q84_scored(spark, sf_dir)
+    # r7: one narrow-int pass builds the indicators; localCheckpoint the
+    # 5-int rows (not the old map<string,double> stream) so the EM
+    # contingency collect and the TakeOrdered below share the pair scan
+    # instead of each re-running the brand join + levenshtein.
+    g = _q84_indicators(spark, sf_dir).localCheckpoint()
+    g_cols = ["g_name", "g_size", "g_cont"]
+    rows = g.groupBy(*g_cols).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    params = estimate_fs_from_counts(rows, g_cols, iterations=3)
+    scored = g.withColumn("match_probability", fs_match_probability(params))
     out = uncertainty_sample(
         scored.select(
             "id_a", "id_b", "g_name", "g_size", "g_cont", "match_probability"
@@ -1935,8 +1982,15 @@ def _q94_pprl_clk(spark, sf_dir):  # privacy-preserving linkage (CLK/Dice)
     is a pure per-row projection; Dice = 2|A∩B|/(|A|+|B|) over the
     position sets is exact-int arithmetic until one double division
     (round 6 in both engines, filtered on the rounded value)."""
-    from resolve_spark.functions.pprl import clk_dice, clk_positions
+    from resolve_spark.functions.pprl import clk_positions
 
+    # r7: the m=512 position SET is packed once per record into 8 long
+    # words (positions are distinct ints in [0,512), so popcounts over
+    # the packed words are exactly |A∩B|); the 32M-pair (sf1.0) brand
+    # join then compares 8 codegen'd bit_and/bit_count terms per pair
+    # instead of hash-building a ~140-element array_intersect per pair.
+    # Same ints -> the same 2|A∩B|/(|A|+|B|) double as clk_dice.
+    n_words = 512 // 64
     p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 5 == 0)
     enc = p.select(
         F.col("p_partkey").alias("rid"),
@@ -1944,14 +1998,37 @@ def _q94_pprl_clk(spark, sf_dir):  # privacy-preserving linkage (CLK/Dice)
         clk_positions(
             F.col("p_name"), m=512, k=4, q=2, hash_impl="portable"
         ).alias("clk"),
+    ).select(
+        "rid",
+        "brand",
+        F.size("clk").alias("n"),
+        *[
+            F.expr(
+                f"aggregate(filter(clk, p -> p div 64 = {i}), 0L, "
+                "(acc, p) -> acc | shiftleft(1L, cast(p % 64 as int)))"
+            ).alias(f"w{i}")
+            for i in range(n_words)
+        ],
     )
-    a = enc.select(F.col("rid").alias("id_a"), "brand", F.col("clk").alias("ca"))
-    b = enc.select(F.col("rid").alias("id_b"), "brand", F.col("clk").alias("cb"))
+    a = enc.select(
+        F.col("rid").alias("id_a"), "brand", F.col("n").alias("na"),
+        *[F.col(f"w{i}").alias(f"wa{i}") for i in range(n_words)],
+    )
+    b = enc.select(
+        F.col("rid").alias("id_b"), "brand", F.col("n").alias("nb"),
+        *[F.col(f"w{i}").alias(f"wb{i}") for i in range(n_words)],
+    )
     pairs = a.join(b, "brand").where(F.col("id_a") < F.col("id_b"))
+    inter = sum(
+        F.bit_count(F.col(f"wa{i}").bitwiseAND(F.col(f"wb{i}")))
+        for i in range(1, n_words)
+    ) + F.bit_count(F.col("wa0").bitwiseAND(F.col("wb0")))
     out = pairs.select(
         "id_a",
         "id_b",
-        F.round(clk_dice(F.col("ca"), F.col("cb")), 6).alias("clk_dice"),
+        F.round(
+            (F.lit(2) * inter) / (F.col("na") + F.col("nb")), 6
+        ).alias("clk_dice"),
     )
     return out.where(F.col("clk_dice") >= 0.5)
 

@@ -235,6 +235,121 @@ def tfidf_weighted_jaccard_pairs(
     )
 
 
+#: fast-path gate for containment_pairs: all-pairs over DISTINCT token
+#: sets is used only while C(n_sets, 2) stays under this (the cross
+#: product is pure codegen bit ops, so 2e8 evaluations are seconds of
+#: cluster time); beyond it the PPJoin prefix filter remains the plan.
+_CONTAIN_SET_PAIR_BUDGET = 200_000_000
+
+
+def _containment_pairs_small_vocab(toks: DataFrame, threshold_pct: int):
+    """Exact containment join, small-vocabulary formulation — or None
+    when the data does not qualify.
+
+    When the corpus vocabulary fits one machine word (<= 64 distinct
+    tokens) every token SET is a bitmask, and containment depends only
+    on the set, not the document. So: dedupe documents to distinct
+    sorted token sets (set_id = min rid), compare DISTINCT SETS
+    all-pairs with bit_and/bit_count (pure whole-stage codegen — no
+    candidate-generation join, no shuffle of a 1e8-row token-pair
+    stream, no per-pair array_intersect), and expand qualifying set
+    pairs back to document pairs with two equi-joins on set_id.
+
+    Same output as the PPJoin path by construction: both are exact
+    (prefix filtering has exact recall; all-pairs trivially so) and the
+    verify inequality 100*overlap >= t*min(n_a, n_b) plus the rounded
+    containment double are computed from identical integers. Guarded by
+    _CONTAIN_SET_PAIR_BUDGET so the quadratic-in-distinct-sets cross
+    product can never run away on diverse corpora (guide §1.2: change
+    the algorithm only where the data supports it, measured at runtime
+    from two O(corpus) aggregates)."""
+    spark = toks.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    ts = toks.select("rid", F.array_sort("t").alias("ts"), F.size("t").alias("m"))
+    vocab = ts.select(F.explode("ts").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    vrows = vocab.select("tok").orderBy("tok").limit(65).collect()
+    if len(vrows) > 64:
+        return None
+    pos = {r["tok"]: i for i, r in enumerate(vrows)}
+    sets = (
+        ts.groupBy("ts")
+        .agg(F.min("rid").alias("sid"))
+        .select(
+            "sid",
+            "ts",
+            F.size("ts").alias("n"),
+            F.aggregate(
+                F.transform(
+                    "ts",
+                    lambda t: F.element_at(
+                        F.map_from_arrays(
+                            F.array(*[F.lit(k) for k in pos]),
+                            F.array(
+                                # bit 63 is the sign bit: wrap to the
+                                # negative long with the same bit pattern
+                                *[F.lit((1 << v) - (1 << 64 if v == 63 else 0))
+                                  .cast("long") for v in pos.values()]
+                            ),
+                        ),
+                        t,
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc.bitwiseOR(x),
+            ).alias("mask"),
+        )
+    )
+    n_sets = sets.count()
+    if n_sets * (n_sets - 1) // 2 > _CONTAIN_SET_PAIR_BUDGET:
+        return None
+    member = ts.select("rid", "ts").join(
+        sets.select("sid", "ts"), "ts"
+    ).select("rid", "sid")
+    sa = sets.select(
+        F.col("sid").alias("_sa"), F.col("n").alias("_na"),
+        F.col("mask").alias("_ma"),
+    ).repartition(par)
+    sb = F.broadcast(
+        sets.select(
+            F.col("sid").alias("_sb"), F.col("n").alias("_nb"),
+            F.col("mask").alias("_mb"),
+        )
+    )
+    ov = F.bit_count(F.col("_ma").bitwiseAND(F.col("_mb")))
+    qual = (
+        sa.join(sb, F.col("_sa") <= F.col("_sb"))
+        .where(
+            100 * ov >= threshold_pct * F.least(F.col("_na"), F.col("_nb"))
+        )
+        .select("_sa", "_sb", ov.alias("_ov"), "_na", "_nb")
+    )
+    cross = (
+        qual.where(F.col("_sa") != F.col("_sb"))
+        .join(member.select(F.col("sid").alias("_sa"), F.col("rid").alias("_x")), "_sa")
+        .join(member.select(F.col("sid").alias("_sb"), F.col("rid").alias("_y")), "_sb")
+    )
+    within = (
+        qual.where(F.col("_sa") == F.col("_sb"))
+        .join(member.select(F.col("sid").alias("_sa"), F.col("rid").alias("_x")), "_sa")
+        .join(member.select(F.col("sid").alias("_sb"), F.col("rid").alias("_y")), "_sb")
+        .where(F.col("_x") < F.col("_y"))
+    )
+    lo_is_x = F.col("_x") < F.col("_y")
+    out = cross.unionByName(within).select(
+        F.least("_x", "_y").alias("id_a"),
+        F.greatest("_x", "_y").alias("id_b"),
+        F.col("_ov").alias("overlap"),
+        F.when(lo_is_x, F.col("_na")).otherwise(F.col("_nb")).alias("n_a"),
+        F.when(lo_is_x, F.col("_nb")).otherwise(F.col("_na")).alias("n_b"),
+    )
+    return out.withColumn(
+        "containment",
+        F.round(F.col("overlap") / F.least(F.col("n_a"), F.col("n_b")), 6),
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,
@@ -280,6 +395,10 @@ def containment_pairs(
     toks = df.select(
         F.col(id_col).alias("rid"), S.tokens(F.col(content_col)).alias("t")
     ).where(F.size("t") > 0)
+    if max_token_df is None:
+        fast = _containment_pairs_small_vocab(toks, threshold_pct)
+        if fast is not None:
+            return fast
     stream = toks.select("rid", F.size("t").alias("m"), F.explode("t").alias("tok"))
     dfreq = stream.groupBy("tok").agg(F.count("*").alias("dfq"))
     ranked = stream.join(dfreq, "tok").withColumn(

@@ -91,6 +91,27 @@ def estimate_fs(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
+    return estimate_fs_from_counts(
+        counts, agreement_cols, count_col="cnt", iterations=iterations,
+        init_lambda=init_lambda, init_m=init_m, init_u=init_u,
+    )
+
+
+def estimate_fs_from_counts(
+    counts,
+    agreement_cols: list[str],
+    count_col: str = "cnt",
+    iterations: int = 20,
+    init_lambda: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> FSParams:
+    """EM over an ALREADY-AGGREGATED pattern contingency table (a list
+    of Rows/dicts with the agreement columns + ``count_col``). Lets a
+    caller that also needs the pattern table as OUTPUT aggregate the
+    pair stream exactly once (one map-side-combinable groupBy) instead
+    of once for EM and once for the result. Arithmetic is identical to
+    :func:`estimate_fs` (same sorted-pattern order, same clips)."""
     for r in counts:
         for c in agreement_cols:
             if r[c] is None:
@@ -101,7 +122,8 @@ def estimate_fs(
                 )
     # fixed pattern order => deterministic float accumulation
     patt = sorted(
-        (tuple(int(r[c]) for c in agreement_cols), int(r["cnt"])) for r in counts
+        (tuple(int(r[c]) for c in agreement_cols), int(r[count_col]))
+        for r in counts
     )
     total = sum(c for _, c in patt)
     if total == 0:
