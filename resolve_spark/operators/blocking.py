@@ -273,16 +273,53 @@ def minhash_band_keys_udf(
             dtype=np.int64,
         )
 
+        shingle_hash_cache: dict[str, int] = {}
+
         @pandas_udf(ArrayType(StringType()))
         def portable_keys(text: pd.Series) -> pd.Series:
-            out = []
+            from resolve_spark.functions.hashing import portable_hash60_py as h60
+
+            # r7 (guide §4.2/§4.5): one md5 per DISTINCT shingle in the
+            # batch (shingles recur heavily across documents), cached
+            # across batches in the reused worker, and ONE vectorized
+            # universal-hash matrix for the whole batch instead of a
+            # (64 x ~20) numpy call per document. Same hash values, so
+            # band keys are bit-identical to the per-doc formulation.
+            docs: list[list[int] | None] = []
+            uniq: dict[str, int] = {}
             for t in text:
-                x = _portable_shingle_hashes("" if t is None else t, shingle)
-                if x.size == 0:
+                toks = ("" if t is None else t).lower().split()
+                if not toks:
+                    docs.append(None)
+                    continue
+                if len(toks) < shingle:
+                    sh = {" ".join(toks)}
+                else:
+                    sh = {
+                        " ".join(toks[j : j + shingle])
+                        for j in range(len(toks) - shingle + 1)
+                    }
+                docs.append([uniq.setdefault(s, len(uniq)) for s in sh])
+            if uniq:
+                if len(shingle_hash_cache) > 2_000_000:
+                    shingle_hash_cache.clear()
+                x_all = np.empty(len(uniq), dtype=np.int64)
+                for s, i in uniq.items():
+                    hv = shingle_hash_cache.get(s)
+                    if hv is None:
+                        hv = h60(s)
+                        shingle_hash_cache[s] = hv
+                    x_all[i] = hv
+                # (num_hashes, n_uniq) — one exact int64 pass per batch
+                hv_all = universal_hash_split30_py(
+                    pa[:, None], pb[:, None], x_all[None, :]
+                )
+            out = []
+            for idx in docs:
+                if idx is None:
                     out.append([])
                     continue
-                hv = universal_hash_split30_py(pa[:, None], pb[:, None], x[None, :])
-                sig = hv.min(axis=1)
+                sig = hv_all[:, idx].min(axis=1)
                 row_keys = []
                 for band in range(bands):
                     chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]

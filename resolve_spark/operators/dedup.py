@@ -100,6 +100,113 @@ def ngram_jaccard_pairs(
     )
 
 
+def _small_vocab_wjaccard(
+    cand: DataFrame,
+    tww_a: DataFrame,
+    tww_b: DataFrame,
+    weights: DataFrame,
+    threshold: float,
+    dedup_after: bool = False,
+    broadcast_masks: bool = False,
+):
+    """Weighted-Jaccard verify, small-vocabulary formulation — or None
+    when the corpus vocabulary exceeds 64 tokens.
+
+    The exact verify needs, per candidate pair, iw = Σ w_t over shared
+    tokens and the per-doc weight totals. The generic plan is a
+    (candidate x token) equi-join + pair groupBy — O(candidates x
+    tokens/doc) shuffled rows (measured 1e9 rows / 110s of q104's 157s
+    at sf1.0). When every token fits one machine word, each doc is a
+    bitmask + a total, and iw is a 64-term codegen'd expression over
+    mask & mask — no join, no pair-key shuffle, same exact longs, so
+    the emitted (id_a, id_b, wjaccard) rows are identical by
+    construction. Guide §2.3/§2.4: replace the biggest shuffle with a
+    per-row expression when problem knowledge (bounded vocabulary,
+    checked at runtime from the weights table) allows it.
+
+    ``tww_*``: (rid, tok, w) streams (distinct tokens per rid);
+    ``cand``: (id_a, id_b). Returns the verified pair frame or None.
+
+    ``dedup_after``: run the pair dedup AFTER the threshold filter
+    instead of expecting pre-deduplicated candidates. Measured a net
+    LOSS on the bench corpus (q101 142s -> 350s at sf1.0): the corpus
+    is dup-dense, so most candidates pass the threshold and the
+    post-filter dedup aggregates nearly the full pre-dedup stream
+    (93M rows) instead of the 72.6M distinct one, with none of the
+    map-side reduction the early dedup gives the verify. Kept for
+    sparse-threshold callers; in-repo callers pass False.
+    """
+    vrows = weights.select("tok", "w").orderBy("tok").limit(65).collect()
+    if len(vrows) > 64:
+        return None
+    bit = {
+        r["tok"]: ((1 << i) - (1 << 64 if i == 63 else 0))
+        for i, r in enumerate(vrows)
+    }
+    wlit = [(bit[r["tok"]], int(r["w"])) for r in vrows]
+    bitmap = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in bit]),
+        F.array(*[F.lit(v).cast("long") for v in bit.values()]),
+    )
+
+    def masks(tww: DataFrame) -> DataFrame:
+        return tww.groupBy("rid").agg(
+            # tokens are distinct per rid, so the sum of disjoint bit
+            # values is the bitwise OR of the mask
+            F.sum(F.element_at(bitmap, F.col("tok"))).alias("_mask"),
+            F.sum("w").alias("_W"),
+        )
+
+    m_a = masks(tww_a)
+    m_b = m_a if tww_b is tww_a else masks(tww_b)
+    ma = m_a.selectExpr("rid as id_a", "_mask as _ma", "_W as _wa")
+    mb = m_b.selectExpr("rid as id_b", "_mask as _mb", "_W as _wb")
+    if broadcast_masks:
+        # planner size estimates for a groupBy-of-join subtree are too
+        # pessimistic to pick the broadcast itself, and a sort-merge
+        # attach would shuffle+sort the (much larger) candidate stream
+        # twice (observed: 2 SMJs over 93M rows). Callers assert the
+        # per-doc mask table is broadcast-sized (3 longs per doc).
+        ma, mb = F.broadcast(ma), F.broadcast(mb)
+    im = F.col("_ma").bitwiseAND(F.col("_mb"))
+    # weighted popcount via byte-indexed literal tables: one 256-entry
+    # partial-sum array per mask byte, iw = Σ element_at(T_k, byte_k+1).
+    # A 31-term CASE chain measured 1.2µs/row (87s over 72M pairs); the
+    # ~4 array lookups are ~20x cheaper and produce the identical exact
+    # long (tables are sums of the same weight literals).
+    n_bytes = (len(wlit) + 7) // 8
+    iw = None
+    for k in range(n_bytes):
+        tbl = []
+        for v in range(256):
+            s = 0
+            for j in range(8):
+                if (v >> j) & 1 and 8 * k + j < len(wlit):
+                    s += wlit[8 * k + j][1]
+            tbl.append(s)
+        idx = (
+            F.shiftright(im, 8 * k).bitwiseAND(F.lit(255)).cast("int")
+            + F.lit(1)
+        )
+        term = F.element_at(
+            F.array(*[F.lit(x).cast("long") for x in tbl]), idx
+        )
+        iw = term if iw is None else iw + term
+    out = (
+        cand.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                iw / (F.col("_wa") + F.col("_wb") - iw), 6
+            ).alias("wjaccard"),
+        )
+        .where(F.col("wjaccard") >= threshold)
+    )
+    return out.dropDuplicates(["id_a", "id_b"]) if dedup_after else out
+
+
 def _icws_keyed(tww: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(rid, tok, w) -> (rid, bk) ICWS band keys — the ONE place the
     sketch input is constructed (sort_array-pinned (toks, ws) pairing
@@ -118,9 +225,13 @@ def _icws_keyed(tww: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             F.transform("s", lambda x: x["w"]).alias("ws"),
         )
     )
+    # r7: consumed twice per side (band-size budget groupBy + candidate
+    # join) — pin the (rid, bk) rows (docs x bands, the same rows the
+    # band join shuffles anyway) so the collect_list + Arrow sketch UDF
+    # runs once per side instead of once per consumer.
     return agg.select(
         "rid", F.explode(wk(F.col("toks"), F.col("ws"))).alias("bk")
-    )
+    ).localCheckpoint()
 
 
 def tfidf_weighted_jaccard_pairs(
@@ -190,6 +301,12 @@ def tfidf_weighted_jaccard_pairs(
             * F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df"))
         ).cast("long").alias("w"),
     )
+    # r7: the (tok, w) weight table is consumed by every downstream
+    # branch (token-weight joins, per-doc totals, ICWS sketch input,
+    # the small-vocab probe) — without a pin each branch re-runs the
+    # full explode + groupBy. Vocabulary-sized, so the materialization
+    # is tiny relative to one recompute (guide §5 caching rule).
+    weights = weights.localCheckpoint()
     tw = tw.join(weights, "tok")
     tot = tw.groupBy("rid").agg(F.sum("w").alias("W"))
     cfg = BlockingConfig(
@@ -215,6 +332,10 @@ def tfidf_weighted_jaccard_pairs(
             .select("id_a", "id_b")
         )
         cand = cand.unionByName(wpairs).dropDuplicates(["id_a", "id_b"])
+    fast = _small_vocab_wjaccard(cand, tw, tw, weights, threshold,
+                                 broadcast_masks=n_docs <= 4_000_000)
+    if fast is not None:
+        return fast
     inter = (
         cand
         .join(tw.selectExpr("rid as id_a", "tok", "w"), "id_a")
@@ -585,6 +706,12 @@ def wjaccard_join(
             * F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df"))
         ).cast("long").alias("w"),
     )
+    # r7: the (tok, w) weight table is consumed by every downstream
+    # branch (token-weight joins, per-doc totals, ICWS sketch input,
+    # the small-vocab probe) — without a pin each branch re-runs the
+    # full explode + groupBy. Vocabulary-sized, so the materialization
+    # is tiny relative to one recompute (guide §5 caching rule).
+    weights = weights.localCheckpoint()
     def _prep(tw: DataFrame):
         tww = tw.join(weights, "tok")
         tot = tww.groupBy("rid").agg(F.sum("w").alias("W"))
@@ -606,6 +733,10 @@ def wjaccard_join(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    fast = _small_vocab_wjaccard(cand, tww_a, tww_b, weights, threshold,
+                                 broadcast_masks=n_docs <= 4_000_000)
+    if fast is not None:
+        return fast
     inter = (
         cand
         .join(tww_a.selectExpr("rid as id_a", "tok", "w"), "id_a")
