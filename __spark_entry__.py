@@ -693,18 +693,28 @@ def _q45_quota_sample(spark, sf_dir):  # exact per-stratum quota (n hash-smalles
 
 def _pair_customers(spark, sf_dir, max_gap: int = 2):
     """Deterministic customer self-pairs: same nation, custkey gap <= max_gap.
-    Shared scaffold for the composite-kernel queries q46/q47/q50/q51."""
+    Shared scaffold for the composite-kernel queries q46/q47/q50/q51.
+
+    r7 (guide §3.3): the a-side explodes on the exact partner offset
+    1..max_gap and the join is a pure equi-join on (nation, id_a + k =
+    id_b) — the old theta join on the 25-value nation key alone
+    evaluated the full 900M-row block cross product at sf1.0 to keep
+    ~0.03% of it. Identical row set by construction (0 < id_b - id_a
+    <= max_gap  <=>  id_b = id_a + k for exactly one k in 1..max_gap)."""
     c = _t(spark, sf_dir, "customer")
     a = c.select(F.col("c_custkey").alias("id_a"),
                  F.col("c_mktsegment").alias("seg_a"),
-                 F.col("c_nationkey").alias("nk"))
+                 F.col("c_nationkey").alias("nk"),
+                 F.explode(F.sequence(F.lit(1), F.lit(max_gap))).alias("_k"))
     c2 = _t(spark, sf_dir, "customer")
     b = c2.select(F.col("c_custkey").alias("id_b"),
                   F.col("c_mktsegment").alias("seg_b"),
-                  F.col("c_nationkey").alias("nk"))
-    return a.join(b, "nk").where(
-        (F.col("id_b") > F.col("id_a")) & (F.col("id_b") - F.col("id_a") <= max_gap)
-    )
+                  F.col("c_nationkey").alias("_nkb"))
+    return a.join(
+        b,
+        (F.col("nk") == F.col("_nkb"))
+        & (F.col("id_b") == F.col("id_a") + F.col("_k")),
+    ).drop("_k", "_nkb")
 
 
 def _q46_address_similarity(spark, sf_dir):  # F2 composite (oracled, new r4)
@@ -854,15 +864,20 @@ def _q50_vector_blend(spark, sf_dir):  # M5 (vec + weighted)/2 blend (match.go:3
     base = c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
                     F.col("c_mktsegment").alias("segment"),
                     F.col("c_nationkey").alias("nk"), vec_expr.alias("vec"))
+    # r7: exploded-offset equi-join, same row set as the theta join on
+    # nation alone (see _pair_customers)
     a = base.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"),
                     F.col("segment").alias("segment_a"),
-                    F.col("vec").alias("vec_a"), "nk")
+                    F.col("vec").alias("vec_a"), "nk",
+                    F.explode(F.sequence(F.lit(1), F.lit(3))).alias("_k"))
     b = base.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"),
                     F.col("segment").alias("segment_b"),
-                    F.col("vec").alias("vec_b"), "nk")
-    wide = a.join(b, "nk").where(
-        (F.col("id_b") > F.col("id_a")) & (F.col("id_b") - F.col("id_a") <= 3)
-    )
+                    F.col("vec").alias("vec_b"), F.col("nk").alias("_nkb"))
+    wide = a.join(
+        b,
+        (F.col("nk") == F.col("_nkb"))
+        & (F.col("id_b") == F.col("id_a") + F.col("_k")),
+    ).drop("_k", "_nkb")
     specs = [FieldSpec("name", "name", "levenshtein", 1.0),
              FieldSpec("segment", "segment", "exact", 1.0)]
     out = score_pairs(wide, specs, vector_col="vec", blend_with_vector=True)
@@ -894,15 +909,20 @@ def _q55_threshold_on_vector(spark, sf_dir):  # match.go:237-240 threshold point
     base = c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
                     F.col("c_mktsegment").alias("segment"),
                     F.col("c_nationkey").alias("nk"), vec_expr.alias("vec"))
+    # r7: exploded-offset equi-join, same row set as the theta join on
+    # nation alone (see _pair_customers)
     a = base.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"),
                     F.col("segment").alias("segment_a"),
-                    F.col("vec").alias("vec_a"), "nk")
+                    F.col("vec").alias("vec_a"), "nk",
+                    F.explode(F.sequence(F.lit(1), F.lit(3))).alias("_k"))
     b = base.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"),
                     F.col("segment").alias("segment_b"),
-                    F.col("vec").alias("vec_b"), "nk")
-    wide = a.join(b, "nk").where(
-        (F.col("id_b") > F.col("id_a")) & (F.col("id_b") - F.col("id_a") <= 3)
-    )
+                    F.col("vec").alias("vec_b"), F.col("nk").alias("_nkb"))
+    wide = a.join(
+        b,
+        (F.col("nk") == F.col("_nkb"))
+        & (F.col("id_b") == F.col("id_a") + F.col("_k")),
+    ).drop("_k", "_nkb")
     specs = [FieldSpec("name", "name", "levenshtein", 1.0),
              FieldSpec("segment", "segment", "exact", 1.0)]
     out = score_pairs(wide, specs, threshold=0.8, threshold_on="vector",
@@ -1588,18 +1608,33 @@ def _q81_fs_params(spark, sf_dir):  # Fellegi-Sunter EM weight learning
     ).orderBy("field")
 
 
+def _part_distance_edges(spark, sf_dir, gap: int = 100):
+    """Shared q82/q87/q96 edge set: same-brand part pairs with key
+    distance <= gap. r7 (guide §3.3): exploded-offset equi-join on
+    (brand, id_a + k = id_b) instead of the theta join on the 25-value
+    brand key, which evaluated the full 1.6e9-row block cross product
+    at sf1.0 to keep ~0.05% of it. Identical row set (0 < id_b - id_a
+    <= gap  <=>  id_b = id_a + k for exactly one k in 1..gap)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    a = p.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_brand").alias("br"),
+        F.explode(F.sequence(F.lit(1), F.lit(gap))).alias("_k"),
+    )
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_brand").alias("_brb"))
+    return a.join(
+        b,
+        (F.col("br") == F.col("_brb"))
+        & (F.col("id_b") == F.col("id_a") + F.col("_k")),
+    ).select("id_a", "id_b")
+
+
 def _q82_cluster_metrics(spark, sf_dir):  # per-cluster graph diagnostics
     """cluster_graph_metrics over a brand-clustered part graph: edges =
     same-brand pairs with key distance <= 100, assignments = brand.
     Density/avg_degree are single divisions of exact longs; triangle
     and bridge counts are exact longs — oracle-exact by construction."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_brand").alias("br"))
-    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_brand").alias("br"))
-    edges = a.join(b, "br").where(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.col("id_b") - F.col("id_a") <= 100)
-    ).select("id_a", "id_b")
+    edges = _part_distance_edges(spark, sf_dir)
     asg = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("cluster_id"))
     return C.cluster_graph_metrics(edges, asg).orderBy("cluster_id")
 
@@ -1796,12 +1831,7 @@ def _q87_bridge_prune(spark, sf_dir):  # structural over-merge repair
     is the repaired (rid, cluster_id) assignment; the oracle replays
     the prune in plain SQL and the closure as a recursive CTE."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_brand").alias("br"))
-    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_brand").alias("br"))
-    edges = a.join(b, "br").where(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.col("id_b") - F.col("id_a") <= 100)
-    ).select("id_a", "id_b")
+    edges = _part_distance_edges(spark, sf_dir)
     asg = p.select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("cluster_id"))
     pruned = C.prune_bridge_edges(edges, asg)
     return C.connected_components(pruned).select("rid", "cluster_id").orderBy("rid")
@@ -1844,15 +1874,48 @@ def _q90_uncertainty_sample(spark, sf_dir):  # active-learning queue
     )
     from resolve_spark.operators.sampling import uncertainty_sample
 
-    # r7: one narrow-int pass builds the indicators; localCheckpoint the
-    # 5-int rows (not the old map<string,double> stream) so the EM
-    # contingency collect and the TakeOrdered below share the pair scan
-    # instead of each re-running the brand join + levenshtein.
-    g = _q84_indicators(spark, sf_dir).localCheckpoint()
+    # r7: narrow-int indicator pairs, recomputed by the two consumers
+    # (EM contingency groupBy, then TakeOrdered) — measured CHEAPER
+    # than materializing them: one indicator pass is ~2.5s at sf1.0
+    # (q84) while a 50M-row localCheckpoint write+read costs ~15s, so
+    # two passes beat checkpoint+two-reads (guide §5: cache only when
+    # recomputing costs more than the materialization).
+    g = _q84_indicators(spark, sf_dir)
     g_cols = ["g_name", "g_size", "g_cont"]
     rows = g.groupBy(*g_cols).agg(F.count(F.lit(1)).alias("cnt")).collect()
     params = estimate_fs_from_counts(rows, g_cols, iterations=3)
-    scored = g.withColumn("match_probability", fs_match_probability(params))
+    # r7: the posterior takes <= 2^3 distinct values, so the top-20 by
+    # |p - 0.5| can only come from the patterns whose cumulative count
+    # (in ascending-distance order, distance ties included whole)
+    # first reaches 20 — a superset of the answer known from the
+    # contingency table already in hand. Filtering to those patterns
+    # inside the codegen'd stage keeps the 50M-row stream out of the
+    # row-based TakeOrdered heap (guide §1.2: don't ship rows a
+    # driver-side fact already excludes).
+    pats = sorted(
+        ((tuple(int(r[c]) for c in g_cols), int(r["cnt"])) for r in rows),
+        key=lambda t: (abs(params.posterior(t[0]) - 0.5), t[0]),
+    )
+    keep, cum, cut = [], 0, None
+    for gpat, cnt in pats:
+        d = abs(params.posterior(gpat) - 0.5)
+        if cut is not None and d > cut:
+            break
+        keep.append(gpat)
+        cum += cnt
+        if cut is None and cum >= 20:
+            cut = d
+    pat_filter = None
+    for gpat in keep:
+        cond = (
+            (F.col("g_name") == gpat[0])
+            & (F.col("g_size") == gpat[1])
+            & (F.col("g_cont") == gpat[2])
+        )
+        pat_filter = cond if pat_filter is None else (pat_filter | cond)
+    scored = g.where(pat_filter).withColumn(
+        "match_probability", fs_match_probability(params)
+    )
     out = uncertainty_sample(
         scored.select(
             "id_a", "id_b", "g_name", "g_size", "g_cont", "match_probability"
@@ -2075,13 +2138,7 @@ def _q96_link_features(spark, sf_dir):  # per-edge structural support
     float RA feature is pytest-verified, not hash-oracled)."""
     from resolve_spark.operators.clustering import link_prediction_features
 
-    p = _t(spark, sf_dir, "part")
-    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_brand").alias("b"))
-    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_brand").alias("b"))
-    edges = a.join(b, "b").where(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.col("id_b") - F.col("id_a") <= 100)
-    )
+    edges = _part_distance_edges(spark, sf_dir)
     out = link_prediction_features(edges.select("id_a", "id_b"))
     return out.select(
         "id_a", "id_b", "cn",

@@ -103,6 +103,15 @@ def meta_block_prune(
     kernel budget is the bottleneck. ``k`` applies to scheme="cnp"
     only (retained edges per node)."""
     edges = blocking_graph_edges(df, id_col, keys_col, max_block_size)
+    # r7: per-node companion tables (key-set sizes, mean incident
+    # weight) hold at most one row per RECORD, a factor |E|/|V| smaller
+    # than the edge stream they annotate — but the planner cannot see
+    # that through the aggregate and picks sort-merge, shuffling and
+    # sorting the edges twice per attach (measured 15s of q91's 28s at
+    # sf1.0). Broadcast them while the record table is broadcast-sized;
+    # beyond that the shuffle join is the right plan and is kept.
+    _bcast = df.count() <= 4_000_000
+    _maybe_b = F.broadcast if _bcast else (lambda d: d)
     if weight == "cbs":
         edges = edges.withColumn("weight", F.col("cbs").cast("double"))
     elif weight == "js":
@@ -114,11 +123,13 @@ def meta_block_prune(
         nb = live.groupBy("rid").agg(F.count(F.lit(1)).alias("_nb"))
         edges = (
             edges.join(
-                nb.select(F.col("rid").alias("id_a"), F.col("_nb").alias("_na")),
+                _maybe_b(nb.select(F.col("rid").alias("id_a"),
+                                   F.col("_nb").alias("_na"))),
                 "id_a",
             )
             .join(
-                nb.select(F.col("rid").alias("id_b"), F.col("_nb").alias("_b2")),
+                _maybe_b(nb.select(F.col("rid").alias("id_b"),
+                                   F.col("_nb").alias("_b2"))),
                 "id_b",
             )
             .withColumn(
@@ -144,11 +155,13 @@ def meta_block_prune(
         navg = ends.groupBy("_node").agg(F.avg("weight").alias("_avg"))
         return (
             edges.join(
-                navg.select(F.col("_node").alias("id_a"), F.col("_avg").alias("_aa")),
+                _maybe_b(navg.select(F.col("_node").alias("id_a"),
+                                     F.col("_avg").alias("_aa"))),
                 "id_a",
             )
             .join(
-                navg.select(F.col("_node").alias("id_b"), F.col("_avg").alias("_ab")),
+                _maybe_b(navg.select(F.col("_node").alias("id_b"),
+                                     F.col("_avg").alias("_ab"))),
                 "id_b",
             )
             .where((F.col("weight") >= F.col("_aa")) | (F.col("weight") >= F.col("_ab")))

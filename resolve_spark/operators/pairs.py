@@ -147,8 +147,15 @@ def candidate_pairs(
     # no (rid, key) dedup shuffle needed: each blocking pass emits
     # distinct keys per record (array_distinct / single key) and passes
     # are prefix-disjoint (c:/t:/q:/m<band>:), so the explode is
-    # duplicate-free by construction
-    keyed = df.select(F.col(id_col).alias("rid"), F.explode(keys_col).alias("key"))
+    # duplicate-free by construction.
+    # r7: localCheckpoint — the keyed stream feeds the key-size counts,
+    # the small/windowed splits AND both pair branches; without a pin
+    # each consumer re-runs the blocking-key computation (minhash UDF
+    # included, measured 3-4 re-executions per call). records x keys
+    # rows, the same rows the pair join shuffles anyway.
+    keyed = df.select(
+        F.col(id_col).alias("rid"), F.explode(keys_col).alias("key")
+    ).localCheckpoint()
     counts = keyed.groupBy("key").agg(F.count("*").alias("c"))
     # cache: used by the small/big split and by the stats aggregates
     counts.persist()
