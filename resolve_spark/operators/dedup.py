@@ -100,6 +100,170 @@ def ngram_jaccard_pairs(
     )
 
 
+def _wjacc_bits(vrows):
+    """Shared small-vocabulary bit machinery: token->bit assignment,
+    the token->bit literal map expression, and the byte-indexed
+    partial-sum iw expression builder. The SINGLE place the weight
+    literals are laid out, so every fast path computes the identical
+    exact longs."""
+    bit = {
+        r["tok"]: ((1 << i) - (1 << 64 if i == 63 else 0))
+        for i, r in enumerate(vrows)
+    }
+    wlit = [(bit[r["tok"]], int(r["w"])) for r in vrows]
+    bitmap = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in bit]),
+        F.array(*[F.lit(v).cast("long") for v in bit.values()]),
+    )
+
+    def iw_expr(im):
+        # weighted popcount via byte-indexed literal tables: one
+        # 256-entry partial-sum array per mask byte,
+        # iw = Σ element_at(T_k, byte_k+1) — ~4 array lookups, exact
+        # long (tables are sums of the same weight literals).
+        n_bytes = (len(wlit) + 7) // 8
+        iw = None
+        for k in range(n_bytes):
+            tbl = []
+            for v in range(256):
+                s = 0
+                for j in range(8):
+                    if (v >> j) & 1 and 8 * k + j < len(wlit):
+                        s += wlit[8 * k + j][1]
+                tbl.append(s)
+            idx = (
+                F.shiftright(im, 8 * k).bitwiseAND(F.lit(255)).cast("int")
+                + F.lit(1)
+            )
+            term = F.element_at(
+                F.array(*[F.lit(x).cast("long") for x in tbl]), idx
+            )
+            iw = term if iw is None else iw + term
+        return iw
+
+    return bitmap, iw_expr
+
+
+#: all-pairs-over-distinct-sets budget for the weighted-Jaccard fast
+#: path: the distinct-set cross product is pure codegen bit ops (mask
+#: AND + 4 byte-table lookups + one division), so ~2e9 evaluations are
+#: seconds of cluster time; beyond it the banded candidate path remains
+#: the plan. Same runtime-probe discipline as _CONTAIN_SET_PAIR_BUDGET.
+_WJACC_SET_PAIR_BUDGET = 2_000_000_000
+
+
+def _small_vocab_wjaccard_allpairs(
+    tww_a: DataFrame,
+    tww_b: DataFrame | None,
+    weights: DataFrame,
+    threshold: float,
+):
+    """EXACT all-pairs weighted Jaccard over DISTINCT token sets — or
+    None when the data does not qualify (vocabulary > 64 tokens, or the
+    distinct-set pair count exceeds ``_WJACC_SET_PAIR_BUDGET``).
+
+    Only valid for callers whose contract is full recall at the
+    threshold (tfidf_weighted_jaccard_pairs with the ICWS pass on,
+    wjaccard_join — both oracled as exact all-pairs): the banded
+    candidate passes exist to APPROXIMATE all-pairs at scale, so when
+    the corpus vocabulary fits one machine word the exact computation
+    is cheaper than the approximation — every doc is a (mask, W) pair,
+    wjaccard depends only on the mask pair, and distinct masks number
+    far fewer than docs. Plan shape: one groupBy per side to masks, one
+    broadcast nested-loop over DISTINCT masks (codegen bit ops, no
+    band-key shuffle, no 1e8-row pair dedup), two equi-joins to expand
+    qualifying mask pairs back to doc pairs. The emitted longs are the
+    same exact sums as the banded verify, so rows are bit-identical
+    wherever the banded recall was already full (driver-attested for
+    q101/q104 at every correctness SF).
+
+    ``tww_b=None`` means self-dedup (emit id_a < id_b once per pair);
+    otherwise cross-corpus (id_a from a, id_b from b, no ordering).
+    """
+    vrows = weights.select("tok", "w").orderBy("tok").limit(65).collect()
+    if len(vrows) > 64:
+        return None
+    bitmap, iw_expr = _wjacc_bits(vrows)
+    spark = tww_a.sparkSession
+    par = spark.sparkContext.defaultParallelism
+
+    def masks(tww: DataFrame) -> DataFrame:
+        return tww.groupBy("rid").agg(
+            F.sum(F.element_at(bitmap, F.col("tok"))).alias("_mask"),
+            F.sum("w").alias("_W"),
+        )
+
+    same = tww_b is None
+    m_a = masks(tww_a).localCheckpoint()
+    m_b = m_a if same else masks(tww_b).localCheckpoint()
+    sets_a = m_a.groupBy("_mask").agg(F.min("_W").alias("_W"))
+    sets_b = sets_a if same else m_b.groupBy("_mask").agg(F.min("_W").alias("_W"))
+    na = sets_a.count()
+    nb = na if same else sets_b.count()
+    n_pairs = na * (na + 1) // 2 if same else na * nb
+    if n_pairs > _WJACC_SET_PAIR_BUDGET:
+        return None
+    sa = sets_a.select(
+        F.col("_mask").alias("_ma"), F.col("_W").alias("_wa")
+    ).repartition(par)
+    sb = F.broadcast(
+        sets_b.select(F.col("_mask").alias("_mb"), F.col("_W").alias("_wb"))
+    )
+    iw = iw_expr(F.col("_ma").bitwiseAND(F.col("_mb")))
+    wj = F.round(iw / (F.col("_wa") + F.col("_wb") - iw), 6)
+    cond = (F.col("_ma") <= F.col("_mb")) if same else F.lit(True)
+    qual = (
+        sa.join(sb, cond)
+        .where(wj >= threshold)
+        .select("_ma", "_mb", wj.alias("wjaccard"))
+    )
+    # member tables are doc-sized (rid + mask); the planner cannot see
+    # that through the checkpoint and would sort-merge the (much
+    # larger) qualifying mask-pair stream — broadcast the attach
+    # (measured: the sort-merge expansion was 64s of q101's 85s at
+    # sf1.0, broadcast ~30s)
+    if same:
+        mem_a = F.broadcast(
+            m_a.select(F.col("rid").alias("_ra"), F.col("_mask").alias("_ma"))
+        )
+        mem_b = F.broadcast(
+            m_a.select(F.col("rid").alias("_rb"), F.col("_mask").alias("_mb"))
+        )
+        cross = (
+            qual.where(F.col("_ma") != F.col("_mb"))
+            .join(mem_a, "_ma")
+            .join(mem_b, "_mb")
+            .select(
+                F.least("_ra", "_rb").alias("id_a"),
+                F.greatest("_ra", "_rb").alias("id_b"),
+                "wjaccard",
+            )
+        )
+        within = (
+            qual.where(F.col("_ma") == F.col("_mb"))
+            .select("_ma", "wjaccard")
+            .join(mem_a, "_ma")
+            .join(mem_b.withColumnRenamed("_mb", "_ma"), "_ma")
+            .where(F.col("_ra") < F.col("_rb"))
+            .select(
+                F.col("_ra").alias("id_a"), F.col("_rb").alias("id_b"),
+                "wjaccard",
+            )
+        )
+        return cross.unionByName(within)
+    mem_a = F.broadcast(
+        m_a.select(F.col("rid").alias("id_a"), F.col("_mask").alias("_ma"))
+    )
+    mem_b = F.broadcast(
+        m_b.select(F.col("rid").alias("id_b"), F.col("_mask").alias("_mb"))
+    )
+    return (
+        qual.join(mem_a, "_ma")
+        .join(mem_b, "_mb")
+        .select("id_a", "id_b", "wjaccard")
+    )
+
+
 def _small_vocab_wjaccard(
     cand: DataFrame,
     tww_a: DataFrame,
@@ -139,15 +303,7 @@ def _small_vocab_wjaccard(
     vrows = weights.select("tok", "w").orderBy("tok").limit(65).collect()
     if len(vrows) > 64:
         return None
-    bit = {
-        r["tok"]: ((1 << i) - (1 << 64 if i == 63 else 0))
-        for i, r in enumerate(vrows)
-    }
-    wlit = [(bit[r["tok"]], int(r["w"])) for r in vrows]
-    bitmap = F.map_from_arrays(
-        F.array(*[F.lit(t) for t in bit]),
-        F.array(*[F.lit(v).cast("long") for v in bit.values()]),
-    )
+    bitmap, iw_expr = _wjacc_bits(vrows)
 
     def masks(tww: DataFrame) -> DataFrame:
         return tww.groupBy("rid").agg(
@@ -168,30 +324,11 @@ def _small_vocab_wjaccard(
         # twice (observed: 2 SMJs over 93M rows). Callers assert the
         # per-doc mask table is broadcast-sized (3 longs per doc).
         ma, mb = F.broadcast(ma), F.broadcast(mb)
-    im = F.col("_ma").bitwiseAND(F.col("_mb"))
-    # weighted popcount via byte-indexed literal tables: one 256-entry
-    # partial-sum array per mask byte, iw = Σ element_at(T_k, byte_k+1).
-    # A 31-term CASE chain measured 1.2µs/row (87s over 72M pairs); the
+    # weighted popcount via byte-indexed literal tables (_wjacc_bits):
+    # a 31-term CASE chain measured 1.2µs/row (87s over 72M pairs); the
     # ~4 array lookups are ~20x cheaper and produce the identical exact
     # long (tables are sums of the same weight literals).
-    n_bytes = (len(wlit) + 7) // 8
-    iw = None
-    for k in range(n_bytes):
-        tbl = []
-        for v in range(256):
-            s = 0
-            for j in range(8):
-                if (v >> j) & 1 and 8 * k + j < len(wlit):
-                    s += wlit[8 * k + j][1]
-            tbl.append(s)
-        idx = (
-            F.shiftright(im, 8 * k).bitwiseAND(F.lit(255)).cast("int")
-            + F.lit(1)
-        )
-        term = F.element_at(
-            F.array(*[F.lit(x).cast("long") for x in tbl]), idx
-        )
-        iw = term if iw is None else iw + term
+    iw = iw_expr(F.col("_ma").bitwiseAND(F.col("_mb")))
     out = (
         cand.join(ma, "id_a")
         .join(mb, "id_b")
@@ -207,12 +344,18 @@ def _small_vocab_wjaccard(
     return out.dropDuplicates(["id_a", "id_b"]) if dedup_after else out
 
 
-def _icws_keyed(tww: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(rid, tok, w) -> (rid, bk) ICWS band keys — the ONE place the
-    sketch input is constructed (sort_array-pinned (toks, ws) pairing
-    so the sketch is deterministic across partitionings), shared by the
-    self-dedup pass and the cross-corpus join so the two paths can
-    never desynchronize on pinning or key layout."""
+def _icws_sketch(tww: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(rid, tok, w) -> (rid, bks array<string>) ICWS band-key sketch,
+    band index == array position — the ONE place the sketch input is
+    constructed (sort_array-pinned (toks, ws) pairing so the sketch is
+    deterministic across partitionings), shared by the self-dedup pass
+    and the cross-corpus join so the two paths can never desynchronize
+    on pinning or key layout.
+
+    r7: pinned at ARRAY granularity (docs rows, not docs x bands) —
+    consumed by the band-size budget groupBy, the candidate join and
+    the first-collision dedup filter; without a pin each consumer
+    re-runs the collect_list + Arrow sketch UDF."""
     from resolve_spark.functions.icws import icws_band_keys_udf
 
     wk = icws_band_keys_udf(num_hashes, bands)
@@ -225,13 +368,16 @@ def _icws_keyed(tww: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             F.transform("s", lambda x: x["w"]).alias("ws"),
         )
     )
-    # r7: consumed twice per side (band-size budget groupBy + candidate
-    # join) — pin the (rid, bk) rows (docs x bands, the same rows the
-    # band join shuffles anyway) so the collect_list + Arrow sketch UDF
-    # runs once per side instead of once per consumer.
     return agg.select(
-        "rid", F.explode(wk(F.col("toks"), F.col("ws"))).alias("bk")
+        "rid", wk(F.col("toks"), F.col("ws")).alias("bks")
     ).localCheckpoint()
+
+
+def _icws_keyed(tww: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Exploded (rid, bk) view of :func:`_icws_sketch`."""
+    return _icws_sketch(tww, num_hashes, bands).select(
+        "rid", F.explode("bks").alias("bk")
+    )
 
 
 def tfidf_weighted_jaccard_pairs(
@@ -308,6 +454,23 @@ def tfidf_weighted_jaccard_pairs(
     # is tiny relative to one recompute (guide §5 caching rule).
     weights = weights.localCheckpoint()
     tw = tw.join(weights, "tok")
+    if icws_hashes:
+        # r7 (guide §1.2): with the ICWS pass on, the contract — and
+        # the frozen oracle — is full recall at the threshold (exact
+        # all-pairs). When the runtime probe shows the vocabulary fits
+        # one machine word and distinct token sets are few, compute
+        # that contract EXACTLY over distinct masks instead of
+        # approximating it with two banding passes: this deletes the
+        # MinHash + ICWS sketch UDFs, the band-key shuffles and the
+        # 1e8-row candidate dropDuplicates, and it repairs the latent
+        # recall gap the band-key pair budget opens once blocks
+        # outgrow it (measured at sf0.1: banded 1.94M pairs vs the
+        # oracle's 6.86M; the fast path matches the oracle at every
+        # notch). Banding remains the plan for large-vocabulary
+        # corpora, where full recall stays explicitly approximate.
+        fast = _small_vocab_wjaccard_allpairs(tw, None, weights, threshold)
+        if fast is not None:
+            return fast
     tot = tw.groupBy("rid").agg(F.sum("w").alias("W"))
     cfg = BlockingConfig(
         enable_canopy=False, minhash_column=content_col,
@@ -712,6 +875,17 @@ def wjaccard_join(
     # full explode + groupBy. Vocabulary-sized, so the materialization
     # is tiny relative to one recompute (guide §5 caching rule).
     weights = weights.localCheckpoint()
+    # r7: same exact-all-pairs-over-distinct-masks fast path as
+    # tfidf_weighted_jaccard_pairs (the oracle here is exact all-pairs
+    # across the two corpora): skips both ICWS sketches, the band join
+    # and the candidate dropDuplicates when the runtime probe allows.
+    fast = _small_vocab_wjaccard_allpairs(
+        tw_a.join(weights, "tok"), tw_b.join(weights, "tok"),
+        weights, threshold,
+    )
+    if fast is not None:
+        return fast
+
     def _prep(tw: DataFrame):
         tww = tw.join(weights, "tok")
         tot = tww.groupBy("rid").agg(F.sum("w").alias("W"))

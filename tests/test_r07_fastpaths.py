@@ -157,3 +157,115 @@ def test_estimate_fs_from_counts_matches(spark):
     p2 = estimate_fs_from_counts(counts, ["g_x", "g_y", "g_z"],
                                  count_col="n", iterations=3)
     assert p1 == p2
+
+
+class TestWJaccardAllPairs:
+    """The r7 exact-all-pairs-over-distinct-masks fast path must equal
+    a NAIVE all-pairs weighted Jaccard (the oracle's semantics) — no
+    banding randomness in the comparison."""
+
+    @staticmethod
+    def _naive_allpairs(spark, d, threshold, cross=False):
+        from resolve_spark.functions import similarity as S
+
+        n = d.count()
+        toks = d.select(F.col("doc_id").alias("rid"), S.tokens("text").alias("t"))
+        tw = toks.select("rid", F.explode("t").alias("tok"))
+        dfreq = tw.groupBy("tok").agg(F.count("*").alias("df"))
+        w = dfreq.select(
+            "tok",
+            F.round(
+                F.lit(1e6) * F.log(F.lit(1.0) + F.lit(float(n)) / F.col("df"))
+            ).cast("long").alias("w"),
+        )
+        tww = tw.join(w, "tok")
+        wt = toks.join(
+            tww.groupBy("rid").agg(F.sum("w").alias("W")), "rid"
+        ).select("rid", "t", "W")
+        a = wt.selectExpr("rid as id_a", "t as ta", "W as wa")
+        b = wt.selectExpr("rid as id_b", "t as tb", "W as wb")
+        if cross:
+            pairs = a.where("id_a % 2 = 0").join(b.where("id_b % 2 = 1"))
+        else:
+            pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        shared = F.array_intersect("ta", "tb")
+        iw = (
+            pairs.select("id_a", "id_b", "wa", "wb", F.explode(shared).alias("tok"))
+            .join(w, "tok")
+            .groupBy("id_a", "id_b", "wa", "wb")
+            .agg(F.sum("w").alias("iw"))
+        )
+        disj = pairs.join(
+            iw.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+        ).select("id_a", "id_b", "wa", "wb", F.lit(0).cast("long").alias("iw"))
+        allp = iw.unionByName(disj)
+        return allp.select(
+            "id_a", "id_b",
+            F.round(F.col("iw") / (F.col("wa") + F.col("wb") - F.col("iw")), 6)
+            .alias("wjaccard"),
+        ).where(F.col("wjaccard") >= threshold)
+
+    def test_self_matches_naive(self, spark):
+        d = _docs(spark, VOCAB_SMALL)
+        fast = tfidf_weighted_jaccard_pairs(
+            d, "doc_id", "text", threshold=0.5, icws_hashes=64, icws_bands=32
+        )
+        naive = self._naive_allpairs(spark, d, 0.5)
+        assert _rows(fast) == _rows(naive)
+        assert len(_rows(fast)) > 0
+
+    def test_join_matches_naive(self, spark):
+        d = _docs(spark, VOCAB_SMALL)
+        fast = DD.wjaccard_join(
+            d.where("doc_id % 2 = 0"), d.where("doc_id % 2 = 1"),
+            "doc_id", "doc_id", threshold=0.5,
+        )
+        naive = self._naive_allpairs(spark, d, 0.5, cross=True)
+        assert _rows(fast) == _rows(naive)
+        assert len(_rows(fast)) > 0
+
+    def test_budget_declines_allpairs(self, spark, monkeypatch):
+        d = _docs(spark, VOCAB_SMALL)
+        assert DD._small_vocab_wjaccard_allpairs is not None
+        monkeypatch.setattr(DD, "_WJACC_SET_PAIR_BUDGET", 1)
+        tww = d.select(F.col("doc_id").alias("rid"), F.lit(1).alias("tok"))
+        # budget probe declines before any pair work
+        out = tfidf_weighted_jaccard_pairs(
+            d, "doc_id", "text", threshold=0.5,
+            icws_hashes=64, icws_bands=32, hash_impl="portable",
+        )
+        assert out.columns == ["id_a", "id_b", "wjaccard"]
+
+
+class TestMetaBlockSignature:
+    def _recs(self, spark, n=200):
+        rng = random.Random(11)
+        rows = [
+            (
+                i,
+                [
+                    f"n:{rng.randint(0, 5)}",
+                    f"s:{rng.randint(0, 2)}",
+                    f"b:{rng.randint(0, 3)}",
+                ],
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "id long, block_keys array<string>")
+
+    @pytest.mark.parametrize("scheme", ["wnp", "wep"])
+    def test_sig_matches_record_level(self, spark, scheme, monkeypatch):
+        from resolve_spark.operators import meta_blocking as MB
+
+        recs = self._recs(spark)
+        fast = MB.meta_block_prune(
+            recs, "id", weight="cbs", scheme=scheme, max_block_size=60
+        )
+        monkeypatch.setattr(MB, "_meta_block_prune_sig", lambda *a, **k: None)
+        slow = MB.meta_block_prune(
+            recs, "id", weight="cbs", scheme=scheme, max_block_size=60
+        )
+        assert _rows(fast.select("id_a", "id_b", "cbs", "weight")) == _rows(
+            slow.select("id_a", "id_b", "cbs", "weight")
+        )
+        assert len(_rows(fast)) > 0
