@@ -84,9 +84,11 @@ def test_exact_max_rounds_chain_succeeds(spark):
         for r in greedy_one_to_one(df, max_rounds=3).collect()
     }
     assert got == {(1, 1), (2, 2), (3, 3)}
-    # and a genuinely insufficient budget still fails loud
+    # and a genuinely insufficient budget still fails loud (the
+    # max_rounds contract belongs to the distributed fixpoint; the r7
+    # single-scan path always converges, so force the fixpoint here)
     with pytest.raises(RuntimeError, match="did not converge"):
-        greedy_one_to_one(df, max_rounds=2).collect()
+        greedy_one_to_one(df, max_rounds=2, sequential_max_pairs=0).collect()
 
 
 def test_one_to_one_constraint_and_determinism(spark):

@@ -269,3 +269,20 @@ class TestMetaBlockSignature:
             slow.select("id_a", "id_b", "cbs", "weight")
         )
         assert len(_rows(fast)) > 0
+
+
+class TestGreedySequentialLocal:
+    def test_sequential_matches_fixpoint(self, spark):
+        from resolve_spark.operators.assignment import greedy_one_to_one
+
+        rng = random.Random(5)
+        rows = [
+            (rng.randint(0, 40), rng.randint(100, 140),
+             round(rng.uniform(0, 1), 3))
+            for _ in range(400)
+        ]
+        p = spark.createDataFrame(rows, "id_a long, id_b long, score double")
+        seq = greedy_one_to_one(p)  # under the budget: single-scan path
+        fix = greedy_one_to_one(p, sequential_max_pairs=0)  # force fixpoint
+        assert _rows(seq) == _rows(fix)
+        assert len(_rows(seq)) > 0
