@@ -239,14 +239,68 @@ def _q03_canopy_key(spark, sf_dir):  # B1/B2 (canopy blocking key)
 
 def _q04_levenshtein_pairs(spark, sf_dir):  # K4 over blocked self-join
     p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 5 == 0)
+    # r7 (guide §1.2): lev_sim is a function of the NAME PAIR alone and
+    # p_name takes few distinct values (runtime-checked) — score each
+    # distinct name pair once (a tiny cross of the name table), keep
+    # only the qualifying ones, and expand through (brand, name) groups
+    # with broadcast joins. The inherited plan evaluated the DP kernel
+    # on all ~32M brand-blocked pairs (sf1.0) to keep 6.7M; this emits
+    # the identical (id_a, id_b, round(lev_sim, 6) >= 0.5) rows — the
+    # kernel runs on the same strings, the rounded filter moves to the
+    # name-pair level where it is the same predicate — without ever
+    # generating the non-qualifying record pairs.
+    names = p.select("p_name").distinct()
+    lev = F.round(
+        S.levenshtein_similarity(F.col("na"), F.col("nb")), 6
+    ).alias("lev_sim")
+    if names.count() <= 2048:
+        nl = (
+            names.select(F.col("p_name").alias("na"))
+            .join(names.select(F.col("p_name").alias("nb")),
+                  F.col("na") <= F.col("nb"))
+            .select("na", "nb", lev)
+            .where(F.col("lev_sim") >= 0.5)
+        )
+        m = p.select("p_partkey", "p_brand", "p_name")
+        m1 = m.select(F.col("p_partkey").alias("_ra"),
+                      F.col("p_brand").alias("_br"),
+                      F.col("p_name").alias("na"))
+        m2 = F.broadcast(
+            m.select(F.col("p_partkey").alias("_rb"),
+                     F.col("p_brand").alias("_br"),
+                     F.col("p_name").alias("nb"))
+        )
+        cross = (
+            m1.join(F.broadcast(nl.where(F.col("na") != F.col("nb"))), "na")
+            .join(m2, ["_br", "nb"])
+            .select(
+                F.least("_ra", "_rb").alias("id_a"),
+                F.greatest("_ra", "_rb").alias("id_b"),
+                "lev_sim",
+            )
+        )
+        within = (
+            m1.join(
+                F.broadcast(
+                    nl.where(F.col("na") == F.col("nb")).select("na", "lev_sim")
+                ),
+                "na",
+            )
+            .join(m2.withColumnRenamed("nb", "na"), ["_br", "na"])
+            .where(F.col("_ra") < F.col("_rb"))
+            .select(
+                F.col("_ra").alias("id_a"), F.col("_rb").alias("id_b"),
+                "lev_sim",
+            )
+        )
+        return cross.unionByName(within)
     a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("na"),
                  F.col("p_brand").alias("brand"))
     b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("nb"),
                  F.col("p_brand").alias("brand"))
     return (
         a.join(b, "brand").where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                F.round(S.levenshtein_similarity(F.col("na"), F.col("nb")), 6).alias("lev_sim"))
+        .select("id_a", "id_b", lev)
         .where(F.col("lev_sim") >= 0.5)
     )
 
@@ -255,6 +309,50 @@ def _q05_jaccard_pairs(spark, sf_dir):  # K5 over blocked self-join
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
     # tokenize ONCE per document, intersect arrays per pair
     d = d.select("doc_id", "lang", S.tokens(F.col("text")).alias("toks"))
+    # r7 (guide §2.3): when the corpus vocabulary fits one machine word
+    # (runtime probe), each distinct token SET is a bitmask and Jaccard
+    # is two popcounts — the 13M-pair (sf1.0) lang-blocked join then
+    # shuffles a long per side instead of a ~25-element string array,
+    # and the per-pair work is codegen bit ops instead of array
+    # intersection. |A∩B| = popcount(ma & mb) and |A| = popcount(ma)
+    # are the same integers the array kernel feeds its division, and
+    # the empty conventions map to popcount() == 0 — identical rows.
+    vocab = [
+        r["tok"]
+        for r in d.select(F.explode("toks").alias("tok"))
+        .distinct().orderBy("tok").limit(65).collect()
+    ]
+    if len(vocab) <= 64:
+        bitmap = F.map_from_arrays(
+            F.array(*[F.lit(t) for t in vocab]),
+            F.array(*[
+                F.lit((1 << i) - (1 << 64 if i == 63 else 0)).cast("long")
+                for i in range(len(vocab))
+            ]),
+        )
+        dm = d.select(
+            "doc_id", "lang",
+            # null toks -> null mask -> null jac -> filtered, exactly
+            # like size(null array) in the array kernel
+            F.aggregate(
+                "toks", F.lit(0).cast("long"),
+                lambda acc, t: acc.bitwiseOR(F.element_at(bitmap, t)),
+            ).alias("m"),
+        )
+        a = dm.select(F.col("doc_id").alias("id_a"), F.col("m").alias("ma"), "lang")
+        b = dm.select(F.col("doc_id").alias("id_b"), F.col("m").alias("mb"), "lang")
+        inter = F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
+        union = F.bit_count(F.col("ma")) + F.bit_count(F.col("mb")) - inter
+        jac = (
+            F.when((F.bit_count("ma") == 0) & (F.bit_count("mb") == 0), F.lit(1.0))
+            .when((F.bit_count("ma") == 0) | (F.bit_count("mb") == 0), F.lit(0.0))
+            .otherwise(inter / union)
+        )
+        return (
+            a.join(b, "lang").where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(jac, 6).alias("jac"))
+            .where(F.col("jac") >= 0.5)
+        )
     a = d.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"), "lang")
     b = d.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"), "lang")
     return (

@@ -286,3 +286,23 @@ class TestGreedySequentialLocal:
         fix = greedy_one_to_one(p, sequential_max_pairs=0)  # force fixpoint
         assert _rows(seq) == _rows(fix)
         assert len(_rows(seq)) > 0
+
+
+class TestCCLocal:
+    @pytest.mark.parametrize("as_str", [False, True])
+    def test_local_matches_star(self, spark, as_str):
+        from resolve_spark.operators.clustering import connected_components
+
+        rng = random.Random(9)
+        rows = [(rng.randint(0, 300), rng.randint(0, 300)) for _ in range(500)]
+        rows += [(i, i + 1) for i in range(301, 340)]  # a long chain
+        if as_str:
+            rows = [(f"r{a:04d}", f"r{b:04d}") for a, b in rows]
+            sch = "id_a string, id_b string"
+        else:
+            sch = "id_a long, id_b long"
+        e = spark.createDataFrame(rows, sch)
+        fast = connected_components(e)
+        slow = connected_components(e, local_max_edges=0)
+        assert _rows(fast) == _rows(slow)
+        assert len(_rows(fast)) > 0
