@@ -1764,6 +1764,40 @@ def _q83_tf_weights(spark, sf_dir):  # Winkler/Splink TF adjustment
     ).orderBy("field", "value")
 
 
+def _value_pair_levels(spark, df, col, expr_fn, out_col, max_values: int = 256):
+    """Broadcastable (_va, _vb, out_col) level table over the distinct
+    values of ``df[col]`` — or None when the column has too many
+    distinct values.
+
+    r7 (guide §1.2): a per-pair kernel whose value depends only on the
+    two COLUMN VALUES (levenshtein bands over p_name's ~64 distinct
+    names) is evaluated once per distinct value pair — by Spark
+    itself, with the caller's exact expression, so the table entries
+    are the very ints the inline kernel would produce — and the pair
+    stream replaces the DP kernel with one broadcast-hash probe.
+    Build notes: the value cross is exploded from a literal array (a
+    python createDataFrame here is RDD-backed and costs ~12s of tiny
+    python-worker stages for a 64x64 cross; the explode build is
+    0.4s), and the table stays a DataFrame for a broadcast JOIN — both
+    a 4096-literal CreateArray and a 4096-char substring lookup
+    measured ~10x SLOWER than the kernel they replaced (per-row array
+    construction / per-row UTF8 byte walk)."""
+    vals = [
+        r[0]
+        for r in df.select(col).where(F.col(col).isNotNull())
+        .distinct().orderBy(col).limit(max_values + 1).collect()
+    ]
+    if len(vals) > max_values:
+        return None
+    arr = F.array(*[F.lit(v) for v in vals])
+    nd = spark.range(1).select(F.explode(arr).alias("_va"))
+    return F.broadcast(
+        nd.crossJoin(nd.select(F.col("_va").alias("_vb")))
+        .select("_va", "_vb", expr_fn(F.col("_va"), F.col("_vb")).alias(out_col))
+        .localCheckpoint()
+    )
+
+
 def _q84_indicators(spark, sf_dir):
     """Shared q84/q90 pair stream: brand-blocked part pairs with the
     three 0/1 agreement indicators as NATIVE ints (id_a, id_b, g_name,
@@ -1865,13 +1899,34 @@ def _q85_fs_levels(spark, sf_dir):  # multi-level comparison vectors
     )
     # r7: the two levenshtein_similarity bands in exact integer form
     # (1 - d/M >= t  <=>  20*d <= (1-t)*20*M for t in {0.85, 0.65};
-    # same boundary argument as _q84_indicators, covered by tests)
-    d = F.levenshtein(F.col("p_name_a"), F.col("p_name_b"))
-    M = F.greatest(F.length("p_name_a"), F.length("p_name_b"))
-    d20 = F.lit(20) * d
+    # same boundary argument as _q84_indicators, covered by tests),
+    # evaluated once per distinct NAME PAIR (p_name takes ~64 values —
+    # runtime-checked) and attached to the 50M-pair stream with one
+    # broadcast-hash probe instead of re-running the DP kernel per
+    # pair; left join + coalesce 0 reproduces the inline when-chain's
+    # null flow (a null name falls to otherwise(0))
+    def _g_name_levels(na, nb):
+        dd = F.lit(20) * F.levenshtein(na, nb)
+        mm = F.greatest(F.length(na), F.length(nb))
+        return (
+            F.when(dd <= F.lit(3) * mm, 2)
+            .when(dd <= F.lit(7) * mm, 1)
+            .otherwise(0)
+        )
+
+    lvl = _value_pair_levels(spark, p, "p_name", _g_name_levels, "_gn")
+    if lvl is not None:
+        pr = pr.join(
+            lvl,
+            (F.col("p_name_a") == F.col("_va"))
+            & (F.col("p_name_b") == F.col("_vb")),
+            "left",
+        )
+        g_name = F.coalesce(F.col("_gn"), F.lit(0))
+    else:
+        g_name = _g_name_levels(F.col("p_name_a"), F.col("p_name_b"))
     g = pr.select(
-        F.when(d20 <= F.lit(3) * M, 2).when(d20 <= F.lit(7) * M, 1)
-        .otherwise(0).alias("g_name"),
+        g_name.alias("g_name"),
         F.when(F.col("p_size_a") == F.col("p_size_b"), 2)
         .when(F.abs(F.col("p_size_a") - F.col("p_size_b")) <= 2, 1)
         .otherwise(0)

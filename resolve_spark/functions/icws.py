@@ -217,4 +217,6 @@ def icws_band_keys_udf(num_hashes: int = 64, bands: int = 32, seed: int = 42):
             out.append(band_keys_from_samples(toks, kstar, tstar, bands))
         return pd.Series(out)
 
-    return keys
+    # guide §4.4: stop the optimizer duplicating the sketch below a
+    # pushed-down filter (see blocking.minhash_band_keys_udf)
+    return keys.asNondeterministic()

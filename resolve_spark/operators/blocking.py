@@ -329,7 +329,14 @@ def minhash_band_keys_udf(
                 out.append(row_keys)
             return pd.Series(out)
 
-        return portable_keys
+        # r7 (guide §4.4): downstream explode()s imply a pushable
+        # size()>0 filter; referencing the UDF column, it DUPLICATES
+        # the UDF below the repartition exchange — where the
+        # single-row-group scan gives it 1-2 tasks (measured: the
+        # duplicated copy ran 9s serialized vs 1s for the parallel
+        # one). The function is pure; the marker only forbids the
+        # optimizer to clone or reorder it.
+        return portable_keys.asNondeterministic()
 
     a, b = _minhash_params(num_hashes, seed)
 
@@ -352,7 +359,8 @@ def minhash_band_keys_udf(
             out.append(row_keys)
         return pd.Series(out)
 
-    return keys
+    # see the portable branch: prevent filter-pushdown duplication
+    return keys.asNondeterministic()
 
 
 # ---------------------------------------------------------------------------

@@ -438,7 +438,12 @@ def tfidf_weighted_jaccard_pairs(
     """
     n_docs = df.count()
     toks = df.select(F.col(id_col).alias("rid"), S.tokens(F.col(content_col)).alias("t"))
-    tw = toks.select("rid", F.explode("t").alias("tok"))
+    # r7: the exploded (rid, tok) stream feeds document frequencies,
+    # per-doc totals, the mask/verify build and (ICWS mode) the sketch
+    # input — pin it once instead of re-running the tokenizer regex +
+    # explode per consumer (guide §5 caching rule; linear in corpus
+    # tokens, the same rows every consumer shuffles anyway)
+    tw = toks.select("rid", F.explode("t").alias("tok")).localCheckpoint()
     dfreq = tw.groupBy("tok").agg(F.count("*").alias("df"))
     weights = dfreq.select(
         "tok",
@@ -858,7 +863,12 @@ def wjaccard_join(
     )
 
     def _tw(side: DataFrame) -> DataFrame:
-        return side.select("rid", F.explode("t").alias("tok"))
+        # pinned: each side's exploded token stream feeds the union
+        # dfreq, the weight joins, masks/totals and (fallback) sketch —
+        # see tfidf_weighted_jaccard_pairs
+        return side.select(
+            "rid", F.explode("t").alias("tok")
+        ).localCheckpoint()
 
     tw_a, tw_b = _tw(la), _tw(rb)
     dfreq = tw_a.unionByName(tw_b).groupBy("tok").agg(F.count("*").alias("df"))
