@@ -120,12 +120,18 @@ def _greedy_sequential_local(
                     keep.append(i)
             yield pdf.iloc[keep]
 
-    return (
+    # sort in PARALLEL (range-partitioned orderBy), pin the sorted
+    # partitions, then coalesce(1): the narrow coalesce reads the
+    # checkpointed partitions in index order — which is the range
+    # order — so the single scan task sees the global total order
+    # without paying a single-task sort (measured 10.3s single-task
+    # sort -> ~2s parallel for 6.7M rows)
+    srt = (
         p.select(id_a, id_b, score_col)
-        .repartition(1)
-        .sortWithinPartitions(F.desc(score_col), F.asc(id_a), F.asc(id_b))
-        .mapInPandas(run, schema)
+        .orderBy(F.desc(score_col), F.asc(id_a), F.asc(id_b))
+        .localCheckpoint()
     )
+    return srt.coalesce(1).mapInPandas(run, schema)
 
 
 def greedy_one_to_one(
@@ -163,9 +169,17 @@ def greedy_one_to_one(
             return df
         return df.localCheckpoint()
 
-    remaining = _truncate(_dedup_pairs(pairs, id_a, id_b, score_col), 0)
-    if remaining.count() <= sequential_max_pairs:
-        return _greedy_sequential_local(remaining, id_a, id_b, score_col)
+    # r7: the single-scan path needs no up-front pair dedup — a
+    # duplicate (a, b) row ranks below the pair's max-score row in the
+    # total order, so by the time the scan reaches it both endpoints
+    # are taken (by each other or by whoever blocked the max row) and
+    # it is skipped; the accepted set is exactly dedup-then-greedy's.
+    # So the gate materializes the raw projection (what the fixpoint's
+    # round-0 checkpoint paid anyway) and skips the groupBy exchange.
+    proj = pairs.select(id_a, id_b, score_col).localCheckpoint()
+    if proj.count() <= sequential_max_pairs:
+        return _greedy_sequential_local(proj, id_a, id_b, score_col)
+    remaining = _truncate(_dedup_pairs(proj, id_a, id_b, score_col), 0)
     accepted: list[DataFrame] = []
     for rnd in range(1, max_rounds + 1):
         mb = _mutual_best_deduped(remaining, id_a, id_b, score_col)

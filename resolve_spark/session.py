@@ -35,6 +35,18 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # guide §3.1/§9: allow shuffled-hash joins where a side's
+        # per-partition build fits (the engine's joins are key-bounded
+        # by the pair budget); AQE can also rewrite SMJ->SHJ when every
+        # post-shuffle partition is under the local-map threshold.
+        # Scale note: on a memory-tight cluster set the threshold lower
+        # (or 0) via extra_conf — the setting trades sort CPU for build
+        # memory and is NOT local[32]-specific.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "134217728",
+        )
         # large Arrow batches: the numpy-vectorized scoring kernels
         # (functions/vectorized.py) amortize per-batch setup and get
         # bigger same-length buckets; rows are small (id + short strings)

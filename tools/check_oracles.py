@@ -27,7 +27,10 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        # r7 (VERDICT r6 #4): FULL precision, like the driver's hash —
+        # the old %.9g normalization hid exactly the last-ulp class the
+        # driver's hash_match catches (q69/q70)
+        return repr(v)
     return str(v)
 
 
@@ -47,10 +50,16 @@ def main():
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
     failures = []
+    n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
@@ -75,6 +84,9 @@ def main():
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
+    if n_checked == 0:
+        # r7 (VERDICT r6 #4): an empty selection used to print ALL-OK
+        raise SystemExit("no queries selected — nothing was checked")
     print("ALL-OK")
 
 
