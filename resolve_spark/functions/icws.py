@@ -159,6 +159,13 @@ def icws_band_keys_udf(num_hashes: int = 64, bands: int = 32, seed: int = 42):
     ~ 1 - (1 - J_w^r)^1 per band (r = num_hashes // bands rows), so the
     OR over bands gives the usual S-curve — but on the WEIGHTED Jaccard.
 
+    Callers must supply STRICTLY POSITIVE weights for the
+    collision-probability == weighted-Jaccard guarantee: nonpositive /
+    NULL weights are coerced to 1.0 inside the sketch (ln needs w > 0),
+    while an exact verifier uses the true weights — the sketch and the
+    verified measure silently diverge for such inputs (ADVICE r6).
+    In-repo callers always produce w >= round(1e6*ln 2).
+
     Default bands=32 (r=2): knee near (1/32)^(1/2) ~ 0.18 with a steep
     rise — at J_w = 0.6 a pair misses ALL 32 bands with probability
     (1 - 0.36)^32 ~ 6e-7, which is what lets an exact all-pairs oracle

@@ -9,8 +9,13 @@ Jaro's 1989 census linkage) assumes each record of file A matches at
 most ONE record of file B and vice versa; deduplicating a pair of
 corpora or reconciling two master tables needs that constraint
 enforced. These operators add the assignment step on top of any scored
-pair table (find_matches output, fs_posterior_edges, a dedup verify —
-anything with (id_a, id_b, score)):
+BIPARTITE pair table — two-file linkage where id_a and id_b draw from
+different record universes (find_matches output, fs_posterior_edges,
+a cross-corpus join verify). The one-to-one constraint is enforced
+per COLUMN: on a single-corpus self-join pair table (canonical
+id_a < id_b) a record can still be matched once as id_a and again as
+id_b — symmetrize such tables first if per-record uniqueness is
+required (ADVICE r6).
 
 - :func:`mutual_best_pairs` — one round: keep a pair iff it is BOTH
   sides' best remaining option. Cheap (two windows), high precision,
@@ -160,6 +165,9 @@ def greedy_one_to_one(
     """
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
+        # NOTE: session-global side effect (same convention as
+        # connected_components): a concurrent job sharing this session
+        # with a different checkpoint dir would be redirected.
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _truncate(df: DataFrame, rnd: int) -> DataFrame:

@@ -90,11 +90,14 @@ def comb2_exact(c) -> "F.Column":
 
 
 def product_within_budget(ca, cb, budget: int) -> "F.Column":
-    """Overflow-free ``ca * cb <= budget`` for long counts: the product
-    is taken in decimal(38,0), which holds any int64 x int64 product
-    exactly (<= 38 digits), so the comparison never wraps (legacy mode)
-    or errors (ANSI mode) once both counts pass ~3e9 — exactly the
-    hot-band-key regime the budget exists to cut. Float division forms
+    """Overflow-free ``ca * cb <= budget`` for long counts: the
+    operands are cast to decimal(19,0) and Spark's multiply rule widens
+    the RESULT to decimal(38,0), which holds any int64 x int64 product
+    exactly (<= 38 digits) — so the comparison never wraps (legacy
+    mode) or errors (ANSI mode) once both counts pass ~3e9, exactly
+    the hot-band-key regime the budget exists to cut. (The invariant
+    relied on is Spark's decimal widening, property-tested to 2^63-1;
+    do not narrow the casts.) Float division forms
     (``ca <= floor(B/cb)``) are NOT used: a double quotient can round
     across the floor boundary. Same exactness discipline as
     :func:`comb2_exact`."""
