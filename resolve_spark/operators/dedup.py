@@ -811,12 +811,15 @@ def minhash_join(
     with exact token Jaccard before anything is returned.
     """
     mh = B.minhash_band_keys_udf(num_hashes, bands, hash_impl=hash_impl)
+    # r7: each side's band-key stream feeds BOTH the budget counts and
+    # the candidate join — pin it so the sketch UDF runs once per side
+    # instead of once per consumer (guide §5 caching rule)
     ka = left.select(
         F.col(left_id).alias("id_a"), F.explode(mh(F.col(left_text))).alias("bk")
-    )
+    ).localCheckpoint()
     kb = right.select(
         F.col(right_id).alias("id_b"), F.explode(mh(F.col(right_text))).alias("bk")
-    )
+    ).localCheckpoint()
     # overflow-free budget test: the raw ca*cb product exceeds int64 when
     # ~3e9 docs per side share one band key (ANSI mode fails loud; legacy
     # wraps and un-bounds pair generation) — product_within_budget takes
