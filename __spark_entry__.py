@@ -2413,8 +2413,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # surfaced first this round to get the other half driver-attested.
     # Keys and semantics are unchanged; `tools/check_oracles.py` still
     # gates ALL entries every round regardless of order.
-    # round-6 additions lead: they have never been attested by any
-    # driver round, so they take the first 4 of the 50-row budget
+    # r7 rotation (VERDICT r6 #3): q97-q100 are the only queries never
+    # driver-attested in six rounds (the r6 window stopped at q96 after
+    # the q101-q104 rotation) — they lead now; q101-q104 follow (r6-
+    # attested but newest); the rest of the window re-covers q51+.
+    never_attested = {
+        "q97_blocking_sweep": _q97_blocking_sweep,
+        "q98_cluster_stability": _q98_cluster_stability,
+        "q99_fusion_conflicts": _q99_fusion_conflicts,
+        "q100_budget_ledger": _q100_budget_ledger,
+    }
     new_ops = {
         "q101_wjaccard_icws": _q101_wjaccard_icws,
         "q102_mutual_best": _q102_mutual_best,
@@ -2525,7 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_fusion_conflicts": _q99_fusion_conflicts,
         "q100_budget_ledger": _q100_budget_ledger,
     }
-    return {**new_ops, **second_half, **first_half}
+    return {**never_attested, **new_ops, **second_half, **first_half}
 
 
 def _phonetic_sql(c: str) -> str:
