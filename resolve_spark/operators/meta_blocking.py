@@ -147,10 +147,15 @@ def _meta_block_prune_sig(
         self_p, F.shiftright(F.col("_ca") * (F.col("_ca") - 1), 1)
     ).otherwise(F.col("_ca") * F.col("_cb"))
     if scheme == "wep":
+        # Σmult == 0 means the record-level graph has NO edges (every
+        # pair multiplicity is 0): the record-level avg() is null there
+        # and keeps nothing — reproduce that instead of dividing by
+        # zero under ANSI (caught by test_property_budget)
         g = spairs.agg(
-            (
+            F.when(
+                F.sum(mult) > 0,
                 F.sum(F.col("cbs") * mult).cast("double")
-                / F.sum(mult).cast("double")
+                / F.sum(mult).cast("double"),
             ).alias("_thr")
         )
         kept = (
